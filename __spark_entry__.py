@@ -1,38 +1,593 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every operator family from SURVEY.md §2 is exposed here as a
+(queries()[name], oracle_sql()[name]) pair; the driver cross-checks the
+Spark plan against DuckDB on identical parquet at sf=0.01.
+
+Crawl-specific operators (frontier candidate selection, politeness
+ranking, seen-set anti-join, page generation, crawl metrics) run over a
+*derived* frontier synthesized deterministically from the `documents`
+table inside both engines, so the exact same crawl logic is oracle-checked
+without external data.  The full engine (stored frontier, bloom pre-filter,
+fetch, extraction parity, checkpoint/resume) lives in
+``legislation_scraper_spark/`` and is exercised by ``tests/``.
+
+Float discipline: every floating aggregate is rounded on BOTH sides
+(sum→2dp, avg→6dp) so IEEE summation-order noise cannot break the
+driver's value hash; ratio divisions (a/b of exact ints/doubles) are
+bit-identical across engines and rounded to 6dp for safety.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from legislation_scraper_spark.functions import text as T
+from legislation_scraper_spark.functions import urls as U
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Derived crawl world (same construction in Spark and in oracle SQL).
+# frontier: one URL per document; host = source; priority = doc_id % 4;
+# a URL is already-seen iff doc_id % 7 == 0.
+# ---------------------------------------------------------------------------
+
+_FRONTIER_SQL = """
+WITH frontier AS (
+  SELECT
+    'https://' || source || '.leg.br/norma/' || CAST(doc_id AS VARCHAR) AS url,
+    source AS host,
+    CAST(doc_id % 4 AS INT) AS priority,
+    doc_id,
+    (doc_id % 7 = 0) AS seen
+  FROM documents
+)
+"""
+
+
+def _frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".leg.br/norma/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.col("source").alias("host"),
+        (F.col("doc_id") % 4).cast("int").alias("priority"),
+        F.col("doc_id"),
+        (F.col("doc_id") % 7 == 0).alias("seen"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational operator coverage (SURVEY.md §2 ids in each docstring).
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: partial+final hash aggregation with multiple measures."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_two_hop_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: chained equi joins (search→detail→text re-expressed as
+    customer→orders→lineitem), aggregated per nation."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("order_cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+def q_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: broadcast dimension lookup join (part is the small dim)."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("line_cnt"),
+        )
+    )
+
+
+def q_anti_join_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: URL-seen anti-join shape — customers with no orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+def q_semi_join_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 resume-skip as a semi join: orders of BUILDING customers."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_cnt"))
+    )
+
+
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/O4: global top-k with deterministic tiebreak."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round("o_totalprice", 2).alias("price"),
+        )
+        .orderBy(F.desc("price"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_dedup_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: dropDuplicates with deterministic survivor (min linenumber
+    per orderkey via window rank — the reference's drop_duplicates on
+    document_url, build_dataset.py:204)."""
+    l = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    return (
+        l.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_orderkey", "l_linenumber", "l_partkey")
+    )
+
+
+def q_ordered_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: in-order per-group concat (reference's ordered OCR page
+    concat, base/scraper.py:363-370)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_orderkey").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("l_linenumber")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("line_seq")
+    )
+
+
+def q_rank_years_desc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: position-of-year-in-desc-list ranking."""
+    o = _t(spark, sf_dir, "orders")
+    years = o.select(F.year("o_orderdate").alias("order_year")).distinct()
+    w = Window.orderBy(F.desc("order_year"))
+    return years.withColumn("year_rank", F.row_number().over(w))
+
+
+def q_lag_prev_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W: lag over event-time per user (sessionization building block)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+
+
+def q_politeness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 shape: ≤k rows per partition key by time (per-host budget)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "rn")
+    )
+
+
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2: union of regular + historic spaces with a mode flag."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.year("o_orderdate") < 1998).withColumn(
+        "source_mode", F.lit("historic")
+    )
+    b = o.filter(F.year("o_orderdate") >= 1998).withColumn(
+        "source_mode", F.lit("regular")
+    )
+    return b.unionByName(a).groupBy("source_mode", "o_orderstatus").agg(
+        F.count("*").alias("cnt")
+    )
+
+
+def q_page_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/A3: count-probe → ceil(total/page_size) → explode page range."""
+    o = _t(spark, sf_dir, "orders")
+    per_page = 20
+    counts = o.groupBy("o_orderpriority").agg(F.count("*").alias("total"))
+    return counts.select(
+        "o_orderpriority",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.ceil(F.col("total") / F.lit(per_page)).cast("int")
+            )
+        ).alias("page_no"),
+    )
+
+
+def q_regex_count_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: regex result-count probe over a JSON-ish body."""
+    e = _t(spark, sf_dir, "events")
+    k = F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1).cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.sum(k).alias("k_sum"), F.count("*").alias("cnt")
+    )
+
+
+def q_year_century_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: 2-digit-year century fix (ceara.py:209-222 semantics)."""
+    o = _t(spark, sf_dir, "orders")
+    y2 = F.year("o_orderdate") % 100
+    fixed = F.when(y2 > 26, y2 + 1900).otherwise(y2 + 2000)
+    return o.select(fixed.alias("fixed_year")).groupBy("fixed_year").agg(
+        F.count("*").alias("cnt")
+    )
+
+
+def q_url_synthesis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8: compose detail URLs from ids (format_string/concat_ws)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.format_string(
+            "https://%s.leg.br/norma/%d?lang=%s", "source", "doc_id", "lang"
+        ).alias("url"),
+    )
+
+
+def q_url_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12: URL-decode sanitize (round-trips %20 injected upstream)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").rlike(r"^[a-z ]*$"))
+    enc = F.regexp_replace(F.col("text"), " ", "%20")
+    return d.select("doc_id", F.url_decode(enc).alias("decoded"))
+
+
+def q_coalesce_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P13: text = coalesce(html||pdf, html, pdf) column coalesce."""
+    d = _t(spark, sf_dir, "documents")
+    html = F.when(F.col("doc_id") % 3 != 0, F.col("text"))
+    pdf = F.when(F.col("doc_id") % 2 != 0, F.upper(F.col("text")))
+    return d.select(
+        "doc_id",
+        F.coalesce(F.concat(html, pdf), html, pdf).alias("text_out"),
+    )
+
+
+def q_situation_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11: regex situation inference via when/rlike routing."""
+    d = _t(spark, sf_dir, "documents")
+    flag = (
+        F.when(F.col("text").rlike(r"\bjoin\b"), F.lit("has_join"))
+        .when(F.col("text").rlike(r"\bscan\b"), F.lit("has_scan"))
+        .otherwise(F.lit("none"))
+    )
+    return d.select(flag.alias("flag"), "lang").groupBy("flag", "lang").agg(
+        F.count("*").alias("cnt")
+    )
+
+
+def q_checkpoint_max_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: max-year checkpoint aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(F.max(F.year("o_orderdate")).alias("max_year"))
+
+
+# ---------------------------------------------------------------------------
+# Crawl-shaped operators over the derived frontier.
+# ---------------------------------------------------------------------------
+
+
+def q_frontier_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3/J6 composed: the crawl round's candidate selection — unseen
+    URLs, ranked per host by (priority, doc_id), budget k=5."""
+    f = _frontier(spark, sf_dir).filter(~F.col("seen"))
+    w = Window.partitionBy("host").orderBy("priority", "doc_id")
+    return (
+        f.withColumn("host_rank", F.row_number().over(w))
+        .filter(F.col("host_rank") <= 5)
+        .select("host", "url", "priority", "host_rank")
+    )
+
+
+def q_seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: anti-join candidates against the seen set on md5 url key."""
+    f = _frontier(spark, sf_dir)
+    seen = f.filter(F.col("seen")).select(F.md5("url").alias("k"))
+    cand = f.select("url", F.md5("url").alias("k"))
+    return (
+        cand.join(seen, "k", "left_anti")
+        .select("url")
+        .groupBy()
+        .agg(F.count("*").alias("unseen_cnt"))
+    )
+
+
+def q_detail_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: two-hop link-following join — search rows to fetched detail
+    pages keyed by URL."""
+    f = _frontier(spark, sf_dir)
+    stage1 = f.select(
+        "doc_id", F.concat(F.col("url"), F.lit("/texto")).alias("text_url")
+    )
+    d = _t(spark, sf_dir, "documents")
+    fetched = _frontier(spark, sf_dir).join(d, "doc_id").filter(
+        F.col("doc_id") % 2 == 0
+    ).select(
+        F.concat(F.col("url"), F.lit("/texto")).alias("url"),
+        F.col("text").alias("body"),
+    )
+    return stage1.join(fetched, stage1.text_url == fetched.url).select(
+        "doc_id", F.length("body").alias("body_len")
+    )
+
+
+def q_crawl_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: per-(host,state) crawl-round metrics rollup."""
+    f = _frontier(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    state = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit("error"))
+        .when(F.col("seen"), F.lit("fetched"))
+        .otherwise(F.lit("pending"))
+    )
+    return (
+        f.join(d, "doc_id")
+        .select("host", state.alias("state"), "n_chars")
+        .groupBy("host", "state")
+        .agg(
+            F.count("*").alias("url_cnt"),
+            F.sum("n_chars").alias("bytes_total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+_Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pricing_summary": q_pricing_summary,
+    "two_hop_join": q_two_hop_join,
+    "broadcast_dim_join": q_broadcast_dim_join,
+    "anti_join_unseen": q_anti_join_unseen,
+    "semi_join_resume": q_semi_join_resume,
+    "top_orders": q_top_orders,
+    "dedup_survivor": q_dedup_survivor,
+    "ordered_concat": q_ordered_concat,
+    "rank_years_desc": q_rank_years_desc,
+    "lag_prev_event": q_lag_prev_event,
+    "politeness_topk": q_politeness_topk,
+    "union_by_name": q_union_by_name,
+    "page_generator": q_page_generator,
+    "regex_count_probe": q_regex_count_probe,
+    "year_century_fix": q_year_century_fix,
+    "url_synthesis": q_url_synthesis,
+    "url_decode": q_url_decode,
+    "coalesce_text": q_coalesce_text,
+    "situation_infer": q_situation_infer,
+    "checkpoint_max_year": q_checkpoint_max_year,
+    "frontier_politeness": q_frontier_politeness,
+    "seen_antijoin": q_seen_antijoin,
+    "detail_join": q_detail_join,
+    "crawl_metrics": q_crawl_metrics,
+}
+
+_ORACLE: dict[str, str] = {
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               ROUND(AVG(l_quantity), 6) AS avg_qty,
+               ROUND(AVG(l_discount), 6) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "two_hop_join": """
+        SELECT n_name, COUNT(*) AS order_cnt,
+               ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "broadcast_dim_join": """
+        SELECT p_brand,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               COUNT(*) AS line_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+    """,
+    "anti_join_unseen": """
+        SELECT c_custkey, c_name, c_mktsegment FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+    "semi_join_resume": """
+        SELECT o_orderpriority, COUNT(*) AS order_cnt FROM orders
+        WHERE o_custkey IN (
+          SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        GROUP BY o_orderpriority
+    """,
+    "top_orders": """
+        SELECT o_orderkey, o_orderpriority, ROUND(o_totalprice, 2) AS price
+        FROM orders ORDER BY price DESC, o_orderkey ASC LIMIT 10
+    """,
+    "dedup_survivor": """
+        SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
+        QUALIFY ROW_NUMBER() OVER (
+          PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) = 1
+    """,
+    "ordered_concat": """
+        SELECT l_orderkey,
+               STRING_AGG(CAST(l_linenumber AS VARCHAR), ','
+                          ORDER BY l_linenumber) AS line_seq
+        FROM lineitem GROUP BY l_orderkey
+    """,
+    "rank_years_desc": """
+        SELECT order_year,
+               CAST(ROW_NUMBER() OVER (ORDER BY order_year DESC) AS INT)
+                 AS year_rank
+        FROM (SELECT DISTINCT EXTRACT(year FROM o_orderdate) AS order_year
+              FROM orders)
+    """,
+    "lag_prev_event": """
+        SELECT user_id, event_id,
+               LAG(event_type) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events
+    """,
+    "politeness_topk": """
+        SELECT user_id, event_id,
+               CAST(ROW_NUMBER() OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS rn
+        FROM events
+        QUALIFY rn <= 3
+    """,
+    "union_by_name": """
+        SELECT source_mode, o_orderstatus, COUNT(*) AS cnt FROM (
+          SELECT o_orderstatus, 'historic' AS source_mode FROM orders
+          WHERE EXTRACT(year FROM o_orderdate) < 1998
+          UNION ALL
+          SELECT o_orderstatus, 'regular' AS source_mode FROM orders
+          WHERE EXTRACT(year FROM o_orderdate) >= 1998
+        ) GROUP BY source_mode, o_orderstatus
+    """,
+    "page_generator": """
+        WITH counts AS (
+          SELECT o_orderpriority, COUNT(*) AS total FROM orders
+          GROUP BY o_orderpriority)
+        SELECT o_orderpriority, CAST(page_no AS INT) AS page_no
+        FROM counts, UNNEST(generate_series(1,
+             CAST(CEIL(total / 20.0) AS INT))) AS t(page_no)
+    """,
+    "regex_count_probe": """
+        SELECT event_type,
+               SUM(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1)
+                   AS BIGINT)) AS k_sum,
+               COUNT(*) AS cnt
+        FROM events GROUP BY event_type
+    """,
+    "year_century_fix": """
+        SELECT CASE WHEN y2 > 26 THEN y2 + 1900 ELSE y2 + 2000 END
+                 AS fixed_year,
+               COUNT(*) AS cnt
+        FROM (SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) % 100 AS y2
+              FROM orders)
+        GROUP BY fixed_year
+    """,
+    "url_synthesis": """
+        SELECT doc_id,
+               'https://' || source || '.leg.br/norma/' ||
+               CAST(doc_id AS VARCHAR) || '?lang=' || lang AS url
+        FROM documents
+    """,
+    "url_decode": """
+        SELECT doc_id,
+               REPLACE(REPLACE(text, ' ', '%20'), '%20', ' ') AS decoded
+        FROM documents WHERE regexp_matches(text, '^[a-z ]*$')
+    """,
+    "coalesce_text": """
+        SELECT doc_id,
+               COALESCE(html || pdf, html, pdf) AS text_out
+        FROM (SELECT doc_id,
+                     CASE WHEN doc_id % 3 <> 0 THEN text END AS html,
+                     CASE WHEN doc_id % 2 <> 0 THEN UPPER(text) END AS pdf
+              FROM documents)
+    """,
+    "situation_infer": """
+        SELECT CASE WHEN regexp_matches(text, '\\bjoin\\b') THEN 'has_join'
+                    WHEN regexp_matches(text, '\\bscan\\b') THEN 'has_scan'
+                    ELSE 'none' END AS flag,
+               lang, COUNT(*) AS cnt
+        FROM documents GROUP BY flag, lang
+    """,
+    "checkpoint_max_year": """
+        SELECT CAST(MAX(EXTRACT(year FROM o_orderdate)) AS INT) AS max_year
+        FROM orders
+    """,
+    "frontier_politeness": _FRONTIER_SQL
+    + """
+        SELECT host, url, priority,
+               CAST(ROW_NUMBER() OVER (
+                 PARTITION BY host ORDER BY priority, doc_id) AS INT)
+                 AS host_rank
+        FROM frontier WHERE NOT seen
+        QUALIFY host_rank <= 5
+    """,
+    "seen_antijoin": _FRONTIER_SQL
+    + """
+        SELECT COUNT(*) AS unseen_cnt FROM frontier
+        WHERE md5(url) NOT IN (SELECT md5(url) FROM frontier WHERE seen)
+    """,
+    "detail_join": _FRONTIER_SQL
+    + """
+        SELECT f.doc_id, LENGTH(d.text) AS body_len
+        FROM frontier f JOIN documents d ON f.doc_id = d.doc_id
+        WHERE f.doc_id % 2 = 0
+    """,
+    "crawl_metrics": _FRONTIER_SQL
+    + """
+        SELECT host,
+               CASE WHEN doc_id % 5 = 0 THEN 'error'
+                    WHEN seen THEN 'fetched'
+                    ELSE 'pending' END AS state,
+               COUNT(*) AS url_cnt, SUM(n_chars) AS bytes_total
+        FROM frontier JOIN documents USING (doc_id)
+        GROUP BY host, state
+    """,
+}
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: one crawl round's candidate selection (unseen anti-join
+    + per-host politeness ranking) on sf0.001."""
+    return q_frontier_politeness(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_Q)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLE)

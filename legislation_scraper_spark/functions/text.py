@@ -1,0 +1,187 @@
+"""Text-analysis column expressions for the training-data pipeline.
+
+Everything here is built from JVM-side ``pyspark.sql.functions`` — no
+Python UDFs — so the hot path stays inside whole-stage codegen at 100 TB.
+
+Hash discipline: every hash the *correctness oracle* must reproduce is
+``md5`` over strings (identical hex output in Spark and DuckDB), with
+lexicographic ``min`` for MinHash. ``xxhash64`` is reserved for
+engine-internal keys (seen set, salting) where no cross-engine parity is
+needed.
+
+Reference capabilities rebuilt here (SURVEY.md §2.2 P5/P7/P10 and the
+pipeline extensions): tokenization, shingling, MinHash/LSH and SimHash
+signatures, n-gram Jaccard, language-ID heuristic, quality scoring,
+token counting, document fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny deterministic stopword sets for the language-ID heuristic.  The
+# oracle SQL embeds the same literals — keep in sync with
+# ``__spark_entry__._LANG_STOPWORDS``.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "of", "and", "to", "in", "is", "a"),
+    "pt": ("de", "da", "do", "que", "e", "em", "uma"),
+    "es": ("el", "la", "los", "las", "una", "por", "del"),
+}
+
+
+def words(text: Column) -> Column:
+    """Whitespace tokens, empties dropped (array<string>)."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda x: x != F.lit(""))
+
+
+def word_shingles(text: Column, n: int) -> Column:
+    """n-word shingles joined by single spaces (array<string>).
+
+    Empty array when the document has fewer than ``n`` tokens.
+    """
+    w = words(text)
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(w) - F.lit(n)),
+        lambda i: F.array_join(F.slice(w, i + F.lit(1), F.lit(n)), " "),
+    )
+    return F.when(F.size(w) >= n, sh).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_sig(shingles: Column, num_hashes: int) -> Column:
+    """MinHash signature: array of ``num_hashes`` md5-hex minima.
+
+    Hash family i = md5(shingle || ':' || i); the minimum is
+    *lexicographic over the hex string*, which is uniform and — unlike
+    integer-parsed variants — bit-identical across engines.
+    """
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    shingles, lambda s, i=i: F.md5(F.concat(s, F.lit(f":{i}")))
+                )
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def lsh_band_keys(sig: Column, bands: int, rows_per_band: int) -> Column:
+    """LSH band keys: md5 over each band's concatenated minhashes.
+
+    Two documents land in the same bucket for band b iff their signatures
+    agree on all ``rows_per_band`` rows of that band — the standard
+    banding construction (candidate pair ⇔ any shared bucket).
+    Returns array<string> of length ``bands``; element b is prefixed with
+    ``b#`` so buckets from different bands never collide.
+    """
+    keys = []
+    for b in range(bands):
+        parts = [
+            F.element_at(sig, b * rows_per_band + r + 1)
+            for r in range(rows_per_band)
+        ]
+        keys.append(F.concat(F.lit(f"{b}#"), F.md5(F.concat_ws("|", *parts))))
+    return F.array(*keys)
+
+
+def simhash16(text: Column) -> Column:
+    """16-bit SimHash rendered as a '0'/'1' string of length 16.
+
+    Bit j's per-token hash is the high bit of the (j+1)-th hex digit of
+    md5(token) (digit >= '8'); the bit is 1 iff the +1/-1 vote sum over
+    all tokens (with multiplicity) is >= 0.  String-only math → exact
+    oracle parity.
+    """
+    w = words(text)
+    bits = []
+    for j in range(16):
+        vote = F.aggregate(
+            w,
+            F.lit(0),
+            lambda acc, t, j=j: acc
+            + F.when(F.substring(F.md5(t), j + 1, 1) >= F.lit("8"), 1).otherwise(-1),
+        )
+        bits.append(F.when(vote >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def hamming16(a: Column, b: Column) -> Column:
+    """Hamming distance between two 16-char bit strings."""
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(16)),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(F.substring(a, i, 1) != F.substring(b, i, 1), 1).otherwise(0),
+    )
+
+
+def jaccard_words(a: Column, b: Column) -> Column:
+    """Jaccard similarity over distinct word sets of two texts."""
+    wa = F.array_distinct(words(a))
+    wb = F.array_distinct(words(b))
+    inter = F.size(F.array_intersect(wa, wb))
+    union = F.size(F.array_union(wa, wb))
+    return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(words(text))
+
+
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count_bpe_ish(text: Column) -> Column:
+    """BPE-ish token count: alpha runs, digit runs, single symbols."""
+    return F.regexp_count(text, F.lit(BPE_ISH_PATTERN))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are .,;:!? punctuation."""
+    n = F.length(text)
+    p = F.length(text) - F.length(F.regexp_replace(text, r"[.,;:!?]", ""))
+    return F.when(n > 0, p.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    """Count of tokens (with multiplicity) in the lang's stopword set."""
+    sw = F.array(*[F.lit(s) for s in LANG_STOPWORDS[lang]])
+    return F.size(F.filter(words(text), lambda x: F.array_contains(sw, x)))
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: argmax stopword hits (en→pt→es tiebreak);
+    'unk' when no stopword matches at all."""
+    en, pt, es = (stopword_hits(text, l) for l in ("en", "pt", "es"))
+    return (
+        F.when((en >= pt) & (en >= es) & (en > 0), F.lit("en"))
+        .when((pt >= es) & (pt > 0), F.lit("pt"))
+        .when(es > 0, F.lit("es"))
+        .otherwise(F.lit("unk"))
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality score: length, punctuation, stopword
+    signal — the shape of the reference's validity predicates
+    (len>70 at /root/reference/src/scraper/state_legislation/amazonas.py:94-96,
+    len<=200 OCR fallback at base/scraper.py:344) generalized to a score."""
+    n = F.length(text)
+    len_score = F.least(n.cast("double") / F.lit(500.0), F.lit(1.0))
+    pr = punct_ratio(text)
+    punct_score = F.when(pr <= 0.2, F.lit(1.0)).otherwise(
+        F.greatest(F.lit(0.0), F.lit(1.0) - (pr - F.lit(0.2)) * 2)
+    )
+    nw = token_count_ws(text)
+    sw = stopword_hits(text, "en")
+    sw_ratio = F.when(nw > 0, sw.cast("double") / nw).otherwise(F.lit(0.0))
+    sw_score = F.least(sw_ratio * 4, F.lit(1.0))
+    return F.round((len_score + punct_score + sw_score) / 3, 6)
+
+
+def fingerprint(text: Column) -> Column:
+    """Whitespace-normalized md5 document fingerprint (exact-dup key)."""
+    return F.md5(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")))

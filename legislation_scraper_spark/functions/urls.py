@@ -1,0 +1,66 @@
+"""URL canonicalization / hashing — the seen-set key discipline.
+
+Rebuilds the reference's URL handling (title/URL synthesis and
+lower/strip semantics, /root/reference/src/scraper/state_legislation/
+rio_grande_do_sul.py:84-93, build_dataset.py:232-236) as pure JVM column
+expressions: whole-stage-codegen friendly, no Python in the hot path.
+
+Canonical form used for the 10^10-row seen set:
+  * scheme + host lowercased
+  * default ports (:80 http, :443 https) dropped
+  * fragment (#...) dropped
+  * trailing slash on a bare path dropped
+  * surrounding whitespace trimmed
+The seen-set key is ``xxhash64(canonical_url)`` (64-bit; at 10^10 URLs the
+collision expectation is ~2.7e-2 per pair-universe — acceptable for a
+*pre-filter*; the exact anti-join on the canonical string is the
+correctness backstop, see operators/seen.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical URL as a single codegen-able expression chain."""
+    u = F.trim(url)
+    # drop fragment
+    u = F.regexp_replace(u, r"#.*$", "")
+    # lowercase scheme://host[:port] part only (keep path case)
+    head = F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)", 1)
+    tail = F.substring(u, F.length(head) + F.lit(1), F.lit(2_000_000))
+    u = F.concat(F.lower(head), tail)
+    # strip default ports
+    u = F.regexp_replace(u, r"^(https://[^/:]+):443(/|$)", r"$1$2")
+    u = F.regexp_replace(u, r"^(http://[^/:]+):80(/|$)", r"$1$2")
+    # drop trailing slash on non-root paths (“…/a/” == “…/a”)
+    u = F.regexp_replace(u, r"([^/])/$", r"$1")
+    return u
+
+
+def url_host(url: Column) -> Column:
+    """Host (politeness partition key), lowercased, port stripped."""
+    return F.lower(F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1))
+
+
+def url_hash(url: Column) -> Column:
+    """64-bit seen-set key over the canonical URL."""
+    return F.xxhash64(canonicalize_url(url))
+
+
+def salted_host(host: Column, url: Column, salt_buckets: int) -> Column:
+    """Shuffle key that defeats host skew while keeping host affinity.
+
+    ``repartition(N, salted_host(...))`` spreads a mega-host over
+    ``salt_buckets`` partitions; the politeness *budget* is still enforced
+    per true host by the window rank upstream (operators/politeness.py),
+    so salting never violates per-host limits — it only balances work.
+    Mirrors the need the reference served with per-site max_workers
+    (/root/reference/main.py:65,108) — here skew is a data property, not
+    a config constant.
+    """
+    return F.concat_ws(
+        "#", host, F.pmod(F.xxhash64(url), F.lit(salt_buckets)).cast("string")
+    )
