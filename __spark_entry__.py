@@ -383,6 +383,418 @@ def q_crawl_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Training-data pipeline operators (dedup / similarity / text analysis)
+# over the documents + embeddings tables.  The dup corpus injects exact
+# copies (doc_id%10==0 → +1000000) and near-duplicates with two extra
+# tokens (doc_id%10==5 → +2000000) identically in both engines.
+# ---------------------------------------------------------------------------
+
+_CORPUS_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text, lang, source FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, lang, source FROM documents
+  WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, text || ' extra fim', lang, source FROM documents
+  WHERE doc_id % 10 = 5
+)
+"""
+
+_DUCK_WORDS = (
+    "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
+)
+
+
+def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    exact = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang", "source"
+    )
+    near = d.filter(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra fim")).alias("text"),
+        "lang",
+        "source",
+    )
+    return d.unionByName(exact).unionByName(near)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by whitespace-normalized md5 fingerprint; survivor =
+    min doc_id per group (deterministic, cf. build_dataset.py:204)."""
+    c = _dup_corpus(spark, sf_dir)
+    return (
+        c.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("survivor_id"),
+            F.count("*").alias("copies"),
+        )
+    )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8) + LSH(4 bands × 2 rows) candidate pairs over 3-word
+    shingles: shingle → md5-min signature → band buckets → bucket
+    self-join → distinct (a < b) pairs."""
+    c = _dup_corpus(spark, sf_dir)
+    sig = c.select(
+        "doc_id", T.word_shingles(F.col("text"), 3).alias("sh")
+    ).filter(F.size("sh") > 0)
+    sig = sig.select("doc_id", T.minhash_sig(F.col("sh"), 8).alias("sig"))
+    bands = sig.select(
+        "doc_id", F.explode(T.lsh_band_keys(F.col("sig"), 4, 2)).alias("bk")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .distinct()
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash signature per document (md5-digit bit hash)."""
+    c = _dup_corpus(spark, sf_dir)
+    return c.select("doc_id", T.simhash16(F.col("text")).alias("simhash"))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-set Jaccard near-dup pairs, blocked by source (≥ 0.6)."""
+    c = _dup_corpus(spark, sf_dir)
+    tok = c.select(
+        "doc_id", "source", F.array_distinct(T.words(F.col("text"))).alias("ws")
+    )
+    a, b = tok.alias("a"), tok.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws")))
+    union = F.size(F.array_union(F.col("a.ws"), F.col("b.ws")))
+    jac = inter.cast("double") / union
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.6)
+    )
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 neighbors for query vectors (vec_id<10)
+    among the rest — the ANN baseline; ids/rank only in the output so
+    FP summation noise cannot affect the hash."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    cdf = e.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    sim = _dot(F.col("qe"), F.col("ce")) / (
+        F.sqrt(_dot(F.col("qe"), F.col("qe")))
+        * F.sqrt(_dot(F.col("ce"), F.col("ce")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
+    return (
+        q.crossJoin(cdf)
+        .select("qid", "cid", sim.alias("sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("qid", "cid", "rnk")
+    )
+
+
+def q_similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bit LSH bucketing over the first 8 dims (scale path for ANN:
+    bucket-join instead of cross-join)."""
+    e = _t(spark, sf_dir, "embeddings")
+    bits = [
+        F.when(F.element_at("embedding", i) >= 0, F.lit("1")).otherwise(
+            F.lit("0")
+        )
+        for i in range(1, 9)
+    ]
+    return e.select(F.concat(*bits).alias("bucket")).groupBy("bucket").agg(
+        F.count("*").alias("cnt")
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language-ID heuristic vs the labeled lang column."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", T.lang_id(F.col("text")).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counts (whitespace + BPE-ish), punctuation ratio, composite
+    quality score per document."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count_ws(F.col("text")).alias("n_tok_ws"),
+        T.token_count_bpe_ish(F.col("text")).alias("n_tok_bpe"),
+        F.round(T.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        T.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace-normalized md5 fingerprint per document."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+
+
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling window aggregation (batch twin of the
+    streaming path in legislation_scraper_spark/streaming/)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("value"), 4).alias("val_sum"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"), "event_type", "cnt", "val_sum"
+        )
+    )
+
+
+def q_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation: distinct parts per returnflag."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("nd_parts"),
+        F.count("*").alias("cnt"),
+    )
+
+
+def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets over (status, priority)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "cnt",
+        )
+    )
+
+
+def _duck_minhash_sql() -> str:
+    mins = ", ".join(
+        "list_aggregate(list_transform(sh, x -> md5(x || ':%d')), 'min') AS m%d"
+        % (i, i)
+        for i in range(8)
+    )
+    bands = ", ".join(
+        "'%d#' || md5(m%d || '|' || m%d)" % (b, 2 * b, 2 * b + 1)
+        for b in range(4)
+    )
+    return (
+        _CORPUS_SQL
+        + f"""
+        , tok AS (SELECT doc_id, {_DUCK_WORDS} AS w FROM corpus),
+        sh AS (SELECT doc_id,
+                 list_transform(range(1, len(w) - 1),
+                   i -> array_to_string(list_slice(w, i, i + 2), ' ')) AS sh
+               FROM tok WHERE len(w) >= 3),
+        sig AS (SELECT doc_id, {mins} FROM sh WHERE len(sh) > 0),
+        bands AS (SELECT doc_id, unnest([{bands}]) AS bk FROM sig)
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bands a JOIN bands b
+          ON a.bk = b.bk AND a.doc_id < b.doc_id
+        """
+    )
+
+
+def _duck_simhash_sql() -> str:
+    bits = " || ".join(
+        "(CASE WHEN list_aggregate(list_transform(w, t -> CASE WHEN "
+        "substr(md5(t), %d, 1) >= '8' THEN 1 ELSE -1 END), 'sum') >= 0 "
+        "THEN '1' ELSE '0' END)" % (j + 1)
+        for j in range(16)
+    )
+    return (
+        _CORPUS_SQL
+        + f"""
+        SELECT doc_id, {bits} AS simhash
+        FROM (SELECT doc_id, {_DUCK_WORDS} AS w FROM corpus)
+        """
+    )
+
+
+_DUCK_DOT = (
+    "list_aggregate(list_transform(range(1, 65), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), 'sum')"
+)
+
+
+def _duck_lang_sql() -> str:
+    def hits(words: tuple[str, ...]) -> str:
+        lits = ", ".join(f"'{s}'" for s in words)
+        return f"len(list_filter(w, x -> list_contains([{lits}], x)))"
+
+    en = hits(T.LANG_STOPWORDS["en"])
+    pt = hits(T.LANG_STOPWORDS["pt"])
+    es = hits(T.LANG_STOPWORDS["es"])
+    return f"""
+        SELECT lang, predicted, COUNT(*) AS cnt FROM (
+          SELECT lang,
+            CASE WHEN h_en >= h_pt AND h_en >= h_es AND h_en > 0 THEN 'en'
+                 WHEN h_pt >= h_es AND h_pt > 0 THEN 'pt'
+                 WHEN h_es > 0 THEN 'es'
+                 ELSE 'unk' END AS predicted
+          FROM (SELECT lang, {en} AS h_en, {pt} AS h_pt, {es} AS h_es
+                FROM (SELECT lang, {_DUCK_WORDS} AS w FROM documents)))
+        GROUP BY lang, predicted
+    """
+
+
+def _duck_quality_sql() -> str:
+    en = ", ".join(f"'{s}'" for s in T.LANG_STOPWORDS["en"])
+    return f"""
+        SELECT doc_id, n_tok_ws, n_tok_bpe,
+               ROUND(pr, 6) AS punct_ratio,
+               ROUND((LEAST(CAST(n AS DOUBLE) / 500.0, 1.0)
+                      + (CASE WHEN pr <= 0.2 THEN 1.0
+                              ELSE GREATEST(0.0, 1.0 - (pr - 0.2) * 2) END)
+                      + LEAST((CASE WHEN n_tok_ws > 0
+                               THEN CAST(sw AS DOUBLE) / n_tok_ws
+                               ELSE 0.0 END) * 4, 1.0)) / 3, 6) AS quality
+        FROM (
+          SELECT doc_id,
+                 len(w) AS n_tok_ws,
+                 len(regexp_extract_all(text,
+                     '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tok_bpe,
+                 LENGTH(text) AS n,
+                 CASE WHEN LENGTH(text) > 0
+                      THEN CAST(LENGTH(text) - LENGTH(regexp_replace(text,
+                           '[.,;:!?]', '', 'g')) AS DOUBLE) / LENGTH(text)
+                      ELSE 0.0 END AS pr,
+                 len(list_filter(w, x -> list_contains([{en}], x))) AS sw
+          FROM (SELECT doc_id, text, {_DUCK_WORDS} AS w FROM documents))
+    """
+
+
+_ORACLE_B2: dict[str, str] = {
+    "dedup_exact": _CORPUS_SQL
+    + """
+        SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+               MIN(doc_id) AS survivor_id, COUNT(*) AS copies
+        FROM corpus GROUP BY fp
+    """,
+    "dedup_minhash_lsh": _duck_minhash_sql(),
+    "dedup_simhash": _duck_simhash_sql(),
+    "dedup_ngram_jaccard": _CORPUS_SQL
+    + f"""
+        , tok AS (SELECT doc_id, source,
+                    list_distinct({_DUCK_WORDS}) AS ws FROM corpus)
+        SELECT a_id, b_id, jaccard FROM (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                 ROUND(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+                       / len(list_distinct(list_concat(a.ws, b.ws))), 6)
+                   AS jaccard
+          FROM tok a JOIN tok b
+            ON a.source = b.source AND a.doc_id < b.doc_id)
+        WHERE jaccard >= 0.6
+    """,
+    "similarity_topk": f"""
+        WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                   WHERE vec_id < 10),
+             c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+                   WHERE vec_id >= 10),
+             s AS (SELECT qid, cid,
+                     {_DUCK_DOT.format(a="qe", b="ce")}
+                     / (sqrt({_DUCK_DOT.format(a="qe", b="qe")})
+                        * sqrt({_DUCK_DOT.format(a="ce", b="ce")})) AS sim
+                   FROM q, c)
+        SELECT qid, cid, CAST(rnk AS INT) AS rnk FROM (
+          SELECT qid, cid, ROW_NUMBER() OVER (
+            PARTITION BY qid ORDER BY sim DESC, cid) AS rnk FROM s)
+        WHERE rnk <= 3
+    """,
+    "similarity_lsh_buckets": """
+        SELECT bucket, COUNT(*) AS cnt FROM (
+          SELECT (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END)
+              || (CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END)
+              || (CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END)
+              || (CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END)
+              || (CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END)
+              || (CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END)
+              || (CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END)
+              || (CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bucket
+          FROM embeddings)
+        GROUP BY bucket
+    """,
+    "lang_id": _duck_lang_sql(),
+    "quality_scores": _duck_quality_sql(),
+    "doc_fingerprints": """
+        SELECT doc_id,
+               md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+        FROM documents
+    """,
+    "tumbling_window": """
+        SELECT date_trunc('hour', ts) AS win_start, event_type,
+               COUNT(*) AS cnt, ROUND(SUM(value), 4) AS val_sum
+        FROM events GROUP BY win_start, event_type
+    """,
+    "distinct_parts": """
+        SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd_parts,
+               COUNT(*) AS cnt
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "rollup_counts": """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               COUNT(*) AS cnt
+        FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+}
+
+_Q_B2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "similarity_topk": q_similarity_topk,
+    "similarity_lsh_buckets": q_similarity_lsh_buckets,
+    "lang_id": q_lang_id,
+    "quality_scores": q_quality_scores,
+    "doc_fingerprints": q_doc_fingerprints,
+    "tumbling_window": q_tumbling_window,
+    "distinct_parts": q_distinct_parts,
+    "rollup_counts": q_rollup_counts,
+}
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -412,6 +824,7 @@ _Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "detail_join": q_detail_join,
     "crawl_metrics": q_crawl_metrics,
 }
+_Q.update(_Q_B2)
 
 _ORACLE: dict[str, str] = {
     "pricing_summary": """
@@ -577,6 +990,7 @@ _ORACLE: dict[str, str] = {
         GROUP BY host, state
     """,
 }
+_ORACLE.update(_ORACLE_B2)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -55,13 +55,16 @@ def minhash_sig(shingles: Column, num_hashes: int) -> Column:
     *lexicographic over the hex string*, which is uniform and — unlike
     integer-parsed variants — bit-identical across engines.
     """
+    # NB: the per-i hash fn must be a single-arg callable — PySpark treats
+    # a two-parameter lambda (even `i=i` defaults) as an (element, index)
+    # lambda, which would silently swap the seed for the array position.
+    def hash_fn(i: int):
+        suffix = F.lit(f":{i}")
+        return lambda s: F.md5(F.concat(s, suffix))
+
     return F.array(
         *[
-            F.array_min(
-                F.transform(
-                    shingles, lambda s, i=i: F.md5(F.concat(s, F.lit(f":{i}")))
-                )
-            )
+            F.array_min(F.transform(shingles, hash_fn(i)))
             for i in range(num_hashes)
         ]
     )
@@ -95,14 +98,15 @@ def simhash16(text: Column) -> Column:
     oracle parity.
     """
     w = words(text)
+
+    def vote_fn(j: int):
+        return lambda acc, t: acc + F.when(
+            F.substring(F.md5(t), j + 1, 1) >= F.lit("8"), 1
+        ).otherwise(-1)
+
     bits = []
     for j in range(16):
-        vote = F.aggregate(
-            w,
-            F.lit(0),
-            lambda acc, t, j=j: acc
-            + F.when(F.substring(F.md5(t), j + 1, 1) >= F.lit("8"), 1).otherwise(-1),
-        )
+        vote = F.aggregate(w, F.lit(0), vote_fn(j))
         bits.append(F.when(vote >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
 
