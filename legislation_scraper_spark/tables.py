@@ -1,0 +1,170 @@
+"""Snapshot-versioned table store — Iceberg semantics over parquet.
+
+The north rule requires Iceberg tables (atomic snapshot-per-crawl-round,
+time travel for resume, per-partition lineage + metrics).  The sandbox
+has no Iceberg runtime jar and no network, so this module provides a
+minimal, swappable stand-in with the same *semantics*:
+
+- every commit (append or overwrite) writes new parquet files under a
+  unique directory, then atomically publishes a JSON manifest listing
+  the table's live file-sets (``os.rename`` is atomic on POSIX);
+- readers resolve the latest (or any historical) manifest → snapshot
+  isolation and time travel;
+- each manifest carries per-partition row-count lineage and free-form
+  metrics, mirroring Iceberg snapshot summaries.
+
+On a real cluster, ``Catalog`` is replaced by ``spark.table`` /
+``df.writeTo(...).append()`` against an Iceberg catalog — the engine
+code only touches the four methods below, so the swap is one class.
+All data stays distributed: manifests hold file paths and small count
+maps, never rows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _atomic_write_json(path: str, payload: dict) -> None:
+    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+    os.rename(tmp, path)
+
+
+@dataclass
+class Snapshot:
+    version: int
+    file_sets: list[str]
+    lineage: dict[str, Any]
+    metrics: dict[str, Any]
+
+
+class Table:
+    """One snapshot-versioned table."""
+
+    def __init__(self, spark: SparkSession, root: str, name: str):
+        self.spark = spark
+        self.name = name
+        self.dir = os.path.join(root, name)
+        self.snap_dir = os.path.join(self.dir, "snapshots")
+        self.data_dir = os.path.join(self.dir, "data")
+        os.makedirs(self.snap_dir, exist_ok=True)
+        os.makedirs(self.data_dir, exist_ok=True)
+
+    # -- snapshot resolution -------------------------------------------------
+
+    def versions(self) -> list[int]:
+        return sorted(
+            int(f[1:6])
+            for f in os.listdir(self.snap_dir)
+            if f.endswith(".json") and f.startswith("v")
+        )
+
+    def current_version(self) -> int:
+        vs = self.versions()
+        return vs[-1] if vs else 0
+
+    def snapshot(self, version: int | None = None) -> Snapshot | None:
+        v = self.current_version() if version is None else version
+        if v == 0:
+            return None
+        with open(os.path.join(self.snap_dir, f"v{v:05d}.json")) as f:
+            d = json.load(f)
+        return Snapshot(d["version"], d["file_sets"], d["lineage"], d["metrics"])
+
+    # -- read ----------------------------------------------------------------
+
+    def read(self, version: int | None = None) -> DataFrame | None:
+        """DataFrame over the snapshot's file sets; None if table empty."""
+        snap = self.snapshot(version)
+        if snap is None or not snap.file_sets:
+            return None
+        return self.spark.read.parquet(*snap.file_sets)
+
+    # -- write ---------------------------------------------------------------
+
+    def _commit(
+        self,
+        df: DataFrame,
+        mode: str,
+        partition_cols: list[str] | None,
+        metrics: dict[str, Any] | None,
+    ) -> int:
+        new_set = os.path.join(self.data_dir, uuid.uuid4().hex)
+        writer = df.write.mode("overwrite")
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        writer.parquet(new_set)
+        # per-partition lineage for THIS commit (small: one row per
+        # partition value; stays an aggregate, not data, on the driver)
+        if partition_cols:
+            lin_rows = (
+                self.spark.read.parquet(new_set)
+                .groupBy(*partition_cols)
+                .agg(F.count("*").alias("rows"))
+                .collect()
+            )
+            lineage = {
+                "|".join(str(r[c]) for c in partition_cols): r["rows"]
+                for r in lin_rows
+            }
+        else:
+            lineage = {"__all__": self.spark.read.parquet(new_set).count()}
+        prev = self.snapshot()
+        if mode == "append" and prev is not None:
+            file_sets = prev.file_sets + [new_set]
+        else:
+            file_sets = [new_set]
+        v = self.current_version() + 1
+        _atomic_write_json(
+            os.path.join(self.snap_dir, f"v{v:05d}.json"),
+            {
+                "version": v,
+                "file_sets": file_sets,
+                "lineage": lineage,
+                "metrics": metrics or {},
+            },
+        )
+        return v
+
+    def append(
+        self,
+        df: DataFrame,
+        partition_cols: list[str] | None = None,
+        metrics: dict[str, Any] | None = None,
+    ) -> int:
+        return self._commit(df, "append", partition_cols, metrics)
+
+    def overwrite(
+        self,
+        df: DataFrame,
+        partition_cols: list[str] | None = None,
+        metrics: dict[str, Any] | None = None,
+    ) -> int:
+        return self._commit(df, "overwrite", partition_cols, metrics)
+
+    def rollback(self, version: int) -> None:
+        """Drop snapshots after ``version`` (time-travel restart)."""
+        for v in self.versions():
+            if v > version:
+                os.remove(os.path.join(self.snap_dir, f"v{v:05d}.json"))
+
+
+class Catalog:
+    """Directory of snapshot tables (one crawl-store root)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def table(self, name: str) -> Table:
+        return Table(self.spark, self.root, name)
