@@ -1,0 +1,68 @@
+"""Per-host politeness scheduler: robots gate + window-ranked budgets.
+
+The reference throttles with per-site thread pools and sleeps
+(/root/reference/main.py:65,108; base/scraper.py:245-249;
+parana.py:457-459) and refuses robots-disallowed hosts (main.py:3).
+Spark-first equivalents:
+
+- robots is a tiny dimension → **broadcast join**; disallowed hosts are
+  filtered before any fetch work is scheduled.
+- the per-host budget is a **window rank**: ``row_number() over
+  (partition by host order by priority, discovered_round, canon_url)
+  <= max_parallel`` — at most k URLs per host per crawl round, with a
+  total order that is reproducible under any parallelism (the crawl-
+  ordering parity contract, SURVEY.md §7(b)).
+- host skew (one mega-host) would make both the rank's shuffle and the
+  fetch stage lopsided → **salted repartition** for the fetch stage
+  (functions/urls.salted_host); the budget was already enforced by the
+  rank, so salting is purely load-balancing.  AQE's skew-join handling
+  covers the joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.urls import salted_host
+
+ORDER_COLS = ("priority", "discovered_round", "canon_url")
+
+
+def apply_robots(candidates: DataFrame, robots: DataFrame) -> DataFrame:
+    """Broadcast-join robots rules; drop disallowed hosts; attach budget."""
+    r = robots.select("host", "allow", "crawl_delay_ms", "max_parallel")
+    return (
+        candidates.join(F.broadcast(r), "host", "left")
+        .filter(F.coalesce(F.col("allow"), F.lit(True)))
+        .withColumn("budget", F.coalesce(F.col("max_parallel"), F.lit(4)))
+        .drop("allow", "max_parallel")
+    )
+
+
+def rank_per_host(candidates: DataFrame) -> DataFrame:
+    """Deterministic per-host ranking by (priority, discovery, url)."""
+    w = Window.partitionBy("host").orderBy(
+        *[F.asc(c) for c in ORDER_COLS]
+    )
+    return candidates.withColumn("host_rank", F.row_number().over(w))
+
+
+def select_budget(ranked: DataFrame) -> DataFrame:
+    """Keep at most `budget` URLs per host this round."""
+    return ranked.filter(F.col("host_rank") <= F.col("budget"))
+
+
+def schedule_round(
+    candidates: DataFrame,
+    robots: DataFrame,
+    salt_buckets: int = 8,
+    fetch_partitions: int | None = None,
+) -> DataFrame:
+    """Full politeness pass: robots gate → rank → budget → salted
+    repartition for the fetch stage."""
+    sel = select_budget(rank_per_host(apply_robots(candidates, robots)))
+    key = salted_host(F.col("host"), F.col("canon_url"), salt_buckets)
+    if fetch_partitions:
+        return sel.repartition(fetch_partitions, key)
+    return sel.repartition(key)

@@ -1,0 +1,204 @@
+"""URL-seen set: partitioned Bloom pre-filter + exact anti-join.
+
+The reference has no online dedup — it re-enumerates everything and
+deduplicates at dataset-build time (/root/reference/src/datasets/
+build_dataset.py:204).  At 10^10 frontier URLs that is not an option:
+the seen set must be probed every crawl round.
+
+Two-tier design (north rule: "partitioned bloom/cuckoo-filter URL-seen
+set keyed by canonicalized URL hash"):
+
+1. **Partitioned Bloom pre-filter** — the seen table is sharded by
+   ``pmod(url_hash, n_shards)``; each shard materializes a Bloom bitmap
+   (numpy, built in ``applyInPandas`` — one pass, no driver rows).
+   Candidates probe only their shard's bitmap.  A Bloom *miss* proves
+   the URL is new (no false negatives) — those rows skip the expensive
+   exact join entirely.  At steady state most frontier candidates are
+   duplicates of already-seen URLs, so the pre-filter eliminates the
+   bulk of the anti-join's probe side.
+2. **Exact anti-join backstop** — Bloom *hits* (possible false
+   positives) are verified with a ``left_anti`` join against the exact
+   seen table on ``(shard, url_hash, url)``.  Correctness never depends
+   on the filter (tests/test_seen.py property-checks this).
+
+Scale notes: shard bitmaps are sized from expected keys/shard and the
+target FPP; at 10^10 URLs with 4096 shards and 1% FPP each shard bitmap
+is ~2.9 MB — executor-cacheable, and only the shards present in the
+candidate batch are shuffled to the probe side.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.urls import canonicalize_url, url_hash
+
+
+def with_url_key(df: DataFrame, url_col: str = "url", n_shards: int = 64) -> DataFrame:
+    """Attach canonical url, 64-bit key, and shard columns."""
+    c = F.col(url_col)
+    return (
+        df.withColumn("canon_url", canonicalize_url(c))
+        .withColumn("url_hash", url_hash(c))
+        .withColumn("shard", F.pmod(F.col("url_hash"), F.lit(n_shards)).cast("int"))
+    )
+
+
+# --- Bloom bitmap construction (per shard, executor-side) -------------------
+
+_HASH_SPLIT = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _bloom_positions(hashes: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """k positions per key via double hashing h1 + i*h2 (Kirsch-
+    Mitzenmacher); hashes is uint64 view of xxhash64 keys."""
+    h1 = hashes
+    h2 = (hashes ^ _HASH_SPLIT) * np.uint64(0xFF51AFD7ED558CCD) | np.uint64(1)
+    pos = np.empty((k, len(hashes)), dtype=np.uint64)
+    for i in range(k):
+        pos[i] = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+    return pos
+
+
+def _build_bitmap(hashes: np.ndarray, m_bits: int, k: int) -> bytes:
+    bits = np.zeros((m_bits + 7) // 8, dtype=np.uint8)
+    pos = _bloom_positions(hashes, m_bits, k).ravel()
+    np.bitwise_or.at(bits, (pos // 8).astype(np.int64), (1 << (pos % 8)).astype(np.uint8))
+    return bits.tobytes()
+
+
+def _probe_bitmap(bitmap: bytes, hashes: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    bits = np.frombuffer(bitmap, dtype=np.uint8)
+    pos = _bloom_positions(hashes, m_bits, k)
+    hit = np.ones(len(hashes), dtype=bool)
+    for i in range(k):
+        byte = bits[(pos[i] // 8).astype(np.int64)]
+        hit &= (byte & (1 << (pos[i] % 8)).astype(np.uint8)) != 0
+    return hit
+
+
+@dataclass
+class BloomParams:
+    m_bits: int
+    k: int
+
+    @staticmethod
+    def for_capacity(expected_keys: int, fpp: float = 0.01) -> "BloomParams":
+        n = max(expected_keys, 1)
+        m = max(64, int(-n * math.log(fpp) / (math.log(2) ** 2)))
+        k = max(1, round(m / n * math.log(2)))
+        return BloomParams(m_bits=m, k=k)
+
+
+def build_bloom_shards(
+    seen: DataFrame, params: BloomParams, n_shards: int = 64
+) -> DataFrame:
+    """(shard, bitmap) rows — one Bloom bitmap per shard of the seen set.
+
+    ``seen`` must carry ``shard`` and ``url_hash`` (see with_url_key).
+    """
+    m_bits, k = params.m_bits, params.k
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        h = pdf["url_hash"].to_numpy().astype(np.int64).view(np.uint64)
+        return pd.DataFrame(
+            {
+                "shard": [int(pdf["shard"].iloc[0])],
+                "bitmap": [_build_bitmap(h, m_bits, k)],
+                "n_keys": [len(h)],
+            }
+        )
+
+    return (
+        seen.select("shard", "url_hash")
+        .groupBy("shard")
+        .applyInPandas(build, schema="shard int, bitmap binary, n_keys long")
+    )
+
+
+def bloom_probe(
+    candidates: DataFrame,
+    bloom_shards: DataFrame,
+    params: BloomParams,
+) -> DataFrame:
+    """Adds ``maybe_seen`` to candidates: False ⇒ provably unseen.
+
+    Joins each candidate partition with its shard bitmap (broadcast —
+    bitmaps are small and few), probes vectorized in numpy.
+    """
+    m_bits, k = params.m_bits, params.k
+    joined = candidates.join(F.broadcast(bloom_shards), "shard", "left")
+
+    def probe(batches):
+        for pdf in batches:
+            out = pdf.drop(columns=["bitmap", "n_keys"])
+            maybe = np.zeros(len(pdf), dtype=bool)
+            if len(pdf):
+                h = pdf["url_hash"].to_numpy().astype(np.int64).view(np.uint64)
+                for _, idx in pdf.groupby("shard").indices.items():
+                    bm = pdf["bitmap"].iloc[idx[0]]
+                    if bm is None:
+                        continue  # shard has no bitmap → nothing seen there
+                    maybe[idx] = _probe_bitmap(bytes(bm), h[idx], m_bits, k)
+            out["maybe_seen"] = maybe
+            yield out
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in joined.schema.fields
+        if f.name not in ("bitmap", "n_keys")
+    ) + ", maybe_seen boolean"
+    return joined.mapInPandas(probe, schema=schema)
+
+
+class SeenSet:
+    """Exact seen table + Bloom pre-filter, snapshot-backed."""
+
+    def __init__(self, table, n_shards: int = 64, fpp: float = 0.01):
+        self.table = table  # tables.Table with (shard, url_hash, canon_url)
+        self.n_shards = n_shards
+        self.fpp = fpp
+
+    def df(self) -> DataFrame | None:
+        return self.table.read()
+
+    def add(self, urls: DataFrame, url_col: str = "url") -> None:
+        """Record URLs as seen (idempotent via downstream anti-joins)."""
+        keyed = with_url_key(urls.select(url_col), url_col, self.n_shards)
+        self.table.append(
+            keyed.select("shard", "url_hash", "canon_url").distinct()
+        )
+
+    def filter_unseen(
+        self, candidates: DataFrame, url_col: str = "url"
+    ) -> DataFrame:
+        """Rows of ``candidates`` whose URL is not in the seen set.
+
+        Bloom pre-filter first (provably-new rows bypass the join),
+        exact left_anti verification for the maybe-seen remainder.
+        """
+        cand = with_url_key(candidates, url_col, self.n_shards)
+        seen = self.df()
+        if seen is None:
+            return cand
+        # row count from snapshot lineage — no extra Spark job
+        n_seen = self.table.approx_rows()
+        params = BloomParams.for_capacity(
+            max(n_seen // self.n_shards, 1), self.fpp
+        )
+        shards = build_bloom_shards(seen, params, self.n_shards)
+        probed = bloom_probe(cand, shards, params)
+        surely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+        maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+        verified_new = maybe.join(
+            seen.select("shard", "url_hash", "canon_url"),
+            ["shard", "url_hash", "canon_url"],
+            "left_anti",
+        )
+        return surely_new.unionByName(verified_new)

@@ -1,0 +1,327 @@
+"""The crawl engine: iterative frontier expansion over snapshot tables.
+
+Replaces the reference's whole runtime (thread pools + queues + saver
+thread, /root/reference/src/scraper/base/scraper.py:458-493,
+database/saver.py:63-87) with a Spark-first incremental-batch loop
+(SURVEY.md §3 "Spark rebuild lifecycle"):
+
+  round r:
+    pending    = frontier_log ⟂ seen          (bloom pre-filter + anti-join)
+    selected   = robots ⋈ pending → window rank ≤ budget → salted repartition
+    results    = fetch(selected)               (mapInPandas transport)
+    pages     += extract_doc(fetched docs)     (Arrow UDF, byte-parity)
+    frontier  += extract_links(fetched search) (new URLs, depth+1)
+    errors    += failures (fetch + parse)
+    seen      += every attempted URL
+    crawl_log += (round, host, host_rank, url) (ordering contract)
+    catalog.save_checkpoint(r, {table: version})   ← atomic multi-table commit
+
+Tables are append-only logs; "state" (FIXTURES.md §3 pending/fetched/
+error) is derived: pending = discovered ∖ attempted.  This is the
+merge-on-read pattern — no per-round rewrite of a 10^10-row frontier,
+just appends plus the anti-join at read time (Iceberg MERGE/compaction
+would periodically fold the log at scale).
+
+Shuffle budget per round (SURVEY.md §4): the seen anti-join, the
+politeness window rank, and the salted repartition — three shuffles,
+all on politeness-bounded row counts (≤ Σ budgets), NOT on the full
+frontier; the frontier-side work is a partition-pruned scan + bloom
+probe.
+
+Crawl-ordering contract: selection order is fully determined by
+(priority, discovered_round, canon_url) per host — reproducible under
+any parallelism and verified against the straight-line simulator
+(plans/simulator.py) by tests/test_crawl_order.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import politeness
+from ..operators.extract import extract_doc, extract_links
+from ..operators.fetch import FetchPolicy, fetch
+from ..operators.seen import SeenSet, with_url_key
+from ..tables import Catalog
+
+FRONTIER_COLS = (
+    "url", "canon_url", "url_hash", "shard", "host", "source",
+    "priority", "depth", "discovered_round",
+)
+
+
+@dataclass
+class CrawlConfig:
+    n_shards: int = 64
+    bloom_fpp: float = 0.01
+    salt_buckets: int = 8
+    fetch_partitions: int = 16
+    pages_partition_cols: tuple = ("type", "situation")
+    policy: FetchPolicy = field(default_factory=FetchPolicy)
+    search_marker: str = "/busca"  # URL shape that dispatches link parsing
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog: Catalog,
+        pages_raw: DataFrame,
+        seeds: DataFrame,
+        robots: DataFrame,
+        config: CrawlConfig | None = None,
+    ):
+        self.spark = spark
+        self.catalog = catalog
+        self.pages_raw = pages_raw
+        self.seeds = seeds
+        self.robots = robots
+        self.cfg = config or CrawlConfig()
+        self.frontier = catalog.table("frontier_log")
+        self.pages = catalog.table("pages")
+        self.errors = catalog.table("fetch_errors")
+        self.visited = catalog.table("visited")
+        self.crawl_log = catalog.table("crawl_log")
+        self.seen = SeenSet(
+            catalog.table("seen"), self.cfg.n_shards, self.cfg.bloom_fpp
+        )
+
+    # -- lifecycle ------------------------------------------------------------
+
+    def bootstrap(self) -> None:
+        """Seed the frontier (round 0 checkpoint). Idempotent."""
+        if self.catalog.checkpoints():
+            return
+        f = with_url_key(
+            self.seeds.select(
+                F.col("seed_url").alias("url"),
+                F.regexp_extract("seed_url", r"https?://([^/]+)", 1).alias("host"),
+                "source",
+                "priority",
+            ),
+            "url",
+            self.cfg.n_shards,
+        ).select(
+            "url", "canon_url", "url_hash", "shard", "host", "source",
+            "priority",
+            F.lit(0).alias("depth"),
+            F.lit(0).alias("discovered_round"),
+        )
+        v = self.frontier.append(f)
+        self.catalog.save_checkpoint(0, {"frontier_log": v})
+
+    def resume(self) -> int:
+        """Roll all tables back to the last complete round; return it."""
+        tag = self.catalog.restore_last_checkpoint()
+        if tag is None:
+            self.bootstrap()
+            return 0
+        return tag
+
+    # -- one crawl round --------------------------------------------------------
+
+    def pending(self) -> DataFrame | None:
+        """Discovered ∖ attempted, deduped to one row per canonical URL
+        (earliest discovery wins — deterministic)."""
+        log = self.frontier.read()
+        if log is None:
+            return None
+        best = log.groupBy("canon_url").agg(
+            F.min(
+                F.struct(
+                    "priority", "discovered_round", "depth", "url",
+                    "url_hash", "shard", "host", "source",
+                )
+            ).alias("b")
+        ).select(
+            F.col("b.url").alias("url"),
+            "canon_url",
+            F.col("b.url_hash").alias("url_hash"),
+            F.col("b.shard").alias("shard"),
+            F.col("b.host").alias("host"),
+            F.col("b.source").alias("source"),
+            F.col("b.priority").alias("priority"),
+            F.col("b.depth").alias("depth"),
+            F.col("b.discovered_round").alias("discovered_round"),
+        )
+        return self.seen.filter_unseen(best, "canon_url")
+
+    def _maintain(self) -> None:
+        """Compact many-commit tables (Iceberg rewrite_data_files
+        analogue) so read fan-in stays bounded as rounds accumulate."""
+        for t in (self.frontier, self.seen.table, self.visited):
+            snap = t.snapshot()
+            if snap and len(snap.file_sets) > 12:
+                t.compact()
+
+    def round(self, r: int) -> dict:
+        """Execute crawl round ``r``; returns the round's metrics."""
+        self._maintain()
+        pending = self.pending()
+        metrics = {"round": r, "selected": 0, "fetched": 0, "errors": 0,
+                   "new_urls": 0, "pages": 0}
+        if pending is None:
+            return metrics
+        selected = politeness.schedule_round(
+            pending, self.robots, self.cfg.salt_buckets,
+            self.cfg.fetch_partitions,
+        )
+        results = fetch(selected, self.pages_raw, self.cfg.policy).cache()
+        n_sel = results.count()
+        if n_sel == 0:
+            results.unpersist()
+            return metrics
+
+        versions: dict[str, int] = {}
+        fetched = results.filter(F.col("fetched"))
+        is_search = F.col("canon_url").contains(self.cfg.search_marker)
+
+        # --- extract documents → pages (+ parse errors) ---
+        doc_rec = (
+            fetched.filter(~is_search)
+            .withColumn("rec", extract_doc("body"))
+        ).cache()
+        good = doc_rec.filter(~F.col("rec.is_error"))
+        n_pages = good.count()
+        pages_df = good.select(
+            F.col("canon_url").alias("document_url"),
+            "source",
+            F.col("rec.title").alias("title"),
+            F.col("rec.year").alias("year"),
+            F.col("rec.type").alias("type"),
+            F.col("rec.situation").alias("situation"),
+            F.col("rec.summary").alias("summary"),
+            F.col("rec.text").alias("text_markdown"),
+            F.lit(r).alias("fetched_round"),
+        )
+        if n_pages:
+            versions["pages"] = self.pages.append(
+                pages_df,
+                partition_cols=list(self.cfg.pages_partition_cols),
+                metrics={"round": r},
+            )
+
+        # --- error routing: transport failures + parse errors ---
+        err_df = results.filter(~F.col("fetched")).select(
+            "canon_url", "host", "source",
+            F.lit(r).alias("round"), "status", "attempts",
+            F.col("fetch_error").alias("error"),
+        ).unionByName(
+            doc_rec.filter(F.col("rec.is_error")).select(
+                "canon_url", "host", "source",
+                F.lit(r).alias("round"), "status", "attempts",
+                F.lit("parse error / empty document").alias("error"),
+            )
+        ).cache()
+        n_err = err_df.count()
+        if n_err:
+            versions["fetch_errors"] = self.errors.append(err_df)
+
+        # --- link discovery → frontier append ---
+        links = (
+            fetched.filter(is_search)
+            .withColumn("l", extract_links("body"))
+            .select(
+                "host", "source", "priority", "depth", "discovered_round",
+                F.explode(
+                    F.concat(
+                        F.col("l.doc_links"),
+                        F.when(
+                            F.col("l.next_link").isNotNull(),
+                            F.array(F.col("l.next_link")),
+                        ).otherwise(F.array().cast("array<string>")),
+                    )
+                ).alias("url"),
+            )
+        )
+        new_front = with_url_key(
+            links.select(
+                "url", "host", "source", "priority",
+                (F.col("depth") + 1).alias("depth"),
+                F.lit(r + 1).alias("discovered_round"),
+            ),
+            "url",
+            self.cfg.n_shards,
+        ).select(*FRONTIER_COLS).distinct()
+        n_new = new_front.count()
+        if n_new:
+            versions["frontier_log"] = self.frontier.append(new_front)
+
+        # --- mark attempted as seen; visited detail; ordering log ---
+        self.seen.add(results.select("canon_url"), "canon_url")
+        versions["seen"] = self.seen.table.current_version()
+        versions["visited"] = self.visited.append(
+            results.select(
+                "canon_url", "host", "source",
+                F.lit(r).alias("round"), "status", "attempts",
+                F.when(F.col("fetched"), F.lit("fetched"))
+                .otherwise(F.lit("error"))
+                .alias("state"),
+            )
+        )
+        versions["crawl_log"] = self.crawl_log.append(
+            results.select(
+                F.lit(r).alias("round"), "host", "host_rank",
+                "canon_url", "priority", "fetched",
+            )
+        )
+
+        metrics.update(
+            selected=n_sel,
+            fetched=int(fetched.count()),
+            errors=n_err,
+            new_urls=n_new,
+            pages=n_pages,
+        )
+        self.catalog.save_checkpoint(r + 1, versions, metrics)
+        results.unpersist()
+        doc_rec.unpersist()
+        err_df.unpersist()
+        return metrics
+
+    def run(self, max_rounds: int = 100) -> list[dict]:
+        """Crawl until the frontier drains (or max_rounds)."""
+        self.bootstrap()
+        start = self.resume()
+        out = []
+        for r in range(start, start + max_rounds):
+            m = self.round(r)
+            out.append(m)
+            if m["selected"] == 0:
+                break
+        return out
+
+    # -- state views -----------------------------------------------------------
+
+    def frontier_state(self) -> DataFrame | None:
+        """FIXTURES.md §3 view: every discovered URL with its state."""
+        log = self.frontier.read()
+        if log is None:
+            return None
+        best = log.groupBy("canon_url").agg(
+            F.min(F.struct("priority", "discovered_round", "depth", "url",
+                           "host", "source")).alias("b")
+        )
+        v = self.visited.read()
+        if v is None:
+            return best.select(
+                F.col("b.url").alias("url"), "canon_url",
+                F.col("b.host").alias("host"),
+                F.col("b.source").alias("source"),
+                F.col("b.priority").alias("priority"),
+                F.col("b.depth").alias("depth"),
+                F.lit("pending").alias("state"),
+            )
+        return best.join(
+            v.select("canon_url", "state"), "canon_url", "left"
+        ).select(
+            F.col("b.url").alias("url"), "canon_url",
+            F.col("b.host").alias("host"),
+            F.col("b.source").alias("source"),
+            F.col("b.priority").alias("priority"),
+            F.col("b.depth").alias("depth"),
+            F.coalesce("state", F.lit("pending")).alias("state"),
+        )

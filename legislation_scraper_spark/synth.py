@@ -326,6 +326,7 @@ def synth_world(
     skew: int = 10,
     n_sources: int = len(SOURCES),
     partitions: int = 32,
+    budget_base: int = 2,
 ) -> dict[str, DataFrame]:
     """pages_raw (input_hint schema), golden_meta, seeds, robots."""
     docs = synth_docs(
@@ -368,7 +369,7 @@ def synth_world(
                 host_of(s),
                 s != DISALLOWED_SOURCE,
                 1000 + (idx % 5) * 500,
-                2 + (idx * 3) % 7,
+                budget_base + (idx * 3) % 7,
             )
             for idx, s in enumerate(srcs)
         ],

@@ -83,11 +83,21 @@ class Table:
     # -- read ----------------------------------------------------------------
 
     def read(self, version: int | None = None) -> DataFrame | None:
-        """DataFrame over the snapshot's file sets; None if table empty."""
+        """DataFrame over the snapshot's file sets; None if table empty.
+
+        Each commit's file set is its own partitioned parquet root, so
+        multi-commit snapshots are unioned by name (Spark refuses mixed
+        partition roots in one scan).  Partition pruning still applies
+        within each set; Iceberg would give a single pruned scan.
+        """
         snap = self.snapshot(version)
         if snap is None or not snap.file_sets:
             return None
-        return self.spark.read.parquet(*snap.file_sets)
+        dfs = [self.spark.read.parquet(p) for p in snap.file_sets]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d, allowMissingColumns=True)
+        return out
 
     # -- write ---------------------------------------------------------------
 
@@ -151,6 +161,36 @@ class Table:
     ) -> int:
         return self._commit(df, "overwrite", partition_cols, metrics)
 
+    def approx_rows(self, version: int | None = None) -> int:
+        """Row count from manifest lineage (no Spark job).
+
+        Exact for append-only tables (sums every commit's lineage);
+        equals the live count because appends never delete rows.
+        """
+        snap = self.snapshot(version)
+        if snap is None:
+            return 0
+        total = 0
+        live = set(snap.file_sets)
+        for v in self.versions():
+            if v > snap.version:
+                break
+            s = self.snapshot(v)
+            new_sets = set(s.file_sets) - (
+                set(self.snapshot(v - 1).file_sets) if v > 1 else set()
+            )
+            if new_sets & live:
+                total += sum(s.lineage.values())
+        return total
+
+    def compact(self) -> int | None:
+        """Fold a many-commit snapshot into one file set (the Iceberg
+        rewrite_data_files maintenance action).  Semantically a no-op."""
+        snap = self.snapshot()
+        if snap is None or len(snap.file_sets) <= 1:
+            return None
+        return self.overwrite(self.read(), metrics={"compaction": True})
+
     def rollback(self, version: int) -> None:
         """Drop snapshots after ``version`` (time-travel restart)."""
         for v in self.versions():
@@ -159,12 +199,53 @@ class Table:
 
 
 class Catalog:
-    """Directory of snapshot tables (one crawl-store root)."""
+    """Directory of snapshot tables (one crawl-store root).
+
+    Also provides *multi-table checkpoints* (the Iceberg analogue is a
+    multi-table transaction / WAP tag): after a crawl round commits all
+    its tables, ``save_checkpoint`` records every table's snapshot
+    version atomically.  ``restore_last_checkpoint`` rolls every table
+    back to the last complete round, so a crash mid-round never leaves
+    a torn multi-table state — this is what makes crawls resumable with
+    exactly-once table effects (north rule: resumable from checkpoint
+    with per-partition lineage).
+    """
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
+        self.ckpt_dir = os.path.join(root, "_checkpoints")
         os.makedirs(root, exist_ok=True)
+        os.makedirs(self.ckpt_dir, exist_ok=True)
 
     def table(self, name: str) -> Table:
         return Table(self.spark, self.root, name)
+
+    def save_checkpoint(self, tag: int, versions: dict[str, int],
+                        metrics: dict[str, Any] | None = None) -> None:
+        _atomic_write_json(
+            os.path.join(self.ckpt_dir, f"c{tag:06d}.json"),
+            {"tag": tag, "versions": versions, "metrics": metrics or {}},
+        )
+
+    def checkpoints(self) -> list[int]:
+        return sorted(
+            int(f[1:7])
+            for f in os.listdir(self.ckpt_dir)
+            if f.startswith("c") and f.endswith(".json")
+        )
+
+    def load_checkpoint(self, tag: int) -> dict:
+        with open(os.path.join(self.ckpt_dir, f"c{tag:06d}.json")) as f:
+            return json.load(f)
+
+    def restore_last_checkpoint(self) -> int | None:
+        """Roll every table back to the last complete checkpoint.
+        Returns its tag, or None if no checkpoint exists."""
+        tags = self.checkpoints()
+        if not tags:
+            return None
+        ck = self.load_checkpoint(tags[-1])
+        for name, version in ck["versions"].items():
+            self.table(name).rollback(version)
+        return ck["tag"]
