@@ -156,6 +156,50 @@ LINKS_TYPE = StructType(
     ]
 )
 
+PARSE_TYPE = StructType(
+    [StructField("rec", DOC_RECORD_TYPE), StructField("l", LINKS_TYPE)]
+)
+
+_DOC_KEYS = ["title", "type", "year", "situation", "summary", "text", "is_error"]
+
+
+def make_parse_page(search_marker: str = "/busca"):
+    """Combined single-pass parser: document record OR link record per
+    row, dispatched on URL shape.  One Arrow round-trip of the body per
+    crawl round (body bytes are the dominant Python-boundary traffic)."""
+
+    @F.pandas_udf(PARSE_TYPE)
+    def parse_page(url: pd.Series, html: pd.Series) -> pd.DataFrame:
+        recs, links = [], []
+        for u, raw in zip(url, html):
+            if raw is None:
+                recs.append(None)
+                links.append(None)
+                continue
+            if search_marker in (u or ""):
+                h = (
+                    raw.decode("utf-8", errors="replace")
+                    if isinstance(raw, (bytes, bytearray))
+                    else str(raw)
+                )
+                found = _RE_RES_LINK.findall(h)
+                nxt = _RE_NEXT_LINK.search(h)
+                tot = _RE_TOTAL.search(h)
+                links.append(
+                    {
+                        "doc_links": found,
+                        "next_link": nxt.group(1) if nxt else None,
+                        "total": int(tot.group(1)) if tot else None,
+                    }
+                )
+                recs.append(None)
+            else:
+                recs.append(dict(zip(_DOC_KEYS, _extract_one(raw))))
+                links.append(None)
+        return pd.DataFrame({"rec": recs, "l": links})
+
+    return parse_page
+
 
 @F.pandas_udf(LINKS_TYPE)
 def extract_links(html: pd.Series) -> pd.DataFrame:

@@ -54,13 +54,34 @@ def md5_64(url: str) -> int:
 
 
 def resolve_against_web(selected: DataFrame, pages_raw: DataFrame) -> DataFrame:
-    """Left join the scheduled URLs to the sandbox web on canonical URL."""
+    """Left join the scheduled URLs to the sandbox web on canonical URL.
+
+    Join strategy matters at scale: ``selected`` is politeness-bounded
+    (≤ Σ per-host budgets per round) while the web table is huge, so we
+    *broadcast the selected side twice* (hit join + miss anti-join)
+    rather than let a sort-merge join shuffle every page body — the
+    body bytes then stream map-side from the scan into the parse stage
+    without ever crossing a shuffle.  At 10^10-frontier scale with
+    multi-GB rounds, the equivalent is bucketing both tables by
+    url_hash (Iceberg bucket partitioning) for a shuffle-free
+    co-located join; the broadcast form is right whenever one round's
+    selection fits the broadcast threshold.
+    """
+    sel = F.broadcast(selected)
     web = pages_raw.select(
         F.col("url").alias("canon_url"),
         F.col("html").alias("body"),
         F.col("warc_ts"),
     )
-    return selected.join(web, "canon_url", "left")
+    hits = web.join(sel, "canon_url", "inner")
+    misses = (
+        selected.join(
+            F.broadcast(web.select("canon_url")), "canon_url", "left_anti"
+        )
+        .withColumn("body", F.lit(None).cast("binary"))
+        .withColumn("warc_ts", F.lit(None).cast("timestamp"))
+    )
+    return hits.unionByName(misses.select(*hits.columns))
 
 
 _FETCH_EXTRA = (
@@ -114,11 +135,64 @@ def simulate_transport(resolved: DataFrame, policy: FetchPolicy) -> DataFrame:
     return resolved.mapInPandas(run, schema=schema)
 
 
+def transport_columns(resolved: DataFrame, policy: FetchPolicy) -> DataFrame:
+    """JVM-expression twin of :func:`simulate_transport` (identical
+    outcomes; verified by tests/test_fetch.py).
+
+    Keeps the page body OUT of the Python boundary — at bench scale the
+    extra Arrow round-trip of raw html through the transport UDF tripled
+    Python traffic and showed up as kernel-time contention.  The
+    mapInPandas variant remains the shape a real HTTP fetcher uses
+    (sessions/retries need Python); with a join-resolved sandbox web the
+    policy math is pure column arithmetic:
+    ``md5_64(url) == conv(substr(md5(url),1,16),16,10)``.
+    """
+    p = policy
+    h = F.conv(F.substring(F.md5(F.col("canon_url")), 1, 16), 16, 10).cast(
+        "decimal(20,0)"
+    )
+    has_body = F.col("body").isNotNull()
+    transient = (h % p.transient_mod == 0) & has_body
+    permanent = (h % p.permanent_mod == 3) & has_body
+    fetched = has_body & ~permanent
+    return (
+        resolved.withColumn(
+            "status",
+            F.when(~has_body, 404)
+            .when(permanent, 503)
+            .otherwise(200)
+            .cast("int"),
+        )
+        .withColumn(
+            "attempts",
+            F.when(permanent, p.max_retries)
+            .when(transient, 2)
+            .otherwise(1)
+            .cast("int"),
+        )
+        .withColumn("fetched", fetched)
+        .withColumn(
+            "fetch_error",
+            F.when(fetched, F.lit(None).cast("string"))
+            .when(has_body, F.lit("503 server error (retries exhausted)"))
+            .otherwise(F.lit("404 not found")),
+        )
+    )
+
+
 def fetch(
-    selected: DataFrame, pages_raw: DataFrame, policy: FetchPolicy | None = None
+    selected: DataFrame,
+    pages_raw: DataFrame,
+    policy: FetchPolicy | None = None,
+    transport: str = "jvm",
 ) -> DataFrame:
     """Full fetch stage: resolve → transport policy.  Returns rows with
-    body/status/attempts/fetched/fetch_error."""
-    return simulate_transport(
-        resolve_against_web(selected, pages_raw), policy or FetchPolicy()
-    )
+    body/status/attempts/fetched/fetch_error.
+
+    ``transport='jvm'`` (default): codegen column expressions.
+    ``transport='python'``: the mapInPandas executor (the real-fetcher
+    shape; same outcomes)."""
+    resolved = resolve_against_web(selected, pages_raw)
+    if transport == "python":
+        return simulate_transport(resolved, policy or FetchPolicy())
+    return transport_columns(resolved, policy or FetchPolicy())

@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import politeness
-from ..operators.extract import extract_doc, extract_links
+from ..operators.extract import make_parse_page
 from ..operators.fetch import FetchPolicy, fetch
 from ..operators.seen import SeenSet, with_url_key
 from ..tables import Catalog
@@ -62,6 +62,7 @@ class CrawlConfig:
     pages_partition_cols: tuple = ("type", "situation")
     policy: FetchPolicy = field(default_factory=FetchPolicy)
     search_marker: str = "/busca"  # URL shape that dispatches link parsing
+    transport: str = "jvm"  # 'jvm' (codegen sim) | 'python' (mapInPandas)
 
 
 class CrawlEngine:
@@ -158,34 +159,73 @@ class CrawlEngine:
                 t.compact()
 
     def round(self, r: int) -> dict:
-        """Execute crawl round ``r``; returns the round's metrics."""
+        """Execute crawl round ``r``; returns the round's metrics
+        (including per-phase wall times under ``timings``)."""
+        import time as _time
+
+        timings: dict[str, float] = {}
+
+        def _mark(name: str, t0: float) -> float:
+            t1 = _time.perf_counter()
+            timings[name] = round(t1 - t0, 3)
+            return t1
+
+        t = _time.perf_counter()
         self._maintain()
+        t = _mark("maintain", t)
         pending = self.pending()
         metrics = {"round": r, "selected": 0, "fetched": 0, "errors": 0,
-                   "new_urls": 0, "pages": 0}
+                   "new_urls": 0, "pages": 0, "timings": timings}
         if pending is None:
             return metrics
         selected = politeness.schedule_round(
             pending, self.robots, self.cfg.salt_buckets,
             self.cfg.fetch_partitions,
         )
-        results = fetch(selected, self.pages_raw, self.cfg.policy).cache()
-        n_sel = results.count()
+        raw = fetch(
+            selected, self.pages_raw, self.cfg.policy, self.cfg.transport
+        )
+        is_search = F.col("canon_url").contains(self.cfg.search_marker)
+        # ONE pass over the fetch output: a single combined parse UDF
+        # (docs + search pages) so the body bytes cross the Python
+        # boundary exactly once per round; cache WITHOUT the body —
+        # the cached working set is metadata + text, not raw html.
+        parse_page = make_parse_page(self.cfg.search_marker)
+        parsed = raw.select(
+            *[c for c in raw.columns if c != "body"],
+            F.when(
+                F.col("fetched"), parse_page("canon_url", "body")
+            ).alias("p"),
+        ).select(
+            "*", F.col("p.rec").alias("rec"), F.col("p.l").alias("l")
+        ).drop("p").cache()
+        # one aggregation pass for every round metric (vs one job each)
+        is_page = (
+            F.col("fetched") & ~is_search & ~F.coalesce("rec.is_error", F.lit(True))
+        )
+        is_err = ~F.col("fetched") | (
+            F.col("fetched") & ~is_search & F.coalesce("rec.is_error", F.lit(True))
+        )
+        counts = parsed.agg(
+            F.count("*").alias("n_sel"),
+            F.sum(F.col("fetched").cast("long")).alias("n_fetched"),
+            F.sum(is_page.cast("long")).alias("n_pages"),
+            F.sum(is_err.cast("long")).alias("n_err"),
+        ).collect()[0]
+        n_sel = counts["n_sel"]
+        t = _mark("schedule_fetch", t)
         if n_sel == 0:
-            results.unpersist()
+            parsed.unpersist()
             return metrics
 
         versions: dict[str, int] = {}
-        fetched = results.filter(F.col("fetched"))
-        is_search = F.col("canon_url").contains(self.cfg.search_marker)
+        results = parsed  # attempted rows (all outcomes)
+        fetched = parsed.filter(F.col("fetched"))
 
-        # --- extract documents → pages (+ parse errors) ---
-        doc_rec = (
-            fetched.filter(~is_search)
-            .withColumn("rec", extract_doc("body"))
-        ).cache()
+        # --- extracted documents → pages (+ parse errors) ---
+        doc_rec = fetched.filter(~is_search)
         good = doc_rec.filter(~F.col("rec.is_error"))
-        n_pages = good.count()
+        n_pages = int(counts["n_pages"] or 0)
         pages_df = good.select(
             F.col("canon_url").alias("document_url"),
             "source",
@@ -197,12 +237,14 @@ class CrawlEngine:
             F.col("rec.text").alias("text_markdown"),
             F.lit(r).alias("fetched_round"),
         )
+        t = _mark("extract", t)
         if n_pages:
             versions["pages"] = self.pages.append(
                 pages_df,
                 partition_cols=list(self.cfg.pages_partition_cols),
                 metrics={"round": r},
             )
+        t = _mark("pages_append", t)
 
         # --- error routing: transport failures + parse errors ---
         err_df = results.filter(~F.col("fetched")).select(
@@ -215,15 +257,15 @@ class CrawlEngine:
                 F.lit(r).alias("round"), "status", "attempts",
                 F.lit("parse error / empty document").alias("error"),
             )
-        ).cache()
-        n_err = err_df.count()
+        )
+        n_err = int(counts["n_err"] or 0)
         if n_err:
             versions["fetch_errors"] = self.errors.append(err_df)
+        t = _mark("errors", t)
 
         # --- link discovery → frontier append ---
         links = (
             fetched.filter(is_search)
-            .withColumn("l", extract_links("body"))
             .select(
                 "host", "source", "priority", "depth", "discovered_round",
                 F.explode(
@@ -249,6 +291,7 @@ class CrawlEngine:
         n_new = new_front.count()
         if n_new:
             versions["frontier_log"] = self.frontier.append(new_front)
+        t = _mark("links", t)
 
         # --- mark attempted as seen; visited detail; ordering log ---
         self.seen.add(results.select("canon_url"), "canon_url")
@@ -268,18 +311,17 @@ class CrawlEngine:
                 "canon_url", "priority", "fetched",
             )
         )
+        t = _mark("seen_visited_log", t)
 
         metrics.update(
-            selected=n_sel,
-            fetched=int(fetched.count()),
+            selected=int(n_sel),
+            fetched=int(counts["n_fetched"] or 0),
             errors=n_err,
             new_urls=n_new,
             pages=n_pages,
         )
         self.catalog.save_checkpoint(r + 1, versions, metrics)
-        results.unpersist()
-        doc_rec.unpersist()
-        err_df.unpersist()
+        parsed.unpersist()
         return metrics
 
     def run(self, max_rounds: int = 100) -> list[dict]:

@@ -86,15 +86,24 @@ def search_url(source: str, page: int) -> str:
     return f"https://{host_of(source)}/busca?page={page}"
 
 
-def _gen_text(seed: int, source: str, i: int) -> str:
-    """Golden document text: seeded words, '\\n\\n' every 12 words."""
+_LCG_A = 6364136223846793005
+_LCG_C = 1442695040888963407
+_M64 = (1 << 64) - 1
+
+
+def _gen_text(seed: int, source: str, i: int, words_scale: int = 1) -> str:
+    """Golden document text: seeded words, '\\n\\n' every 12 words.
+
+    One md5 seeds a 64-bit LCG per document (pure-int word picks) —
+    generation cost matters at bench scale (10^5+ docs)."""
     is_pdf = i % 11 == 0 and i > 0
-    n_words = 8 + _h(seed, source, i, "len") % 12 if is_pdf else (
-        60 + _h(seed, source, i, "len") % 180
-    )
+    x = _h(seed, source, i)
+    n_words = 8 + x % 12 if is_pdf else (60 + x % 180) * words_scale
     words = []
-    for k in range(n_words):
-        words.append(VOCAB[_h(seed, source, i, k) % len(VOCAB)])
+    nv = len(VOCAB)
+    for _ in range(n_words):
+        x = (x * _LCG_A + _LCG_C) & _M64
+        words.append(VOCAB[(x >> 33) % nv])
     paras, cur = [], []
     for w in words:
         cur.append(w)
@@ -179,7 +188,7 @@ def _gen_html(source_idx: int, source: str, i: int, text: str, meta: dict) -> st
 
 
 def _doc_batches(
-    seed: int, docs_per_source: int, skew: int
+    seed: int, docs_per_source: int, skew: int, words_scale: int = 1
 ) -> "callable":
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf_in in batches:
@@ -193,7 +202,7 @@ def _doc_batches(
                 pdf_in["source_idx"], pdf_in["source"], pdf_in["i"]
             ):
                 src_idx, i = int(src_idx), int(i)
-                text = _gen_text(seed, source, i)
+                text = _gen_text(seed, source, i, words_scale)
                 meta = _doc_meta(src_idx, source, i, text)
                 html = _gen_html(src_idx, source, i, text, meta)
                 family = src_idx % 4
@@ -230,6 +239,7 @@ def synth_docs(
     skew: int = 10,
     n_sources: int = len(SOURCES),
     partitions: int = 32,
+    words_scale: int = 1,
 ) -> DataFrame:
     """All document pages + golden metadata (distributed generation)."""
     rows = [
@@ -243,38 +253,33 @@ def synth_docs(
         F.explode(F.sequence(F.lit(0), F.col("n_docs") - 1)).alias("i"),
     ).repartition(partitions, "source", "i")
     return ids.mapInPandas(
-        _doc_batches(seed, docs_per_source, skew), schema=_DOC_SCHEMA
+        _doc_batches(seed, docs_per_source, skew, words_scale),
+        schema=_DOC_SCHEMA,
     )
 
 
 def synth_search_pages(spark: SparkSession, docs: DataFrame) -> DataFrame:
     """Search-result pages: PAGE_SIZE doc links each, a 'next' link while
     more pages remain, and the 'Total de registros: N' count probe."""
-    sized = docs.groupBy("source", "host").agg(
-        F.count("*").alias("n_docs"),
-        F.sort_array(
-            F.collect_list(F.struct("doc_i", "url", "title"))
-        ).alias("docs"),
-    )
-    paged = sized.select(
-        "source",
-        "host",
-        "n_docs",
-        F.explode(
-            F.sequence(
-                F.lit(0),
-                F.ceil(F.col("n_docs") / F.lit(PAGE_SIZE)).cast("int") - 1,
-            )
-        ).alias("page"),
-        F.col("docs"),
+    # doc_i is dense 0..n-1 per source → page assignment is a cheap map
+    # (NOT explode-the-whole-array-per-page, which is quadratic in the
+    # mega-host's size); one shuffle keyed by (source, page).
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    paged = (
+        docs.withColumn(
+            "page", F.floor(F.col("doc_i") / PAGE_SIZE).cast("int")
+        )
+        .groupBy("source", "host", "page")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_i", "url", "title"))
+            ).alias("docs")
+        )
+        .join(F.broadcast(counts), "source")
     )
     links = F.array_join(
         F.transform(
-            F.slice(
-                F.col("docs"),
-                F.col("page") * PAGE_SIZE + 1,
-                F.lit(PAGE_SIZE),
-            ),
+            F.col("docs"),
             lambda d: F.concat(
                 F.lit('<a class="res" href="'),
                 d["url"],
@@ -327,11 +332,15 @@ def synth_world(
     n_sources: int = len(SOURCES),
     partitions: int = 32,
     budget_base: int = 2,
+    words_scale: int = 1,
 ) -> dict[str, DataFrame]:
     """pages_raw (input_hint schema), golden_meta, seeds, robots."""
+    # cache: docs feeds pages_raw (union), search pages, and golden_meta
+    # — without it the generation UDF runs 3×
     docs = synth_docs(
-        spark, seed, docs_per_source, skew, n_sources, partitions
-    )
+        spark, seed, docs_per_source, skew, n_sources, partitions,
+        words_scale,
+    ).cache()
     search = synth_search_pages(spark, docs)
     base_ts = F.to_timestamp(F.lit("2024-03-01 00:00:00"))
     doc_pages = docs.select(

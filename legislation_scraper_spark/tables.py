@@ -32,6 +32,35 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _footer_lineage(
+    root: str, partition_cols: list[str] | None
+) -> dict[str, int]:
+    """Row counts per partition (or ``__all__``) from parquet footers."""
+    import pyarrow.parquet as pq
+
+    counts: dict[str, int] = {}
+    for dirpath, _dirs, files in os.walk(root):
+        n = sum(
+            pq.read_metadata(os.path.join(dirpath, f)).num_rows
+            for f in files
+            if f.endswith(".parquet")
+        )
+        if n == 0:
+            continue
+        if partition_cols:
+            from urllib.parse import unquote
+
+            rel = os.path.relpath(dirpath, root)
+            vals = dict(
+                p.split("=", 1) for p in rel.split(os.sep) if "=" in p
+            )
+            key = "|".join(unquote(vals.get(c, "")) for c in partition_cols)
+        else:
+            key = "__all__"
+        counts[key] = counts.get(key, 0) + n
+    return counts
+
+
 def _atomic_write_json(path: str, payload: dict) -> None:
     tmp = f"{path}.tmp.{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
@@ -113,21 +142,10 @@ class Table:
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)
         writer.parquet(new_set)
-        # per-partition lineage for THIS commit (small: one row per
-        # partition value; stays an aggregate, not data, on the driver)
-        if partition_cols:
-            lin_rows = (
-                self.spark.read.parquet(new_set)
-                .groupBy(*partition_cols)
-                .agg(F.count("*").alias("rows"))
-                .collect()
-            )
-            lineage = {
-                "|".join(str(r[c]) for c in partition_cols): r["rows"]
-                for r in lin_rows
-            }
-        else:
-            lineage = {"__all__": self.spark.read.parquet(new_set).count()}
+        # per-partition lineage for THIS commit, read from parquet footer
+        # metadata (driver-side file walk, no Spark job — the Iceberg
+        # analogue is snapshot summary stats, likewise metadata-only)
+        lineage = _footer_lineage(new_set, partition_cols)
         prev = self.snapshot()
         if mode == "append" and prev is not None:
             file_sets = prev.file_sets + [new_set]
