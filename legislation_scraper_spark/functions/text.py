@@ -186,6 +186,24 @@ def quality_score(text: Column) -> Column:
     return F.round((len_score + punct_score + sw_score) / 3, 6)
 
 
+_ACCENTS = "ãáàâäçéêèëíîìïñõóôòöúûùü"
+_PLAIN = "aaaaaceeeeiiiinooooouuuu"
+
+
+def ascii_slug(text: Column) -> Column:
+    """Filesystem-safe ASCII slug (partition-key sanitizer).
+
+    Mirrors the reference's filename sanitizer (unidecode + regex,
+    /root/reference/src/database/saver.py:119-125): accent-fold common
+    Portuguese diacritics, lowercase, squeeze non-alphanumerics to '_'.
+    Used for partition directory values so tables survive non-UTF-8
+    JVM file encodings; the original column is kept alongside.
+    """
+    t = F.translate(F.lower(text), _ACCENTS, _PLAIN)
+    t = F.regexp_replace(t, r"[^a-z0-9]+", "_")
+    return F.regexp_replace(t, r"^_+|_+$", "")
+
+
 def fingerprint(text: Column) -> Column:
     """Whitespace-normalized md5 document fingerprint (exact-dup key)."""
     return F.md5(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")))

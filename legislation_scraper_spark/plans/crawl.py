@@ -41,6 +41,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.text import ascii_slug
 from ..operators import politeness
 from ..operators.extract import make_parse_page
 from ..operators.fetch import FetchPolicy, fetch
@@ -59,7 +60,7 @@ class CrawlConfig:
     bloom_fpp: float = 0.01
     salt_buckets: int = 8
     fetch_partitions: int = 16
-    pages_partition_cols: tuple = ("type", "situation")
+    pages_partition_cols: tuple = ("type_slug", "situation_slug")
     policy: FetchPolicy = field(default_factory=FetchPolicy)
     search_marker: str = "/busca"  # URL shape that dispatches link parsing
     transport: str = "jvm"  # 'jvm' (codegen sim) | 'python' (mapInPandas)
@@ -236,6 +237,13 @@ class CrawlEngine:
             F.col("rec.summary").alias("summary"),
             F.col("rec.text").alias("text_markdown"),
             F.lit(r).alias("fetched_round"),
+        ).withColumns(
+            {
+                # ASCII partition twins (saver.py:119-125 parity; non-ASCII
+                # partition dirs break on non-UTF-8 JVM file encodings)
+                "type_slug": ascii_slug(F.col("type")),
+                "situation_slug": ascii_slug(F.col("situation")),
+            }
         )
         t = _mark("extract", t)
         if n_pages:

@@ -1,0 +1,103 @@
+"""Streaming crawl loop, watermarked window aggs, offline dataset build."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from legislation_scraper_spark.plans.crawl import CrawlConfig, CrawlEngine
+from legislation_scraper_spark.plans.dataset_build import build_dataset
+from legislation_scraper_spark.streaming.crawl_stream import (
+    stream_crawl,
+    windowed_fetch_metrics,
+)
+from legislation_scraper_spark.synth import synth_world
+from legislation_scraper_spark.tables import Catalog
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def world(spark):
+    w = synth_world(
+        spark, seed=3, docs_per_source=10, skew=2, n_sources=3,
+        partitions=4, budget_base=8,
+    )
+    return {k: v.cache() for k, v in w.items()}
+
+
+def test_streaming_crawl_equals_batch(spark, world, tmp_path):
+    batch_eng = CrawlEngine(
+        spark, Catalog(spark, str(tmp_path / "batch")),
+        world["pages_raw"], world["seeds"], world["robots"],
+        CrawlConfig(n_shards=8, fetch_partitions=4),
+    )
+    batch_eng.run(max_rounds=30)
+
+    stream_eng = CrawlEngine(
+        spark, Catalog(spark, str(tmp_path / "stream")),
+        world["pages_raw"], world["seeds"], world["robots"],
+        CrawlConfig(n_shards=8, fetch_partitions=4),
+    )
+    metrics = stream_crawl(spark, stream_eng, tick_seconds=1, max_rounds=30)
+    assert metrics and metrics[-1]["selected"] == 0
+
+    def rows(eng, name, cols):
+        df = eng.catalog.table(name).read()
+        return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+    for name, cols in [
+        ("pages", ("document_url", "text_markdown")),
+        ("crawl_log", ("round", "host", "host_rank", "canon_url")),
+    ]:
+        assert rows(batch_eng, name, cols) == rows(stream_eng, name, cols)
+
+
+def test_windowed_metrics_stream(spark, tmp_path):
+    src = str(tmp_path / "events_src")
+    # stream the driver-provided events table through a file source
+    batch = spark.read.parquet(f"{SF}/events.parquet")
+    batch.write.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    agg = windowed_fetch_metrics(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("winagg")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM winagg").collect()
+    want = (
+        batch.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("value"), 4).alias("val_sum"),
+        )
+        .select(F.col("w.start").alias("win_start"), "event_type", "cnt",
+                "val_sum")
+        .collect()
+    )
+    assert sorted(map(repr, got)) == sorted(map(repr, want))
+
+
+def test_dataset_build(spark, world, tmp_path):
+    eng = CrawlEngine(
+        spark, Catalog(spark, str(tmp_path / "ds")),
+        world["pages_raw"], world["seeds"], world["robots"],
+        CrawlConfig(n_shards=8, fetch_partitions=4),
+    )
+    eng.run(max_rounds=30)
+    pages = eng.pages.read()
+    ds = build_dataset(pages)
+    rows = ds.collect()
+    assert len(rows) == pages.select("document_url").distinct().count()
+    cols = set(ds.columns)
+    assert {"document_url", "text", "year", "type", "situation",
+            "n_tokens", "quality", "lang_pred", "fingerprint"} <= cols
+    for r in rows[:20]:
+        assert r["n_tokens"] > 0 and 0 <= r["quality"] <= 1
+        assert len(r["fingerprint"]) == 32
