@@ -1,0 +1,103 @@
+"""URL canonicalization semantics + seen-set correctness properties
+(SURVEY.md §5 item 4: bloom false positives must never drop unseen
+URLs; no false negatives by construction)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from legislation_scraper_spark.functions.urls import (
+    canonicalize_url,
+    salted_host,
+    url_host,
+)
+from legislation_scraper_spark.operators.seen import SeenSet, with_url_key
+from legislation_scraper_spark.tables import Catalog
+
+
+CANON_CASES = [
+    ("  https://WWW.Planalto.LEG.br/norma/1  ", "https://www.planalto.leg.br/norma/1"),
+    ("https://a.br:443/x", "https://a.br/x"),
+    ("http://a.br:80/x", "http://a.br/x"),
+    ("https://a.br:8443/x", "https://a.br:8443/x"),
+    ("https://a.br/x#frag", "https://a.br/x"),
+    ("https://a.br/x/", "https://a.br/x"),
+    # root with and without trailing slash unify to the same canon form
+    ("https://a.br/", "https://a.br"),
+    ("https://a.br", "https://a.br"),
+    ("https://a.br/Path/CASE", "https://a.br/Path/CASE"),
+]
+
+
+def test_canonicalize(spark):
+    df = spark.createDataFrame([(u,) for u, _ in CANON_CASES], "url string")
+    got = [r[0] for r in df.select(canonicalize_url(F.col("url"))).collect()]
+    want = [w for _, w in CANON_CASES]
+    assert got == want
+
+
+def test_url_host(spark):
+    df = spark.createDataFrame(
+        [("https://WWW.X.br:8443/a?b#c",), ("http://y.br/z",)], "url string"
+    )
+    assert [r[0] for r in df.select(url_host(F.col("url"))).collect()] == [
+        "www.x.br", "y.br",
+    ]
+
+
+def test_salted_host_preserves_host_prefix(spark):
+    df = spark.createDataFrame(
+        [(f"https://h{i%3}.br/{i}",) for i in range(100)], "url string"
+    )
+    out = df.select(
+        url_host(F.col("url")).alias("h"),
+        salted_host(url_host(F.col("url")), F.col("url"), 4).alias("s"),
+    )
+    rows = out.collect()
+    assert all(r["s"].startswith(r["h"] + "#") for r in rows)
+    # salt actually spreads each host over >1 bucket
+    n_buckets = out.select("s").distinct().count()
+    assert n_buckets > 3
+
+
+@pytest.mark.parametrize("fpp", [0.01, 0.5])
+def test_seen_set_exactness_under_bloom_fp(spark, tmp_path, fpp):
+    """fpp=0.5 forces many bloom false positives → the exact anti-join
+    backstop must still pass every truly-unseen URL through."""
+    cat = Catalog(spark, str(tmp_path / f"s{fpp}"))
+    seen = SeenSet(cat.table("seen"), n_shards=4, fpp=fpp)
+    seen_urls = spark.createDataFrame(
+        [(f"https://a.br/doc/{i}",) for i in range(0, 1000, 2)], "url string"
+    )
+    seen.add(seen_urls)
+    cand = spark.createDataFrame(
+        [(f"https://a.br/doc/{i}",) for i in range(1000)], "url string"
+    )
+    out = seen.filter_unseen(cand)
+    got = sorted(r["url"] for r in out.collect())
+    want = sorted(f"https://a.br/doc/{i}" for i in range(1, 1000, 2))
+    assert got == want
+
+
+def test_seen_add_idempotent(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "idem"))
+    seen = SeenSet(cat.table("seen"), n_shards=4)
+    urls = spark.createDataFrame(
+        [(f"https://a.br/{i}",) for i in range(50)], "url string"
+    )
+    seen.add(urls)
+    seen.add(urls)  # re-adding must not resurrect them as unseen
+    out = seen.filter_unseen(urls)
+    assert out.count() == 0
+
+
+def test_with_url_key_shards_stable(spark):
+    df = with_url_key(
+        spark.createDataFrame([("https://a.br/1",)], "url string"),
+        n_shards=8,
+    )
+    r1 = df.collect()[0]
+    r2 = df.collect()[0]
+    assert r1["shard"] == r2["shard"] and 0 <= r1["shard"] < 8
+    assert r1["url_hash"] == r2["url_hash"]
