@@ -795,6 +795,112 @@ _Q_B2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 
 # ---------------------------------------------------------------------------
+# Batch 3: JSON paths, literal dims, sessionization, min_by
+# ---------------------------------------------------------------------------
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 JSON paths: get_json_object over the props payload."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.sum(k).alias("k_total"),
+        F.max(k).alias("k_max"),
+    )
+
+
+def q_dim_lookup_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/U1: literal dimension (id→weight) broadcast-joined to facts —
+    the reference's preloaded subject map (paraiba.py:121-145)."""
+    e = _t(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        [("click", 1), ("view", 2), ("purchase", 10), ("signup", 5),
+         ("error", 0)],
+        "event_type string, weight int",
+    )
+    return (
+        e.join(F.broadcast(dim), "event_type", "left")
+        .groupBy("event_type")
+        .agg(
+            F.round(
+                F.sum(F.col("value") * F.coalesce("weight", F.lit(1))), 4
+            ).alias("weighted"),
+            F.count("*").alias("cnt"),
+        )
+    )
+
+
+def q_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window composition: 30-minute-gap sessionization per user."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        e.withColumn("ns", new_sess)
+        .groupBy("user_id")
+        .agg(F.sum("ns").alias("n_sessions"), F.count("*").alias("n_events"))
+    )
+
+
+def q_first_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by/arg_min: each user's first event type."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.min_by("event_type", "ts").alias("first_type"),
+        F.min("ts").alias("first_ts"),
+    )
+
+
+_Q_B3 = {
+    "json_extract": q_json_extract,
+    "dim_lookup_map": q_dim_lookup_map,
+    "sessionize_gap": q_sessionize_gap,
+    "first_event_per_user": q_first_event_per_user,
+}
+
+_ORACLE_B3 = {
+    "json_extract": """
+        SELECT event_type,
+               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                 AS k_total,
+               MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                 AS k_max
+        FROM events GROUP BY event_type
+    """,
+    "dim_lookup_map": """
+        SELECT e.event_type,
+               ROUND(SUM(e.value * COALESCE(d.weight, 1)), 4) AS weighted,
+               COUNT(*) AS cnt
+        FROM events e
+        LEFT JOIN (VALUES ('click',1),('view',2),('purchase',10),
+                          ('signup',5),('error',0)) AS d(event_type, weight)
+          ON e.event_type = d.event_type
+        GROUP BY e.event_type
+    """,
+    "sessionize_gap": """
+        SELECT user_id, SUM(ns) AS n_sessions, COUNT(*) AS n_events
+        FROM (
+          SELECT user_id,
+                 CASE WHEN prev_ts IS NULL
+                        OR CAST(epoch(ts) AS BIGINT)
+                           - CAST(epoch(prev_ts) AS BIGINT) > 1800
+                      THEN 1 ELSE 0 END AS ns
+          FROM (SELECT user_id, ts,
+                       LAG(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_ts
+                FROM events))
+        GROUP BY user_id
+    """,
+    "first_event_per_user": """
+        SELECT user_id, arg_min(event_type, ts) AS first_type,
+               MIN(ts) AS first_ts
+        FROM events GROUP BY user_id
+    """,
+}
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -825,6 +931,7 @@ _Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crawl_metrics": q_crawl_metrics,
 }
 _Q.update(_Q_B2)
+_Q.update(_Q_B3)
 
 _ORACLE: dict[str, str] = {
     "pricing_summary": """
@@ -991,6 +1098,7 @@ _ORACLE: dict[str, str] = {
     """,
 }
 _ORACLE.update(_ORACLE_B2)
+_ORACLE.update(_ORACLE_B3)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -38,6 +38,10 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "4000"))
 WORDS_SCALE = int(os.environ.get("SPARK_GRAFT_BENCH_WORDS", "4"))
 RUNS_PER_CONFIG = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+LEVELS = tuple(
+    int(x)
+    for x in os.environ.get("SPARK_GRAFT_BENCH_LEVELS", "8,32").split(",")
+)
 
 HEADLINE = [
     "pricing_summary",
@@ -190,25 +194,51 @@ def run_crawl_scaling() -> dict:
     world_dir = _ensure_world()
     best: dict[int, dict] = {}
     for _ in range(RUNS_PER_CONFIG):
-        for cores in (2, 8, 32):
+        for cores in LEVELS:
             r = _crawl_subprocess(cores, world_dir)
             if cores not in best or r["seconds"] < best[cores]["seconds"]:
                 best[cores] = r
-    out = {"frontier_urls": best[8]["selected"]}
+    out = {"frontier_urls": best[LEVELS[0]]["selected"]}
     for c, r in best.items():
         out[f"urls_per_sec_N{c}"] = r["urls_per_sec"]
         out[f"pages_per_sec_N{c}"] = r["pages_per_sec"]
         out[f"seconds_N{c}"] = r["seconds"]
-    out["scaling_efficiency_2_to_8"] = round(
-        best[8]["urls_per_sec"] / (4 * best[2]["urls_per_sec"]), 3
-    )
-    out["scaling_efficiency_8_to_32"] = round(
-        best[32]["urls_per_sec"] / (4 * best[8]["urls_per_sec"]), 3
-    )
-    out["scaling_efficiency"] = max(
-        out["scaling_efficiency_2_to_8"], out["scaling_efficiency_8_to_32"]
-    )
+    effs = {}
+    for lo in LEVELS:
+        hi = lo * 4
+        if hi in best:
+            effs[f"scaling_efficiency_{lo}_to_{hi}"] = round(
+                best[hi]["urls_per_sec"] / (4 * best[lo]["urls_per_sec"]), 3
+            )
+    out.update(effs)
+    if effs:
+        out["scaling_efficiency"] = max(effs.values())
     return out
+
+
+def hw_baseline() -> dict:
+    """Pure user-space CPU scaling of this VM at the same core pair —
+    the measurement ceiling for any wall-clock scaling number here.
+    N spinning processes each count to a fixed total; perfect hardware
+    would give ratio == 4.0 between N and 4N."""
+    import subprocess
+
+    def spin(n: int) -> float:
+        code = "i=0\nwhile i < 20_000_000: i += 1"
+        t0 = time.perf_counter()
+        ps = [subprocess.Popen([sys.executable, "-c", code]) for _ in range(n)]
+        for p in ps:
+            p.wait()
+        return time.perf_counter() - t0
+
+    lo, hi = LEVELS[0], LEVELS[-1]
+    # work per process fixed → time(N procs) measures contention only
+    t_lo, t_hi = spin(lo), spin(hi)
+    return {
+        f"spin_seconds_{lo}procs": round(t_lo, 2),
+        f"spin_seconds_{hi}procs": round(t_hi, 2),
+        "cpu_contention_ratio": round(t_hi / t_lo, 2),
+    }
 
 
 def main() -> None:
@@ -225,6 +255,7 @@ def main() -> None:
         "queries": queries,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "crawl": crawl,
+        "hw_baseline": hw_baseline(),
     }
     print(json.dumps(out))
 
