@@ -29,15 +29,36 @@ from ..functions.urls import salted_host
 ORDER_COLS = ("priority", "discovered_round", "canon_url")
 
 
-def apply_robots(candidates: DataFrame, robots: DataFrame) -> DataFrame:
-    """Broadcast-join robots rules; drop disallowed hosts; attach budget."""
+def apply_robots(
+    candidates: DataFrame,
+    robots: DataFrame,
+    round_window_ms: int | None = None,
+) -> DataFrame:
+    """Broadcast-join robots rules; drop disallowed hosts; attach budget.
+
+    The per-host round budget is ``max_parallel`` capped — when a round
+    time window is configured — by the robots crawl-delay:
+    ``min(max_parallel, max(1, round_window_ms / crawl_delay_ms))``,
+    i.e. a host asking for 2 s between requests gets at most 30 URLs in
+    a 60 s round no matter how many parallel slots exist (the reference
+    analogue is its 5 s inter-request sleeps, parana.py:457-459).
+    """
     r = robots.select("host", "allow", "crawl_delay_ms", "max_parallel")
-    return (
+    out = (
         candidates.join(F.broadcast(r), "host", "left")
         .filter(F.coalesce(F.col("allow"), F.lit(True)))
-        .withColumn("budget", F.coalesce(F.col("max_parallel"), F.lit(4)))
-        .drop("allow", "max_parallel")
     )
+    budget = F.coalesce(F.col("max_parallel"), F.lit(4))
+    if round_window_ms is not None:
+        delay_cap = F.greatest(
+            F.lit(1),
+            F.floor(
+                F.lit(round_window_ms)
+                / F.coalesce(F.col("crawl_delay_ms"), F.lit(1))
+            ).cast("int"),
+        )
+        budget = F.least(budget, delay_cap)
+    return out.withColumn("budget", budget).drop("allow", "max_parallel")
 
 
 def rank_per_host(candidates: DataFrame) -> DataFrame:
@@ -58,10 +79,13 @@ def schedule_round(
     robots: DataFrame,
     salt_buckets: int = 8,
     fetch_partitions: int | None = None,
+    round_window_ms: int | None = None,
 ) -> DataFrame:
     """Full politeness pass: robots gate → rank → budget → salted
     repartition for the fetch stage."""
-    sel = select_budget(rank_per_host(apply_robots(candidates, robots)))
+    sel = select_budget(
+        rank_per_host(apply_robots(candidates, robots, round_window_ms))
+    )
     key = salted_host(F.col("host"), F.col("canon_url"), salt_buckets)
     if fetch_partitions:
         return sel.repartition(fetch_partitions, key)

@@ -64,6 +64,7 @@ class CrawlConfig:
     policy: FetchPolicy = field(default_factory=FetchPolicy)
     search_marker: str = "/busca"  # URL shape that dispatches link parsing
     transport: str = "jvm"  # 'jvm' (codegen sim) | 'python' (mapInPandas)
+    round_window_ms: int | None = None  # crawl-delay budget cap (politeness)
 
 
 class CrawlEngine:
@@ -181,7 +182,7 @@ class CrawlEngine:
             return metrics
         selected = politeness.schedule_round(
             pending, self.robots, self.cfg.salt_buckets,
-            self.cfg.fetch_partitions,
+            self.cfg.fetch_partitions, self.cfg.round_window_ms,
         )
         raw = fetch(
             selected, self.pages_raw, self.cfg.policy, self.cfg.transport

@@ -40,11 +40,22 @@ def _host_of(url: str) -> str:
     return url.split("://", 1)[1].split("/", 1)[0].lower()
 
 
+def _budget(rb: dict, round_window_ms: int | None) -> int:
+    """min(max_parallel, crawl-delay cap) — must mirror
+    operators/politeness.apply_robots exactly."""
+    b = rb.get("max_parallel", 4)
+    if round_window_ms is not None:
+        delay = rb.get("crawl_delay_ms") or 1
+        b = min(b, max(1, round_window_ms // delay))
+    return b
+
+
 def simulate(
     world: SimWorld,
     policy: FetchPolicy | None = None,
     search_marker: str = "/busca",
     max_rounds: int = 100,
+    round_window_ms: int | None = None,
 ) -> SimResult:
     p = policy or FetchPolicy()
     res = SimResult()
@@ -66,7 +77,9 @@ def simulate(
             by_host.setdefault(host, []).append(u)
         any_selected = False
         for host in sorted(by_host):
-            budget = world.robots.get(host, {"max_parallel": 4})["max_parallel"]
+            budget = _budget(
+                world.robots.get(host, {"max_parallel": 4}), round_window_ms
+            )
             urls = sorted(
                 by_host[host],
                 key=lambda u: (pending[u][0], pending[u][1], u),
