@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from legislation_scraper_spark.functions import text as T
 from legislation_scraper_spark.functions import urls as U
+from legislation_scraper_spark.operators import dedup as dedup_ops
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -439,24 +440,9 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles: shingle → md5-min signature → band buckets → bucket
     self-join → distinct (a < b) pairs."""
     c = _dup_corpus(spark, sf_dir)
-    sig = c.select(
-        "doc_id", T.word_shingles(F.col("text"), 3).alias("sh")
-    ).filter(F.size("sh") > 0)
-    sig = sig.select("doc_id", T.minhash_sig(F.col("sh"), 8).alias("sig"))
-    bands = sig.select(
-        "doc_id", F.explode(T.lsh_band_keys(F.col("sig"), 4, 2)).alias("bk")
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.bk") == F.col("b.bk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
-        )
-        .distinct()
+    return dedup_ops.minhash_lsh_pairs(
+        c, text_col="text", id_col="doc_id",
+        shingle_n=3, num_hashes=8, bands=4,
     )
 
 
@@ -473,9 +459,13 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", F.array_distinct(T.words(F.col("text"))).alias("ws")
     )
     a, b = tok.alias("a"), tok.alias("b")
+    # one array_intersect per pair; |A∪B| derived as |A|+|B|−|A∩B| (array
+    # sizes are O(1)) — NOT wrapped in a lambda binder: higher-order
+    # functions in the pair hot path knock the join out of whole-stage
+    # codegen and cost 2× (measured), while the duplicated intersect from
+    # predicate pushdown costs far less
     inter = F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws")))
-    union = F.size(F.array_union(F.col("a.ws"), F.col("b.ws")))
-    jac = inter.cast("double") / union
+    jac = inter.cast("double") / (F.size("a.ws") + F.size("b.ws") - inter)
     return (
         a.join(
             b,

