@@ -842,11 +842,42 @@ def q_first_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_bucket_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (batch form of the streaming
+    applyInPandasWithState token bucket): per-host crawl-delay admission
+    over the events stream — host := user_id bucket, 1 token/s refill,
+    burst 2.  Sequential recurrence per host ⇒ not SQL-expressible; the
+    driver records a rows-only check (streaming twin proven equal by
+    tests/test_streaming_politeness.py)."""
+    from legislation_scraper_spark.streaming.politeness_stream import (
+        admit_batch,
+    )
+
+    e = _t(spark, sf_dir, "events").select(
+        F.concat(
+            F.lit("host-"), (F.col("user_id") % 20).cast("string"),
+            F.lit(".example"),
+        ).alias("host"),
+        F.concat(F.lit("http://e/"), F.col("event_id").cast("string")).alias(
+            "url"
+        ),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("event_ms"),
+    )
+    # events are hours apart per host; refill 1 token / 2 h (burst 2) so
+    # the bucket genuinely throttles bursts instead of admitting everything
+    adm = admit_batch(e, rate_per_sec=1.0 / 7200.0, burst=2.0)
+    return adm.groupBy("host").agg(
+        F.sum(F.col("admitted").cast("long")).alias("n_admitted"),
+        F.count("*").alias("n_events"),
+    )
+
+
 _Q_B3 = {
     "json_extract": q_json_extract,
     "dim_lookup_map": q_dim_lookup_map,
     "sessionize_gap": q_sessionize_gap,
     "first_event_per_user": q_first_event_per_user,
+    "token_bucket_admission": q_token_bucket_admission,
 }
 
 _ORACLE_B3 = {

@@ -44,6 +44,13 @@ def get_spark(
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # Byte-bound Arrow batches: crawl rows carry multi-KB html bodies,
+        # so the default 10k-row batches reach ~56 MB each; at 32 concurrent
+        # tasks that is >1.7 GB of in-flight Arrow buffers, which amplifies
+        # allocation stalls and anti-scales the Python boundary (measured
+        # up to 40 s vs 8 s on a 580k-page parse at local[32]).  16 MB caps
+        # the batch whatever the row width; narrow rows keep the 10k-row cap.
+        "spark.sql.execution.arrow.maxBytesPerBatch": str(16 * 1024 * 1024),
         "spark.sql.session.timeZone": "UTC",
         # broadcast threshold generous: dims (robots, seeds, nation...) are tiny
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
