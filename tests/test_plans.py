@@ -51,3 +51,25 @@ def test_fetch_join_never_shuffles_bodies(spark):
     plan = _explain(resolved)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_minhash_lsh_plan_has_no_join(spark):
+    """The LSH pair producer is groupBy + in-array expansion — the plan
+    must contain NO join of any kind and NO cartesian product."""
+    from legislation_scraper_spark.operators.dedup import minhash_lsh_pairs
+
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _explain(minhash_lsh_pairs(df))
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan  # covers SortMergeJoin/BroadcastHashJoin/...
+
+
+def test_jaccard_dict_join_is_broadcast(spark):
+    """Token-dictionary encoding must broadcast the dict, and the pair
+    join must stay an equi join (no cartesian)."""
+    from legislation_scraper_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _explain(ngram_jaccard_pairs(df, ["source"], threshold=0.8))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
