@@ -891,12 +891,39 @@ def q_token_bucket_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A: exact percentiles per group (linear interpolation — identical
+    math in Spark `percentile` and DuckDB `quantile_cont`)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.max("value"), 6).alias("vmax"),
+    )
+
+
+def q_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A: pivot (conditional aggregation) — events per user bucket ×
+    event type, the wide-format report shape."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "bucket", (F.col("user_id") % 5).cast("int")
+    )
+    return (
+        e.groupBy("bucket")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+        .na.fill(0)
+    )
+
+
 _Q_B3 = {
     "json_extract": q_json_extract,
     "dim_lookup_map": q_dim_lookup_map,
     "sessionize_gap": q_sessionize_gap,
     "first_event_per_user": q_first_event_per_user,
     "token_bucket_admission": q_token_bucket_admission,
+    "value_percentiles": q_value_percentiles,
+    "pivot_event_counts": q_pivot_event_counts,
 }
 
 _ORACLE_B3 = {
@@ -936,6 +963,22 @@ _ORACLE_B3 = {
         SELECT user_id, arg_min(event_type, ts) AS first_type,
                MIN(ts) AS first_ts
         FROM events GROUP BY user_id
+    """,
+    "value_percentiles": """
+        SELECT event_type,
+               ROUND(quantile_cont(value, 0.5), 6) AS p50,
+               ROUND(quantile_cont(value, 0.95), 6) AS p95,
+               ROUND(MAX(value), 6) AS vmax
+        FROM events GROUP BY event_type
+    """,
+    "pivot_event_counts": """
+        SELECT CAST(user_id % 5 AS INT) AS bucket,
+               COUNT(*) FILTER (event_type = 'click')    AS click,
+               COUNT(*) FILTER (event_type = 'view')     AS view,
+               COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+               COUNT(*) FILTER (event_type = 'signup')   AS signup,
+               COUNT(*) FILTER (event_type = 'error')    AS error
+        FROM events GROUP BY bucket
     """,
 }
 
