@@ -533,6 +533,69 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_similarity_ivf_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN (operators/similarity.ivf_topk) at full probe
+    (nprobe == n_cells): must equal brute force exactly, so the same
+    SQL oracle as similarity_topk verifies the whole IVF machinery —
+    centroid sampling, cell assignment, probe selection, rerank."""
+    from legislation_scraper_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    c = e.filter(F.col("vec_id") >= 10)
+    return ivf_topk(q, c, k=3, n_cells=8, nprobe=8).select(
+        "qid", "cid", "rnk"
+    )
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ 0.9 within sign-bit LSH
+    buckets (operators/dedup.embedding_cosine_pairs)."""
+    from legislation_scraper_spark.operators.dedup import (
+        embedding_cosine_pairs,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_cosine_pairs(
+        e, vec_col="embedding", id_col="vec_id", threshold=0.9, sign_bits=8
+    )
+    return pairs.select("a_id", "b_id", F.round("cosine", 6).alias("cosine"))
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: synthesize binary payloads (PNG magic +
+    text bytes), sniff typed metadata JVM-side, then decode-stub →
+    thumb-resize → feature vector via mapInPandas.  Codec is a
+    deterministic stub (no image libs in container); schema, batching
+    and partitioning are the real pipeline.  Rows-only (md5-seeded
+    fake decode is not SQL-expressible)."""
+    from legislation_scraper_spark.operators.multimodal import (
+        attach_media_meta,
+        decode_and_featurize,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.unhex(F.lit("89504E470D0A1A0A")), F.encode("text", "utf-8")
+        ).alias("payload"),
+    )
+    meta = attach_media_meta(d)
+    feats = decode_and_featurize(meta, thumb=4)
+    return (
+        feats.join(meta.select("doc_id", "format", "media_type"), "doc_id")
+        .select(
+            "doc_id", "format", "media_type", "width", "height",
+            F.round(
+                F.aggregate(
+                    "feature", F.lit(0.0), lambda a, x: a + x.cast("double")
+                ) / F.size("feature"),
+                6,
+            ).alias("feat_mean"),
+        )
+    )
+
+
 def q_similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-bit LSH bucketing over the first 8 dims (scale path for ANN:
     bucket-join instead of cross-join)."""
@@ -749,6 +812,39 @@ _ORACLE_B2: dict[str, str] = {
             PARTITION BY qid ORDER BY sim DESC, cid) AS rnk FROM s)
         WHERE rnk <= 3
     """,
+    # IVF at full probe must equal brute force — same oracle as
+    # similarity_topk verifies centroid/cell/probe/rerank machinery
+    "similarity_ivf_full": f"""
+        WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                   WHERE vec_id < 10),
+             c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+                   WHERE vec_id >= 10),
+             s AS (SELECT qid, cid,
+                     {_DUCK_DOT.format(a="qe", b="ce")}
+                     / (sqrt({_DUCK_DOT.format(a="qe", b="qe")})
+                        * sqrt({_DUCK_DOT.format(a="ce", b="ce")})) AS sim
+                   FROM q, c)
+        SELECT qid, cid, CAST(rnk AS INT) AS rnk FROM (
+          SELECT qid, cid, ROW_NUMBER() OVER (
+            PARTITION BY qid ORDER BY sim DESC, cid) AS rnk FROM s)
+        WHERE rnk <= 3
+    """,
+    "dedup_embedding_cosine": f"""
+        WITH e AS (
+          SELECT vec_id AS id, embedding AS v,
+                 list_aggregate(list_transform(range(1, 9),
+                   i -> CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END),
+                   'string_agg', '') AS bucket
+          FROM embeddings),
+        pairs AS (
+          SELECT a.id AS a_id, b.id AS b_id,
+                 {_DUCK_DOT.format(a="a.v", b="b.v")}
+                 / (sqrt({_DUCK_DOT.format(a="a.v", b="a.v")})
+                    * sqrt({_DUCK_DOT.format(a="b.v", b="b.v")})) AS cos
+          FROM e a JOIN e b ON a.bucket = b.bucket AND a.id < b.id)
+        SELECT a_id, b_id, ROUND(cos, 6) AS cosine
+        FROM pairs WHERE cos >= 0.9
+    """,
     "similarity_lsh_buckets": """
         SELECT bucket, COUNT(*) AS cnt FROM (
           SELECT (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END)
@@ -793,7 +889,10 @@ _Q_B2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "similarity_topk": q_similarity_topk,
+    "similarity_ivf_full": q_similarity_ivf_full,
     "similarity_lsh_buckets": q_similarity_lsh_buckets,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "multimodal_features": q_multimodal_features,
     "lang_id": q_lang_id,
     "quality_scores": q_quality_scores,
     "doc_fingerprints": q_doc_fingerprints,
