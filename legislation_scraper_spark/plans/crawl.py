@@ -247,15 +247,7 @@ class CrawlEngine:
             }
         )
         t = _mark("extract", t)
-        if n_pages:
-            versions["pages"] = self.pages.append(
-                pages_df,
-                partition_cols=list(self.cfg.pages_partition_cols),
-                metrics={"round": r},
-            )
-        t = _mark("pages_append", t)
 
-        # --- error routing: transport failures + parse errors ---
         err_df = results.filter(~F.col("fetched")).select(
             "canon_url", "host", "source",
             F.lit(r).alias("round"), "status", "attempts",
@@ -268,11 +260,7 @@ class CrawlEngine:
             )
         )
         n_err = int(counts["n_err"] or 0)
-        if n_err:
-            versions["fetch_errors"] = self.errors.append(err_df)
-        t = _mark("errors", t)
 
-        # --- link discovery → frontier append ---
         links = (
             fetched.filter(is_search)
             .select(
@@ -297,30 +285,67 @@ class CrawlEngine:
             "url",
             self.cfg.n_shards,
         ).select(*FRONTIER_COLS).distinct()
-        n_new = new_front.count()
-        if n_new:
-            versions["frontier_log"] = self.frontier.append(new_front)
-        t = _mark("links", t)
 
-        # --- mark attempted as seen; visited detail; ordering log ---
-        self.seen.add(results.select("canon_url"), "canon_url")
-        versions["seen"] = self.seen.table.current_version()
-        versions["visited"] = self.visited.append(
-            results.select(
-                "canon_url", "host", "source",
-                F.lit(r).alias("round"), "status", "attempts",
-                F.when(F.col("fetched"), F.lit("fetched"))
-                .otherwise(F.lit("error"))
-                .alias("state"),
+        # --- all round outputs write CONCURRENTLY ---------------------------
+        # Every sink below reads only the materialized `parsed` cache and
+        # writes its OWN table (separate snapshot dirs), so the six jobs
+        # are independent; submitting them from driver threads overlaps
+        # their fixed job-submission/stage latency (Spark runs concurrent
+        # jobs from one session; FIFO still fills free task slots).  On a
+        # cluster this is the same pattern as concurrent writes to
+        # independent Iceberg tables.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def w_pages():
+            if n_pages:
+                versions["pages"] = self.pages.append(
+                    pages_df,
+                    partition_cols=list(self.cfg.pages_partition_cols),
+                    metrics={"round": r},
+                )
+
+        def w_errors():
+            if n_err:
+                versions["fetch_errors"] = self.errors.append(err_df)
+
+        def w_links() -> int:
+            n = new_front.count()
+            if n:
+                versions["frontier_log"] = self.frontier.append(new_front)
+            return n
+
+        def w_seen():
+            self.seen.add(results.select("canon_url"), "canon_url")
+            versions["seen"] = self.seen.table.current_version()
+
+        def w_visited():
+            versions["visited"] = self.visited.append(
+                results.select(
+                    "canon_url", "host", "source",
+                    F.lit(r).alias("round"), "status", "attempts",
+                    F.when(F.col("fetched"), F.lit("fetched"))
+                    .otherwise(F.lit("error"))
+                    .alias("state"),
+                )
             )
-        )
-        versions["crawl_log"] = self.crawl_log.append(
-            results.select(
-                F.lit(r).alias("round"), "host", "host_rank",
-                "canon_url", "priority", "fetched",
+
+        def w_log():
+            versions["crawl_log"] = self.crawl_log.append(
+                results.select(
+                    F.lit(r).alias("round"), "host", "host_rank",
+                    "canon_url", "priority", "fetched",
+                )
             )
-        )
-        t = _mark("seen_visited_log", t)
+
+        with ThreadPoolExecutor(max_workers=6) as pool:
+            futs = [
+                pool.submit(fn)
+                for fn in (w_pages, w_errors, w_seen, w_visited, w_log)
+            ]
+            n_new = pool.submit(w_links).result()
+            for f in futs:
+                f.result()  # surface the first failure
+        t = _mark("appends", t)
 
         metrics.update(
             selected=int(n_sel),
