@@ -33,6 +33,10 @@ def main() -> None:
                          "instead of --world")
     ap.add_argument("--export", help="also build + export the dataset here")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument("--cooldown-rounds", type=int, default=0,
+                    help="exclude hosts with errors for N rounds (0=off)")
+    ap.add_argument("--cooldown-threshold", type=int, default=3,
+                    help="errors within the window that trigger cooldown")
     args = ap.parse_args()
 
     from legislation_scraper_spark.plans.crawl import (
@@ -60,7 +64,10 @@ def main() -> None:
 
     engine = CrawlEngine(
         spark, Catalog(spark, args.store), pages_raw, seeds, robots,
-        CrawlConfig(),
+        CrawlConfig(
+            error_cooldown_rounds=args.cooldown_rounds,
+            cooldown_error_threshold=args.cooldown_threshold,
+        ),
     )
     metrics = engine.run(max_rounds=args.rounds)
     for m in metrics:

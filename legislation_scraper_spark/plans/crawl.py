@@ -65,6 +65,14 @@ class CrawlConfig:
     search_marker: str = "/busca"  # URL shape that dispatches link parsing
     transport: str = "jvm"  # 'jvm' (codegen sim) | 'python' (mapInPandas)
     round_window_ms: int | None = None  # crawl-delay budget cap (politeness)
+    # Error-driven host cooldown (SURVEY.md §2.11 C5: the reference
+    # rotates VPN / sleeps when a site starts blocking; here a host with
+    # >= cooldown_error_threshold errors within the last
+    # error_cooldown_rounds rounds is excluded from selection until the
+    # window ages out).  0 disables (default — keeps ordering parity
+    # with the straight-line simulator).
+    error_cooldown_rounds: int = 0
+    cooldown_error_threshold: int = 3
 
 
 class CrawlEngine:
@@ -152,6 +160,23 @@ class CrawlEngine:
         )
         return self.seen.filter_unseen(best, "canon_url")
 
+    def cooled_hosts(self, r: int) -> DataFrame | None:
+        """Hosts in error cooldown at round ``r``: ≥ threshold errors
+        within the trailing window.  None when cooldown is disabled or
+        no errors exist yet."""
+        if not self.cfg.error_cooldown_rounds:
+            return None
+        errs = self.errors.read()
+        if errs is None:
+            return None
+        return (
+            errs.filter(F.col("round") >= r - self.cfg.error_cooldown_rounds)
+            .groupBy("host")
+            .agg(F.count("*").alias("n_err"))
+            .filter(F.col("n_err") >= self.cfg.cooldown_error_threshold)
+            .select("host")
+        )
+
     def _maintain(self) -> None:
         """Compact many-commit tables (Iceberg rewrite_data_files
         analogue) so read fan-in stays bounded as rounds accumulate."""
@@ -180,6 +205,11 @@ class CrawlEngine:
                    "new_urls": 0, "pages": 0, "timings": timings}
         if pending is None:
             return metrics
+        cooled = self.cooled_hosts(r)
+        if cooled is not None:
+            # blocked-host back-off: broadcast anti-join (the cooled set
+            # is tiny — hosts, not URLs)
+            pending = pending.join(F.broadcast(cooled), "host", "left_anti")
         selected = politeness.schedule_round(
             pending, self.robots, self.cfg.salt_buckets,
             self.cfg.fetch_partitions, self.cfg.round_window_ms,

@@ -134,3 +134,48 @@ def test_lineage_recorded(engine_result):
     assert snap is not None and snap.lineage, "pages lineage missing"
     # lineage keys are 'type|situation' partition values
     assert any("|" in k for k in snap.lineage)
+
+
+def test_error_cooldown_excludes_then_readmits(spark, world, tmp_path_factory):
+    """C5 host back-off: a host crossing the error threshold in round k
+    is excluded from selection while the cooldown window covers k, and
+    becomes selectable again once the window ages out."""
+    from pyspark.sql import functions as F
+
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("cooldownstore")))
+    eng = CrawlEngine(
+        spark, cat, world["pages_raw"], world["seeds"], world["robots"],
+        CrawlConfig(
+            n_shards=16, fetch_partitions=8,
+            error_cooldown_rounds=2, cooldown_error_threshold=1,
+        ),
+    )
+    eng.bootstrap()
+    eng.round(0)
+    # inject a block signal: host H errored hard in round 0
+    visited = eng.visited.read()
+    h = visited.select("host").first()["host"]
+    eng.errors.append(
+        spark.createDataFrame(
+            [(f"https://{h}/blocked", h, "synthetic", 0, 503, 5, "blocked")],
+            "canon_url string, host string, source string, round int, "
+            "status int, attempts int, error string",
+        )
+    )
+    # the exclusion must be meaningful: the host has pending work
+    assert eng.pending().filter(F.col("host") == h).count() > 0
+    # rounds 1..2: window (round >= r-2) still covers round 0 → excluded
+    for r in (1, 2):
+        eng.round(r)
+        logged = eng.crawl_log.read().filter(
+            (F.col("round") == r) & (F.col("host") == h)
+        )
+        assert logged.count() == 0, f"host {h} selected during cooldown round {r}"
+    # round 3: round 0 errors fall outside the window (round >= 1) →
+    # the host must be readmitted (its URLs were held back, not dropped)
+    assert eng.pending().filter(F.col("host") == h).count() > 0
+    eng.round(3)
+    logged = eng.crawl_log.read().filter(
+        (F.col("round") == 3) & (F.col("host") == h)
+    )
+    assert logged.count() > 0, f"host {h} not readmitted after cooldown"
