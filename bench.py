@@ -194,6 +194,19 @@ def _ensure_world() -> str:
     return world_dir
 
 
+def _settle(max_wait_s: int = 45, target_load: float = 4.0) -> None:
+    """Wait for the 1-min loadavg to decay below target before the next
+    measurement — a run that starts in the previous JVM's load shadow
+    measures the shadow, not the engine (high-thread runs suffer
+    superlinearly; see BASELINE.md)."""
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < max_wait_s:
+        with open("/proc/loadavg") as f:
+            if float(f.read().split()[0]) < target_load:
+                return
+        time.sleep(3)
+
+
 def run_crawl_scaling() -> dict:
     """Same job, same input, at two parallelism pairs (2→8 and 8→32);
     best of RUNS_PER_CONFIG runs per level (the sandbox VM shows bursty
@@ -202,6 +215,7 @@ def run_crawl_scaling() -> dict:
     best: dict[int, dict] = {}
     for _ in range(RUNS_PER_CONFIG):
         for cores in LEVELS:
+            _settle()
             r = _crawl_subprocess(cores, world_dir)
             if cores not in best or r["seconds"] < best[cores]["seconds"]:
                 best[cores] = r
