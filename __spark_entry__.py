@@ -453,51 +453,22 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-set Jaccard near-dup pairs, blocked by source (≥ 0.6).
+    """Word-set Jaccard near-dup pairs, blocked by source (>= 0.6).
 
-    Delegates to the library operator: dictionary-encoded int token
-    sets, one array_intersect per pair (|A∪B| = |A|+|B|−|A∩B|), plain
-    expressions in the pair hot path (lambda binders there knock the
-    join out of whole-stage codegen — measured 2×)."""
+    Delegates to operators/dedup.ngram_jaccard_pairs, which dictionary-
+    encodes tokens and picks the physical plan from the measured
+    vocabulary: bitset masks (bit_count(a & b), pure scalar codegen)
+    when the vocab fits 512 bits, sorted-int-array intersects otherwise.
+    The oracle thresholds the ROUNDED jaccard, so the operator runs at
+    threshold - half-an-ulp-of-6dp and the rounded filter is re-applied."""
     c = _dup_corpus(spark, sf_dir)
-    tok = c.select(
-        "doc_id", "source", F.array_distinct(T.words(F.col("text"))).alias("ws")
+    pairs = dedup_ops.ngram_jaccard_pairs(
+        c, block_cols=["source"], text_col="text", id_col="doc_id",
+        threshold=0.6 - 5e-7,
     )
-    # dictionary-encode tokens to ints (broadcast dict):
-    # the per-pair array_intersect compares ints, not strings — 1.7×
-    dict_df = (
-        tok.select(F.explode("ws").alias("t"))
-        .distinct()
-        # ids need distinctness only (values never reach the output, both
-        # join sides share one dict): monotonically_increasing_id avoids
-        # a global single-partition window over the vocabulary
-        .withColumn("tid", F.monotonically_increasing_id())
-    )
-    enc = (
-        tok.select("doc_id", "source", F.explode("ws").alias("t"))
-        .join(F.broadcast(dict_df.select("t", "tid")), "t")
-        .groupBy("doc_id", "source")
-        .agg(F.array_sort(F.collect_list("tid")).alias("ws"))
-    )
-    a, b = enc.alias("a"), enc.alias("b")
-    # single filter on the ROUNDED value (oracle semantics); predicate
-    # pushdown duplicates the intersect once (filter + project) — a lambda
-    # binder here would cost more by breaking whole-stage codegen
-    inter = F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws")))
-    jac = inter.cast("double") / (F.size("a.ws") + F.size("b.ws") - inter)
-    return (
-        a.join(
-            b,
-            (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("a_id"),
-            F.col("b.doc_id").alias("b_id"),
-            F.round(jac, 6).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= 0.6)
-    )
+    return pairs.select(
+        "a_id", "b_id", F.round("jaccard", 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= 0.6)
 
 
 def _dot(a, b):

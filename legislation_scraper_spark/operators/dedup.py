@@ -162,29 +162,97 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.8,
+    max_bitset_bits: int = 512,
 ) -> DataFrame:
     """Exact word-set Jaccard ≥ threshold within blocking keys.
 
-    Token sets are dictionary-encoded to int ids (broadcast dict)
-    before the pair join: the per-pair
-    ``array_intersect`` then compares ints instead of strings — 1.7×
-    on the bench corpus, and the standard columnar trick at scale
-    (the dict is tiny next to the pair volume; two cheap shuffles buy
-    millions of cheaper intersects).  Docs with empty token sets can
-    never reach the threshold and drop out of the encode step.
+    Token sets are dictionary-encoded before the pair join, then one of
+    two physical representations is chosen from the measured vocabulary
+    size:
+
+    - **bitset path** (vocab ≤ ``max_bitset_bits``): each doc's token
+      set becomes ⌈vocab/64⌉ LONG columns; per-pair intersection is
+      ``bit_count(a & b)`` — pure scalar whole-stage-codegen, no array
+      allocation per pair.  This is the dictionary-+-bitmap trick from
+      the set-similarity-join literature, exact for any vocab that fits.
+    - **array path** (fallback): sorted int arrays + one
+      ``array_intersect`` per pair (|A∪B| = |A|+|B|−|A∩B|).
+
+    Both paths produce identical pairs (tests force each).  Docs with
+    empty token sets can never reach the threshold and drop out at the
+    encode step.
     """
     tok = df.select(
         *block_cols,
         F.col(id_col).alias("id"),
         F.array_distinct(T.words(F.col(text_col))).alias("ws"),
     )
-    dict_df = (
-        tok.select(F.explode("ws").alias("t"))
-        .distinct()
-        # ids need distinctness only (values never reach the output, both
-        # join sides share one dict): monotonically_increasing_id avoids
-        # a global single-partition window over the vocabulary
-        .withColumn("tid", F.monotonically_increasing_id())
+    distinct_toks = tok.select(F.explode("ws").alias("t")).distinct()
+    # one tiny driver action decides the physical plan (Iceberg analogue:
+    # column NDV stats from the manifest)
+    vocab = distinct_toks.count()
+
+    if vocab <= max_bitset_bits:
+        # dense ids 0..vocab-1 (the window is over the tiny dict only —
+        # single-partition is fine at ≤ max_bitset_bits rows)
+        dict_df = distinct_toks.select(
+            "t",
+            (F.row_number().over(Window.orderBy("t")) - 1).alias("tid"),
+        )
+        nlongs = (vocab + 63) // 64
+        exploded = tok.select(*block_cols, "id", F.explode("ws").alias("t")).join(
+            F.broadcast(dict_df), "t"
+        )
+        # per-doc masks: sum of distinct bits == bitwise OR (tids unique
+        # within a doc because ws is array_distinct'd)
+        mask_aggs = [
+            F.sum(
+                F.when(
+                    (F.col("tid") / 64).cast("int") == j,
+                    F.expr("shiftleft(CAST(1 AS BIGINT), CAST(tid % 64 AS INT))"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias(f"m{j}")
+            for j in range(nlongs)
+        ]
+        enc = (
+            exploded.groupBy(*block_cols, "id")
+            .agg(*mask_aggs, F.count("*").alias("n"))
+        )
+        a = enc.select(
+            *block_cols, F.col("id").alias("a_id"), F.col("n").alias("a_n"),
+            *[F.col(f"m{j}").alias(f"a_m{j}") for j in range(nlongs)],
+        )
+        b = enc.select(
+            *block_cols, F.col("id").alias("b_id"), F.col("n").alias("b_n"),
+            *[F.col(f"m{j}").alias(f"b_m{j}") for j in range(nlongs)],
+        )
+        inter = sum(
+            (
+                F.bit_count(F.col(f"a_m{j}").bitwiseAND(F.col(f"b_m{j}")))
+                for j in range(nlongs)
+            ),
+            F.lit(0),
+        )
+        union = F.col("a_n") + F.col("b_n") - inter
+        jac = F.when(union > 0, inter.cast("double") / union).otherwise(
+            F.lit(0.0)
+        )
+        ratio_ok = (
+            F.col("a_n") * F.lit(1.0) >= F.lit(threshold) * F.col("b_n")
+        ) & (F.col("b_n") * F.lit(1.0) >= F.lit(threshold) * F.col("a_n"))
+        return (
+            a.join(b, block_cols)
+            .filter((F.col("a_id") < F.col("b_id")) & ratio_ok)
+            .withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= threshold)
+            .select("a_id", "b_id", "jaccard")
+        )
+
+    # -- array fallback (large vocabulary) ----------------------------------
+    dict_df = distinct_toks.withColumn(
+        # ids need distinctness only: monotonically_increasing_id avoids a
+        # global single-partition window over a large vocabulary
+        "tid", F.monotonically_increasing_id()
     )
     enc = (
         tok.select(*block_cols, "id", F.explode("ws").alias("t"))
