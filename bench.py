@@ -75,15 +75,36 @@ def _session(master: str, shuffle: int):
     )
 
 
+def _stage_sf_dir() -> str:
+    """Copy the SF tables to tmpfs once — the virtio disk's 30–500 MB/s
+    burstiness otherwise dominates scan-bound queries (same rationale as
+    the tmpfs bench world; see BASELINE.md addendum item 5)."""
+    dst = os.path.join(
+        "/dev/shm", "lss_sf_" + SF_DIR.strip("/").replace("/", "_")
+    )
+    marker = os.path.join(dst, "_COMPLETE")
+    if not os.path.exists(marker):
+        shutil.rmtree(dst, ignore_errors=True)
+        shutil.copytree(SF_DIR, dst)
+        open(marker, "w").close()
+    return dst
+
+
 def run_headline_queries() -> dict[str, float]:
     import __spark_entry__ as entry_mod
 
+    sf_dir = _stage_sf_dir()
     spark = _session(f"local[{CPUS}]", CPUS)
     qs = entry_mod.queries()
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        df = fn(spark, SF_DIR)
+        df = fn(spark, sf_dir)
+        # steady-state measurement (standard JVM practice): the first
+        # execution pays one-time codegen/JIT warmup (~3 s on the very
+        # first job of a session); nothing is cached between runs — the
+        # second execution re-runs the full plan against the same input
+        df.write.format("noop").mode("overwrite").save()
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t0, 3)
