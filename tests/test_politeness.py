@@ -72,3 +72,46 @@ def test_rank_order_deterministic(spark):
         (i % 3, f"https://a.br/doc/{i}") for i in range(10)
     )[:4]
     assert urls == [u for _, u in want]
+
+
+def test_salting_defeats_host_skew(spark):
+    """North-rule skew evidence: a mega-host (100× the others) must not
+    land in one fetch partition.  Salted repartition bounds the largest
+    partition near the mean; plain host-hash partitioning puts the whole
+    mega-host in one partition."""
+    from pyspark.sql import functions as F
+
+    from legislation_scraper_spark.functions.urls import salted_host
+
+    rows = [("mega.example", f"https://mega.example/p{i}") for i in range(8000)]
+    for h in range(10):
+        rows += [
+            (f"small{h}.example", f"https://small{h}.example/p{i}")
+            for i in range(80)
+        ]
+    df = spark.createDataFrame(rows, "host string, canon_url string")
+    n_parts = 16
+
+    def sizes(d):
+        return [
+            r["cnt"]
+            for r in d.groupBy(F.spark_partition_id().alias("pid"))
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        ]
+
+    plain = sizes(df.repartition(n_parts, F.col("host")))
+    # salt buckets scale with parallelism (CrawlConfig.salt_buckets=cores
+    # in bench): ≥ 2× the partition count spreads a mega-host finely
+    salted = sizes(
+        df.repartition(
+            n_parts, salted_host(F.col("host"), F.col("canon_url"), 32)
+        )
+    )
+    total = len(rows)
+    # plain host partitioning: the mega-host's 8000 rows share one partition
+    assert max(plain) >= 8000
+    # salted: largest partition within 3× the ideal mean
+    assert max(salted) <= 3 * total / n_parts, (max(salted), total / n_parts)
+    # salting preserves host affinity upstream invariants: every row kept
+    assert sum(salted) == total
