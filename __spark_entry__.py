@@ -986,7 +986,27 @@ def q_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.asof_join — Spark has no native ASOF):
+    each event gets the user's most recent purchase value at or before
+    the event's timestamp.  Oracle is DuckDB's native ASOF LEFT JOIN."""
+    from legislation_scraper_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    left = e.select("event_id", "user_id", "ts")
+    right = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pval"))
+    )
+    out = asof_join(left, right, by="user_id", ts_col="ts")
+    return out.select(
+        "event_id", "user_id", F.round("asof_pval", 4).alias("asof_purchase")
+    )
+
+
 _Q_B3 = {
+    "asof_join": q_asof_join,
     "json_extract": q_json_extract,
     "dim_lookup_map": q_dim_lookup_map,
     "sessionize_gap": q_sessionize_gap,
@@ -997,6 +1017,15 @@ _Q_B3 = {
 }
 
 _ORACLE_B3 = {
+    "asof_join": """
+        WITH r AS (
+          SELECT user_id, ts, MAX(value) AS pval
+          FROM events WHERE event_type = 'purchase'
+          GROUP BY user_id, ts)
+        SELECT l.event_id, l.user_id, ROUND(r.pval, 4) AS asof_purchase
+        FROM events l
+        ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
     "json_extract": """
         SELECT event_type,
                SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
