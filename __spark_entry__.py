@@ -1005,8 +1005,31 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join (operators/ranges.interval_join — OSS Spark
+    would nested-loop a BETWEEN predicate): events falling inside the
+    2-hour window after each purchase of the same user, as (event,
+    purchase) pairs.  Bucketed equi-join, exact-predicate recheck."""
+    from legislation_scraper_spark.operators.ranges import interval_join
+
+    e = _t(spark, sf_dir, "events")
+    left = e.select("event_id", "user_id", "ts")
+    iv = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end"),
+    )
+    out = interval_join(
+        left, iv, ts_col="ts", start_col="start", end_col="end",
+        by="user_id", bucket_seconds=3600,
+    )
+    return out.select("event_id", "purchase_id", "user_id")
+
+
 _Q_B3 = {
     "asof_join": q_asof_join,
+    "interval_join": q_interval_join,
     "json_extract": q_json_extract,
     "dim_lookup_map": q_dim_lookup_map,
     "sessionize_gap": q_sessionize_gap,
@@ -1017,6 +1040,14 @@ _Q_B3 = {
 }
 
 _ORACLE_B3 = {
+    "interval_join": """
+        SELECT l.event_id, r.event_id AS purchase_id, l.user_id
+        FROM events l JOIN events r
+          ON l.user_id = r.user_id
+         AND r.event_type = 'purchase'
+         AND l.ts >= r.ts
+         AND l.ts <= r.ts + INTERVAL 2 HOUR
+    """,
     "asof_join": """
         WITH r AS (
           SELECT user_id, ts, MAX(value) AS pval
