@@ -1027,9 +1027,31 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "purchase_id", "user_id")
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — the training-data primitive
+    (downsample dominant sources, keep rare ones) made reproducible and
+    oracle-checkable: the sampling decision is a pure function of the
+    row key (md5 bucket), not an RNG, so resumed/re-run jobs keep the
+    exact same sample (cf. the engine's replayable-crawl discipline)."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast("int") % 100
+    rate = (
+        F.when(F.col("source") == "camara", F.lit(10))   # downsample 10%
+        .when(F.col("source") == "senado", F.lit(50))    # 50%
+        .otherwise(F.lit(100))                           # keep the rest
+    )
+    return (
+        d.withColumn("bucket", bucket)
+        .filter(F.col("bucket") < rate)
+        .groupBy("source")
+        .agg(F.count("*").alias("sampled"))
+    )
+
+
 _Q_B3 = {
     "asof_join": q_asof_join,
     "interval_join": q_interval_join,
+    "stratified_sample": q_stratified_sample,
     "json_extract": q_json_extract,
     "dim_lookup_map": q_dim_lookup_map,
     "sessionize_gap": q_sessionize_gap,
@@ -1040,6 +1062,18 @@ _Q_B3 = {
 }
 
 _ORACLE_B3 = {
+    "stratified_sample": """
+        SELECT source, COUNT(*) AS sampled FROM (
+          SELECT source,
+                 CAST(CONCAT('0x', SUBSTRING(
+                   md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 100
+                   AS bucket
+          FROM documents)
+        WHERE bucket < CASE source WHEN 'camara' THEN 10
+                                   WHEN 'senado' THEN 50
+                                   ELSE 100 END
+        GROUP BY source
+    """,
     "interval_join": """
         SELECT l.event_id, r.event_id AS purchase_id, l.user_id
         FROM events l JOIN events r
