@@ -158,12 +158,25 @@ def bloom_probe(
 
 
 class SeenSet:
-    """Exact seen table + Bloom pre-filter, snapshot-backed."""
+    """Exact seen table + probabilistic pre-filter, snapshot-backed.
 
-    def __init__(self, table, n_shards: int = 64, fpp: float = 0.01):
+    ``filter_kind``: "bloom" (default — smallest bitmaps) or "cuckoo"
+    (operators/cuckoo.py — deletable fingerprints, lower FPP, ~2× the
+    bytes/key).  Both give the same contract: a pre-filter MISS proves
+    the URL is new; HITS verify against the exact table.
+    """
+
+    def __init__(
+        self,
+        table,
+        n_shards: int = 64,
+        fpp: float = 0.01,
+        filter_kind: str = "bloom",
+    ):
         self.table = table  # tables.Table with (shard, url_hash, canon_url)
         self.n_shards = n_shards
         self.fpp = fpp
+        self.filter_kind = filter_kind
 
     def df(self) -> DataFrame | None:
         return self.table.read()
@@ -187,13 +200,19 @@ class SeenSet:
         seen = self.df()
         if seen is None:
             return cand
-        # row count from snapshot lineage — no extra Spark job
-        n_seen = self.table.approx_rows()
-        params = BloomParams.for_capacity(
-            max(n_seen // self.n_shards, 1), self.fpp
-        )
-        shards = build_bloom_shards(seen, params, self.n_shards)
-        probed = bloom_probe(cand, shards, params)
+        if self.filter_kind == "cuckoo":
+            from .cuckoo import build_cuckoo_shards, cuckoo_probe
+
+            shards = build_cuckoo_shards(seen, self.n_shards)
+            probed = cuckoo_probe(cand, shards)
+        else:
+            # row count from snapshot lineage — no extra Spark job
+            n_seen = self.table.approx_rows()
+            params = BloomParams.for_capacity(
+                max(n_seen // self.n_shards, 1), self.fpp
+            )
+            shards = build_bloom_shards(seen, params, self.n_shards)
+            probed = bloom_probe(cand, shards, params)
         surely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
         maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
         verified_new = maybe.join(
