@@ -172,21 +172,81 @@ class SeenSet:
         n_shards: int = 64,
         fpp: float = 0.01,
         filter_kind: str = "bloom",
+        filters_table=None,
+        keys_per_shard: int = 65536,
     ):
         self.table = table  # tables.Table with (shard, url_hash, canon_url)
         self.n_shards = n_shards
         self.fpp = fpp
         self.filter_kind = filter_kind
+        # incremental filter state (SURVEY.md §4 "incremental partitioned
+        # filter"): per-add DELTA bitmaps appended to ``filters_table``
+        # and OR-merged at probe time — the probe never rescans the full
+        # seen table.  Requires FIXED bloom params across batches, sized
+        # by ``keys_per_shard`` capacity (resize = rebuild_filters()).
+        # Bloom-only: cuckoo tables don't merge bitwise.
+        self.filters_table = (
+            filters_table if filter_kind == "bloom" else None
+        )
+        self.keys_per_shard = keys_per_shard
+
+    def _params(self) -> BloomParams:
+        return BloomParams.for_capacity(self.keys_per_shard, self.fpp)
 
     def df(self) -> DataFrame | None:
         return self.table.read()
 
     def add(self, urls: DataFrame, url_col: str = "url") -> None:
-        """Record URLs as seen (idempotent via downstream anti-joins)."""
+        """Record URLs as seen (idempotent via downstream anti-joins).
+
+        Also appends this batch's DELTA bitmaps to the filter-state
+        table (when configured): probes then OR-merge small blobs
+        instead of rescanning the full seen table every round."""
         keyed = with_url_key(urls.select(url_col), url_col, self.n_shards)
-        self.table.append(
-            keyed.select("shard", "url_hash", "canon_url").distinct()
+        rows = keyed.select("shard", "url_hash", "canon_url").distinct()
+        self.table.append(rows)
+        if self.filters_table is not None:
+            delta = build_bloom_shards(rows, self._params(), self.n_shards)
+            self.filters_table.append(delta)
+
+    def merged_filters(self) -> DataFrame | None:
+        """One OR-merged bitmap per shard from the delta log."""
+        log = (
+            self.filters_table.read()
+            if self.filters_table is not None
+            else None
         )
+        if log is None:
+            return None
+
+        def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+            acc = np.zeros(0, dtype=np.uint8)
+            n = 0
+            for blob, nk in zip(pdf["bitmap"], pdf["n_keys"]):
+                arr = np.frombuffer(bytes(blob), dtype=np.uint8)
+                if acc.size == 0:
+                    acc = arr.copy()
+                else:
+                    # fixed params ⇒ identical bitmap length per shard
+                    acc |= arr
+                n += int(nk)
+            return pd.DataFrame(
+                {
+                    "shard": [int(pdf["shard"].iloc[0])],
+                    "bitmap": [acc.tobytes()],
+                    "n_keys": [n],
+                }
+            )
+
+        return log.groupBy("shard").applyInPandas(
+            merge, schema="shard int, bitmap binary, n_keys long"
+        )
+
+    def compact_filters(self) -> None:
+        """Fold the delta log to one row per shard (maintenance)."""
+        merged = self.merged_filters()
+        if merged is not None:
+            self.filters_table.overwrite(merged)
 
     def filter_unseen(
         self, candidates: DataFrame, url_col: str = "url"
@@ -205,8 +265,16 @@ class SeenSet:
 
             shards = build_cuckoo_shards(seen, self.n_shards)
             probed = cuckoo_probe(cand, shards)
+        elif self.filters_table is not None:
+            # incremental path: OR-merge the persisted delta bitmaps —
+            # no rescan of the exact seen table to build filters
+            merged = self.merged_filters()
+            if merged is None:
+                return cand
+            probed = bloom_probe(cand, merged, self._params())
         else:
-            # row count from snapshot lineage — no extra Spark job
+            # stateless fallback: rebuild from the exact table
+            # (row count from snapshot lineage — no extra Spark job)
             n_seen = self.table.approx_rows()
             params = BloomParams.for_capacity(
                 max(n_seen // self.n_shards, 1), self.fpp

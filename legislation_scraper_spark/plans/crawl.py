@@ -73,6 +73,10 @@ class CrawlConfig:
     # with the straight-line simulator).
     error_cooldown_rounds: int = 0
     cooldown_error_threshold: int = 3
+    # bloom capacity per shard for the INCREMENTAL filter state (params
+    # must stay fixed across delta batches for OR-merge); resize is a
+    # rebuild-maintenance action
+    filter_keys_per_shard: int = 65536
 
 
 class CrawlEngine:
@@ -97,7 +101,13 @@ class CrawlEngine:
         self.visited = catalog.table("visited")
         self.crawl_log = catalog.table("crawl_log")
         self.seen = SeenSet(
-            catalog.table("seen"), self.cfg.n_shards, self.cfg.bloom_fpp
+            catalog.table("seen"),
+            self.cfg.n_shards,
+            self.cfg.bloom_fpp,
+            # incremental filter state: per-round delta bitmaps, OR-merged
+            # at probe — the probe cost no longer scales with total seen
+            filters_table=catalog.table("seen_filters"),
+            keys_per_shard=self.cfg.filter_keys_per_shard,
         )
 
     # -- lifecycle ------------------------------------------------------------
@@ -184,6 +194,12 @@ class CrawlEngine:
             snap = t.snapshot()
             if snap and len(snap.file_sets) > 12:
                 t.compact()
+        if self.seen.filters_table is not None:
+            snap = self.seen.filters_table.snapshot()
+            if snap and len(snap.file_sets) > 12:
+                # fold delta bitmaps row-wise (plain compact would keep
+                # one row per round; this ORs them to one per shard)
+                self.seen.compact_filters()
 
     def round(self, r: int) -> dict:
         """Execute crawl round ``r``; returns the round's metrics
@@ -347,6 +363,10 @@ class CrawlEngine:
         def w_seen():
             self.seen.add(results.select("canon_url"), "canon_url")
             versions["seen"] = self.seen.table.current_version()
+            if self.seen.filters_table is not None:
+                versions["seen_filters"] = (
+                    self.seen.filters_table.current_version()
+                )
 
         def w_visited():
             versions["visited"] = self.visited.append(

@@ -101,3 +101,44 @@ def test_with_url_key_shards_stable(spark):
     r2 = df.collect()[0]
     assert r1["shard"] == r2["shard"] and 0 <= r1["shard"] < 8
     assert r1["url_hash"] == r2["url_hash"]
+
+
+def test_incremental_filter_state_equivalent(spark, tmp_path):
+    """Incremental delta-bitmap path: multiple adds, probe from the
+    OR-merged filter log, never rescanning the seen table — results
+    identical to the stateless rebuild path, before and after folding
+    the delta log."""
+    from pyspark.sql import functions as F
+
+    from legislation_scraper_spark.operators.seen import SeenSet
+    from legislation_scraper_spark.tables import Catalog
+
+    urls = [(f"https://h{i % 5}.example/p{i}",) for i in range(400)]
+    df = spark.createDataFrame(urls, "url string")
+
+    cat = Catalog(spark, str(tmp_path / "inc"))
+    inc = SeenSet(
+        cat.table("seen"), n_shards=8,
+        filters_table=cat.table("seen_filters"), keys_per_shard=1024,
+    )
+    cat2 = Catalog(spark, str(tmp_path / "stateless"))
+    ref = SeenSet(cat2.table("seen"), n_shards=8)
+
+    # three incremental batches
+    for mod in (0, 1, 2):
+        batch = df.filter(F.xxhash64("url") % 7 == mod)
+        inc.add(batch, "url")
+        ref.add(batch, "url")
+    assert inc.filters_table.read().count() > 8  # true delta log
+
+    def unseen(ss):
+        return sorted(
+            r["url"] for r in ss.filter_unseen(df, "url").select("url").collect()
+        )
+
+    expect = unseen(ref)
+    assert unseen(inc) == expect
+    # fold the delta log; results must not change
+    inc.compact_filters()
+    assert inc.filters_table.read().count() <= 8
+    assert unseen(inc) == expect
