@@ -747,6 +747,14 @@ def _duck_quality_sql() -> str:
 
 
 _ORACLE_B2: dict[str, str] = {
+    "dedup_clusters": """
+        WITH e AS (
+          SELECT l.doc_id AS a, r.doc_id AS b
+          FROM documents l JOIN documents r ON r.doc_id = l.doc_id + 1
+          WHERE l.doc_id % 8 <> 7),
+        n AS (SELECT a AS id FROM e UNION SELECT b FROM e)
+        SELECT id, id - (id % 8) AS comp FROM n
+    """,
     "dedup_exact": _CORPUS_SQL
     + """
         SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
@@ -854,8 +862,32 @@ _ORACLE_B2: dict[str, str] = {
     """,
 }
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → clusters: connected components over a deterministic
+    near-dup edge set (consecutive ids chained in groups of 8), via
+    iterative min-label propagation (operators/dedup.
+    connected_components — BFS-over-DataFrames; chains of 8 force ≥7
+    propagation rounds).  Oracle: the closed-form component id
+    ``id - id % 8`` for every chained node."""
+    from legislation_scraper_spark.operators.dedup import (
+        connected_components,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    l, r = d.alias("l"), d.alias("r")
+    edges = (
+        l.join(r, F.col("r.doc_id") == F.col("l.doc_id") + 1)
+        .filter(F.col("l.doc_id") % 8 != 7)
+        .select(
+            F.col("l.doc_id").alias("a_id"), F.col("r.doc_id").alias("b_id")
+        )
+    )
+    return connected_components(edges)
+
+
 _Q_B2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,

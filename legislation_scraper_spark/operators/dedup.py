@@ -282,6 +282,67 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup pairs: (id, comp) where comp
+    is the minimum id in the component — the step from candidate PAIRS
+    to dedup CLUSTERS (pick one survivor per comp).
+
+    Iterative min-label propagation — BFS-over-DataFrames exactly like
+    the crawl loop: each round every node adopts the smallest label in
+    its neighborhood; converged when no label changes (checked with one
+    small driver action per round).  O(diameter) rounds; near-dup
+    cluster diameters are tiny in practice.  For adversarial long-chain
+    graphs the O(log n) large-star/small-star variant slots in here
+    unchanged (same edges/labels tables).  Label state is cached per
+    round and unpersisted after — the working set is 2 columns.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col(b_col).alias("src"), F.col(a_col).alias("dst")
+            )
+        )
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy("dst")
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.dst, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce("ncomp", F.col("comp"))
+                ).alias("comp"),
+                (F.coalesce("ncomp", F.col("comp")) < F.col("comp")).alias(
+                    "chg"
+                ),
+            )
+        ).localCheckpoint()  # eager: truncates lineage at each round
+        changed = new_labels.filter("chg").count()
+        labels = new_labels.drop("chg")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
