@@ -440,9 +440,12 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles: shingle → md5-min signature → band buckets → bucket
     self-join → distinct (a < b) pairs."""
     c = _dup_corpus(spark, sf_dir)
+    # max_bucket is effectively unbounded here because the DuckDB oracle
+    # joins all buckets with no cap — production callers keep the
+    # degenerate-bucket cap, the parity query must mirror the oracle.
     return dedup_ops.minhash_lsh_pairs(
         c, text_col="text", id_col="doc_id",
-        shingle_n=3, num_hashes=8, bands=4,
+        shingle_n=3, num_hashes=8, bands=4, max_bucket=1 << 31,
     )
 
 
@@ -1125,8 +1128,8 @@ _ORACLE_B3 = {
     """,
     "json_extract": """
         SELECT event_type,
-               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
-                 AS k_total,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                 AS BIGINT) AS k_total,
                MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
                  AS k_max
         FROM events GROUP BY event_type
@@ -1142,7 +1145,8 @@ _ORACLE_B3 = {
         GROUP BY e.event_type
     """,
     "sessionize_gap": """
-        SELECT user_id, SUM(ns) AS n_sessions, COUNT(*) AS n_events
+        SELECT user_id, CAST(SUM(ns) AS BIGINT) AS n_sessions,
+               COUNT(*) AS n_events
         FROM (
           SELECT user_id,
                  CASE WHEN prev_ts IS NULL
@@ -1302,8 +1306,8 @@ _ORACLE: dict[str, str] = {
     """,
     "regex_count_probe": """
         SELECT event_type,
-               SUM(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1)
-                   AS BIGINT)) AS k_sum,
+               CAST(SUM(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1)
+                   AS BIGINT)) AS BIGINT) AS k_sum,
                COUNT(*) AS cnt
         FROM events GROUP BY event_type
     """,
@@ -1371,7 +1375,8 @@ _ORACLE: dict[str, str] = {
                CASE WHEN doc_id % 5 = 0 THEN 'error'
                     WHEN seen THEN 'fetched'
                     ELSE 'pending' END AS state,
-               COUNT(*) AS url_cnt, SUM(n_chars) AS bytes_total
+               COUNT(*) AS url_cnt,
+               CAST(SUM(n_chars) AS BIGINT) AS bytes_total
         FROM frontier JOIN documents USING (doc_id)
         GROUP BY host, state
     """,

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 SLOTS = 4
 _FP_MUL = np.uint64(0xFF51AFD7ED558CCD)
 _ALT_MUL = np.uint64(0x9E3779B97F4A7C15)
+_B1_MUL = np.uint64(0xD6E8FEB86659FD93)
 MAX_KICKS = 500
 
 
@@ -44,7 +45,13 @@ def _fingerprints(hashes: np.ndarray) -> np.ndarray:
 
 
 def _bucket1(hashes: np.ndarray, m: int) -> np.ndarray:
-    return (hashes & np.uint64(m - 1)).astype(np.int64)
+    """Remix before masking: shard assignment is pmod(url_hash, n_shards),
+    so within a shard every key shares its low lg(n_shards) bits — a bare
+    ``h & (m-1)`` would reach only m/n_shards buckets, overloading them
+    and failing construction.  Multiply-shift spreads the surviving
+    entropy into the masked bits."""
+    mixed = (hashes * _B1_MUL) >> np.uint64(32)
+    return (mixed & np.uint64(m - 1)).astype(np.int64)
 
 
 def _alt_bucket(i: np.ndarray, fp: np.ndarray, m: int) -> np.ndarray:

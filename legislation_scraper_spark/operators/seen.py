@@ -260,19 +260,25 @@ class SeenSet:
         seen = self.df()
         if seen is None:
             return cand
+        merged = (
+            self.merged_filters() if self.filters_table is not None else None
+        )
         if self.filter_kind == "cuckoo":
             from .cuckoo import build_cuckoo_shards, cuckoo_probe
 
             shards = build_cuckoo_shards(seen, self.n_shards)
             probed = cuckoo_probe(cand, shards)
-        elif self.filters_table is not None:
+        elif merged is not None:
             # incremental path: OR-merge the persisted delta bitmaps —
             # no rescan of the exact seen table to build filters
-            merged = self.merged_filters()
-            if merged is None:
-                return cand
             probed = bloom_probe(cand, merged, self._params())
         else:
+            # NOTE: reached both when no filters_table is configured AND
+            # when one is configured but its delta log is empty while the
+            # exact table is not (store predates the incremental path, or
+            # rows were appended bypassing add()).  Rebuilding from the
+            # exact table keeps the "pre-filter MISS proves unseen"
+            # contract; returning cand here would re-crawl seen URLs.
             # stateless fallback: rebuild from the exact table
             # (row count from snapshot lineage — no extra Spark job)
             n_seen = self.table.approx_rows()

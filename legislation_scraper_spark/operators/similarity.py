@@ -131,20 +131,23 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """IVF-Flat: deterministic centroids (every (N/n_cells)-th vector by
-    id — reproducible without kmeans iterations), nearest-cell
-    assignment via broadcast centroid join, search the query's nprobe
-    nearest cells, exact rerank inside."""
+    """IVF-Flat: deterministic centroids via seeded hash sampling — the
+    ``n_cells`` corpus vectors with the smallest ``xxhash64(id)``.
+    ``orderBy(h).limit(n)`` compiles to TakeOrderedAndProject (partial
+    per-partition top-k merged at n_cells rows), so centroid selection
+    never sorts, counts, or single-partitions the corpus — a hash-random
+    yet reproducible sample at any scale.  The row_number window that
+    assigns cell ids runs over ≤ n_cells rows (like rank_years_desc) and
+    is deliberately tiny.  Nearest-cell assignment is a broadcast
+    centroid join; queries search their nprobe nearest cells with exact
+    rerank inside."""
     c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
-    w_id = Window.orderBy("cid")
-    ranked = c.withColumn("pos", F.row_number().over(w_id))
-    total = c.count()
-    step = max(total // n_cells, 1)
     centroids = (
-        ranked.filter((F.col("pos") - 1) % step == 0)
+        c.select(F.xxhash64("cid").alias("h"), F.col("cid"), F.col("cv"))
+        .orderBy("h", "cid")
         .limit(n_cells)
         .select(
-            F.row_number().over(Window.orderBy("pos")).alias("cell"),
+            F.row_number().over(Window.orderBy("h", "cid")).alias("cell"),
             F.col("cv").alias("centroid"),
         )
     )

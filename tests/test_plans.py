@@ -73,3 +73,48 @@ def test_jaccard_dict_join_is_broadcast(spark):
     plan = _explain(ngram_jaccard_pairs(df, ["source"], threshold=0.8))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+def test_ivf_centroid_pick_is_partial_topk(spark):
+    """IVF centroid selection must not move the corpus through a single
+    partition: orderBy(hash).limit(n_cells) compiles to
+    TakeOrderedAndProject (per-partition partial top-k), and the only
+    Window execs in the whole IVF plan are partitioned by qid/cid or run
+    over the ≤ n_cells centroid rows — never an unpartitioned window
+    over the corpus relation."""
+    from legislation_scraper_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.limit(3)
+    plan = _explain(ivf_topk(q, emb, k=5, n_cells=8, nprobe=8))
+    assert "TakeOrderedAndProject" in plan
+
+    # Parse the formatted tree: for every Window node, look up its
+    # Arguments detail.  Partitioned windows print three bracket groups
+    # ([exprs], [partSpec], [orderSpec]); unpartitioned print two.  An
+    # unpartitioned Window is allowed ONLY when its direct child in the
+    # tree is TakeOrderedAndProject (the ≤ n_cells centroid rows).
+    import re
+
+    lines = plan.splitlines()
+    args = {}  # node id -> Arguments line
+    for i, ln in enumerate(lines):
+        m = re.match(r"\((\d+)\) Window\b", ln.strip())
+        if m:
+            for dl in lines[i + 1 : i + 6]:
+                if dl.strip().startswith("Arguments:"):
+                    args[m.group(1)] = dl
+                    break
+    assert args, "no Window nodes found in plan"
+    tree = [ln for ln in lines if re.search(r"\(\d+\)\s*$", ln)]
+    checked_unpartitioned = 0
+    for j, ln in enumerate(tree):
+        m = re.search(r"Window \((\d+)\)", ln)
+        if not m or m.group(1) not in args:
+            continue
+        n_groups = len(re.findall(r"\[[^\[\]]*\]", args[m.group(1)]))
+        if n_groups < 3:  # unpartitioned
+            checked_unpartitioned += 1
+            assert "TakeOrderedAndProject" in tree[j + 1], (
+                f"unpartitioned Window over a full relation: {ln.strip()}"
+            )
+    assert checked_unpartitioned == 2  # the two centroid-pick windows

@@ -142,3 +142,39 @@ def test_incremental_filter_state_equivalent(spark, tmp_path):
     inc.compact_filters()
     assert inc.filters_table.read().count() <= 8
     assert unseen(inc) == expect
+
+
+def test_empty_filter_log_falls_back_to_rebuild(spark, tmp_path):
+    """filters_table configured but its delta log empty while the exact
+    seen table is NOT (store predates the incremental path, or rows were
+    appended bypassing add()): filter_unseen must fall back to the
+    stateless Bloom rebuild, not return every candidate as unseen."""
+    from pyspark.sql import functions as F
+
+    from legislation_scraper_spark.operators.seen import (
+        SeenSet, with_url_key,
+    )
+    from legislation_scraper_spark.tables import Catalog
+
+    urls = [(f"https://h{i % 5}.example/p{i}",) for i in range(200)]
+    df = spark.createDataFrame(urls, "url string")
+    seen_urls = df.filter(F.xxhash64("url") % 3 == 0)
+
+    cat = Catalog(spark, str(tmp_path / "legacy"))
+    # seed the exact table directly (the "legacy store" path — no deltas)
+    legacy = SeenSet(cat.table("seen"), n_shards=8)
+    legacy.add(seen_urls, "url")
+
+    # resume with the incremental engine over the same store
+    inc = SeenSet(
+        cat.table("seen"), n_shards=8,
+        filters_table=cat.table("seen_filters"), keys_per_shard=1024,
+    )
+    got = sorted(
+        r["url"] for r in inc.filter_unseen(df, "url").select("url").collect()
+    )
+    expect = sorted(
+        r["url"] for r in legacy.filter_unseen(df, "url").select("url").collect()
+    )
+    assert got == expect
+    assert len(got) < 200  # seen URLs actually filtered out
