@@ -842,6 +842,29 @@ _ORACLE_B2: dict[str, str] = {
     """,
     "lang_id": _duck_lang_sql(),
     "quality_scores": _duck_quality_sql(),
+    # The md5-seeded RandomState fake decode is not SQL-expressible, so
+    # the expected rows are precomputed by an INDEPENDENT straight-line
+    # implementation (scripts/gen_multimodal_fixture.py — no Spark, no
+    # shared code) and committed as a parquet fixture.  sf0.01-specific,
+    # matching the driver's correctness scale.
+    "multimodal_features": """
+        SELECT doc_id, format, media_type, width, height, feat_mean
+        FROM '/root/repo/fixtures/multimodal_features_sf0.01.parquet'
+    """,
+    "ficha_enrichment": """
+        WITH t AS (
+          SELECT doc_id, j
+          FROM documents,
+               UNNEST(generate_series(0, CAST(doc_id % 3 AS INT))) AS u(j)
+          WHERE doc_id % 3 <> 1
+        )
+        SELECT 'tema_' || CAST((doc_id * 7 + j * 13) % 12 AS VARCHAR)
+                 AS theme,
+               COUNT(*) AS cnt,
+               CAST(SUM(CASE WHEN doc_id % 5 <> 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS with_prom
+        FROM t GROUP BY 1
+    """,
     "doc_fingerprints": """
         SELECT doc_id,
                md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
@@ -888,7 +911,67 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges)
 
 
+def q_ficha_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 enrichment payload over array/map columns: synthesize a ficha
+    block per doc_id (pure JVM string ops), parse it with the REAL
+    extract_doc Arrow UDF (operators/extract.py ficha path —
+    sao_paulo.py:202-236 parity), then explode themes and count docs +
+    promulgation presence via the extras map."""
+    from legislation_scraper_spark.operators.extract import extract_doc
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    n_temas = (did % 3).cast("int")  # themes j in 0..n_temas (present iff %3 != 1)
+    btns = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(0), n_temas),
+            lambda j: F.concat(
+                F.lit("<button>tema_"),
+                ((did * 7 + j.cast("bigint") * 13) % 12).cast("string"),
+                F.lit("</button>"),
+            ),
+        ),
+    )
+    temas_html = F.when(
+        did % 3 != 1,
+        F.concat(
+            F.lit('<label>Temas</label><div class="temas">'),
+            btns,
+            F.lit("</div>"),
+        ),
+    ).otherwise(F.lit(""))
+    prom_html = F.when(
+        did % 5 != 1,
+        F.concat(
+            F.lit("<label>Promulgação</label><label>2020-"),
+            (did % 12 + 1).cast("string"),
+            F.lit("</label>"),
+        ),
+    ).otherwise(F.lit(""))
+    page = F.concat(
+        F.lit('<html><body><div class="ficha">'),
+        prom_html,
+        temas_html,
+        F.lit("</div></body></html>"),
+    ).cast("binary")
+    rec = d.select("doc_id", extract_doc(page).alias("r"))
+    return (
+        rec.select(
+            "doc_id",
+            F.explode("r.themes").alias("theme"),
+            F.element_at("r.extras", "promulgation").alias("prom"),
+        )
+        .groupBy("theme")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("prom").isNotNull().cast("bigint")).alias("with_prom"),
+        )
+    )
+
+
 _Q_B2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ficha_enrichment": q_ficha_enrichment,
     "dedup_exact": q_dedup_exact,
     "dedup_clusters": q_dedup_clusters,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,

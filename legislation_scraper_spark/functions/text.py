@@ -243,20 +243,145 @@ def quality_score(text: Column) -> Column:
     )
 
 
-_ACCENTS = "ãáàâäçéêèëíîìïñõóôòöúûùü"
-_PLAIN = "aaaaaceeeeiiiinooooouuuu"
+def _build_fold_tables() -> tuple[str, str, dict[str, str]]:
+    """Unidecode-style transliteration tables, generated from stdlib
+    unicodedata at import time (the reference uses the unidecode
+    package, saver.py:119-125; that library does not ship here, so the
+    fold is derived from NFKD decomposition — which covers every
+    precomposed Latin letter — plus explicit supplements for the
+    non-decomposable Latin letters — where the outputs match
+    unidecode's — and basic Greek/Cyrillic via standard romanization,
+    which differs from unidecode only on Cyrillic soft/hard signs,
+    dropped here instead of quoted).
+
+    Returns (src, dst) for the 1→1 ``translate`` fast path and a
+    {char: multi-char} dict for the few expansions (æ→ae, ß→ss, …).
+    """
+    import unicodedata
+
+    multi: dict[str, str] = {
+        # non-decomposable Latin (unidecode outputs)
+        "æ": "ae", "Æ": "AE", "œ": "oe", "Œ": "OE", "ß": "ss",
+        "þ": "th", "Þ": "Th", "ð": "d", "Ð": "D", "ŋ": "ng", "Ŋ": "NG",
+        "ĳ": "ij", "Ĳ": "IJ",
+        # Greek digraphs
+        "θ": "th", "Θ": "Th", "φ": "ph", "Φ": "Ph", "χ": "kh", "Χ": "Kh",
+        "ψ": "ps", "Ψ": "Ps",
+        # Cyrillic digraphs
+        "ж": "zh", "Ж": "Zh", "х": "kh", "Х": "Kh", "ц": "ts", "Ц": "Ts",
+        "ч": "ch", "Ч": "Ch", "ш": "sh", "Ш": "Sh", "щ": "shch",
+        "Щ": "Shch", "ю": "iu", "Ю": "Iu", "я": "ia", "Я": "Ia",
+    }
+    single: dict[str, str] = {
+        # non-decomposable Latin 1→1 (unidecode outputs)
+        "đ": "d", "Đ": "D", "ħ": "h", "Ħ": "H", "ł": "l", "Ł": "L",
+        "ø": "o", "Ø": "O", "ı": "i", "ĸ": "k",
+        # Greek
+        "α": "a", "β": "b", "γ": "g", "δ": "d", "ε": "e", "ζ": "z",
+        "η": "e", "ι": "i", "κ": "k", "λ": "l", "μ": "m", "ν": "n",
+        "ξ": "x", "ο": "o", "π": "p", "ρ": "r", "σ": "s", "ς": "s",
+        "τ": "t", "υ": "u", "ω": "o",
+        "Α": "A", "Β": "B", "Γ": "G", "Δ": "D", "Ε": "E", "Ζ": "Z",
+        "Η": "E", "Ι": "I", "Κ": "K", "Λ": "L", "Μ": "M", "Ν": "N",
+        "Ξ": "X", "Ο": "O", "Π": "P", "Ρ": "R", "Σ": "S", "Τ": "T",
+        "Υ": "U", "Ω": "O",
+        # Cyrillic
+        "а": "a", "б": "b", "в": "v", "г": "g", "д": "d", "е": "e",
+        "з": "z", "и": "i", "й": "i", "к": "k", "л": "l", "м": "m",
+        "н": "n", "о": "o", "п": "p", "р": "r", "с": "s", "т": "t",
+        "у": "u", "ф": "f", "ъ": "", "ы": "y", "ь": "", "э": "e",
+        "А": "A", "Б": "B", "В": "V", "Г": "G", "Д": "D", "Е": "E",
+        "З": "Z", "И": "I", "Й": "I", "К": "K", "Л": "L", "М": "M",
+        "Н": "N", "О": "O", "П": "P", "Р": "R", "С": "S", "Т": "T",
+        "У": "U", "Ф": "F", "Э": "E",
+    }
+    # every precomposed letter in Latin-1 Supplement .. Latin Extended-B,
+    # Greek/Cyrillic precomposed accents, Latin Extended Additional
+    # (Vietnamese), polytonic Greek, and the Latin ligature block — all
+    # via NFKD mark-stripping
+    ranges = (
+        range(0x00A0, 0x0500),
+        range(0x1E00, 0x2000),
+        range(0xFB00, 0xFB07),
+    )
+    for cp in (c for r in ranges for c in r):
+        c = chr(cp)
+        if c in multi or c in single:
+            continue
+        d = unicodedata.normalize("NFKD", c)
+        parts = []
+        for ch in d:
+            if unicodedata.combining(ch):
+                continue
+            if ord(ch) < 128:
+                parts.append(ch)
+            # accented Greek/Cyrillic decompose to a non-ASCII base —
+            # resolve it through the explicit tables (ί → ι → "i")
+            elif ch in single:
+                parts.append(single[ch])
+            elif ch in multi:
+                parts.append(multi[ch])
+        ascii_d = "".join(parts)
+        if not ascii_d or ascii_d == c:
+            continue
+        if len(ascii_d) == 1:
+            single[c] = ascii_d
+        else:
+            multi[c] = ascii_d
+    src = "".join(k for k, v in single.items() if len(v) == 1)
+    dst = "".join(v for v in single.values() if len(v) == 1)
+    # zero-width deletions (ъ/ь) ride translate's delete semantics: put
+    # them at the END of src with no dst counterpart
+    dels = "".join(k for k, v in single.items() if v == "")
+    return src + dels, dst, multi
+
+
+_FOLD_SRC, _FOLD_DST, _FOLD_MULTI = _build_fold_tables()
+
+
+def ascii_fold(text: Column) -> Column:
+    """Unidecode-analogue transliteration to ASCII, pure codegen.
+
+    Multi-char expansions first (a short replace chain — the table is
+    ~30 entries), then one wide ``translate`` for the hundreds of 1→1
+    folds.  Characters outside the tables and outside ASCII are left
+    for the caller (ascii_slug squeezes them to '_')."""
+    t = text
+    for k, v in _FOLD_MULTI.items():
+        t = F.replace(t, F.lit(k), F.lit(v))
+    return F.translate(t, _FOLD_SRC, _FOLD_DST)
+
+
+def ascii_fold_py(s: str) -> str:
+    """Straight-line Python twin of ascii_fold (parity-tested); the
+    sink-time pandas-UDF fallback when a value needs folding outside a
+    Spark plan."""
+    out = []
+    for ch in s:
+        if ch in _FOLD_MULTI:
+            out.append(_FOLD_MULTI[ch])
+        else:
+            i = _FOLD_SRC.find(ch)
+            if i < 0:
+                out.append(ch)
+            elif i < len(_FOLD_DST):
+                out.append(_FOLD_DST[i])
+            # else: delete (ъ/ь tail)
+    return "".join(out)
 
 
 def ascii_slug(text: Column) -> Column:
     """Filesystem-safe ASCII slug (partition-key sanitizer).
 
     Mirrors the reference's filename sanitizer (unidecode + regex,
-    /root/reference/src/database/saver.py:119-125): accent-fold common
-    Portuguese diacritics, lowercase, squeeze non-alphanumerics to '_'.
-    Used for partition directory values so tables survive non-UTF-8
-    JVM file encodings; the original column is kept alongside.
+    /root/reference/src/database/saver.py:119-125): full transliteration
+    via ascii_fold (NFKD-complete Latin + Greek/Cyrillic — not just the
+    24 Portuguese accents of round 1), lowercase, squeeze
+    non-alphanumerics to '_'.  Used for partition directory values so
+    tables survive non-UTF-8 JVM file encodings; the original column is
+    kept alongside.
     """
-    t = F.translate(F.lower(text), _ACCENTS, _PLAIN)
+    t = F.lower(ascii_fold(text))
     t = F.regexp_replace(t, r"[^a-z0-9]+", "_")
     return F.regexp_replace(t, r"^_+|_+$", "")
 

@@ -70,6 +70,35 @@ def n_buckets_for(n_keys: int, load: float = 0.84) -> int:
     return 1 << int(np.ceil(np.log2(need)))
 
 
+def _insert_fp(
+    table: np.ndarray, i1: int, fp: int, m: int, rng_state: int
+) -> tuple[bool, int]:
+    """Insert one fingerprint given ONE of its two candidate buckets
+    (alt() is an involution, so (i1, fp) fully determines the pair).
+    Returns (placed, rng_state)."""
+    i2 = int(_alt_bucket(np.array([i1]), np.array([fp]), m)[0])
+    for b in (int(i1), i2):
+        empt = np.nonzero(table[b] == 0)[0]
+        if len(empt):
+            table[b, empt[0]] = fp
+            return True, rng_state
+    cur_fp, cur_b = int(fp), int(i1)
+    for kick in range(MAX_KICKS):
+        rng_state = (rng_state * int(_FP_MUL) + kick) & 0xFFFFFFFFFFFFFFFF
+        slot = rng_state % SLOTS
+        cur_fp, table[cur_b, slot] = int(table[cur_b, slot]), cur_fp
+        cur_b = int(
+            _alt_bucket(
+                np.array([cur_b]), np.array([cur_fp], dtype=np.uint16), m
+            )[0]
+        )
+        empt = np.nonzero(table[cur_b] == 0)[0]
+        if len(empt):
+            table[cur_b, empt[0]] = cur_fp
+            return True, rng_state
+    return False, rng_state
+
+
 def build_table(hashes: np.ndarray, m: int) -> bytes:
     """Construct the (m × SLOTS) uint16 table; raises if insertion fails
     (over capacity) — callers size ``m`` with n_buckets_for()."""
@@ -78,39 +107,51 @@ def build_table(hashes: np.ndarray, m: int) -> bytes:
     i1s = _bucket1(hashes, m)
     rng_state = 0x243F6A8885A308D3  # python int: no uint64 overflow warnings
     for fp, i1 in zip(fps, i1s):
-        i2 = int(_alt_bucket(np.array([i1]), np.array([fp]), m)[0])
-        placed = False
-        for b in (int(i1), i2):
-            empt = np.nonzero(table[b] == 0)[0]
-            if len(empt):
-                table[b, empt[0]] = fp
-                placed = True
-                break
-        if placed:
-            continue
-        # evict loop
-        cur_fp, cur_b = int(fp), int(i1)
-        for kick in range(MAX_KICKS):
-            rng_state = (
-                rng_state * int(_FP_MUL) + kick
-            ) & 0xFFFFFFFFFFFFFFFF
-            slot = rng_state % SLOTS
-            cur_fp, table[cur_b, slot] = int(table[cur_b, slot]), cur_fp
-            cur_b = int(
-                _alt_bucket(
-                    np.array([cur_b]), np.array([cur_fp], dtype=np.uint16), m
-                )[0]
-            )
-            empt = np.nonzero(table[cur_b] == 0)[0]
-            if len(empt):
-                table[cur_b, empt[0]] = cur_fp
-                placed = True
-                break
+        placed, rng_state = _insert_fp(table, int(i1), int(fp), m, rng_state)
         if not placed:
             raise RuntimeError(
                 f"cuckoo filter over capacity (m={m}, keys={len(hashes)})"
             )
     return table.tobytes()
+
+
+def build_table_fixed(hashes: np.ndarray, m: int) -> bytes | None:
+    """Fixed-geometry build for the INCREMENTAL delta log: same as
+    build_table but returns None instead of raising when the batch does
+    not fit (the caller records a saturated shard, which the probe
+    treats as all-maybe-seen — correctness falls back to the exact
+    anti-join, never to a false negative)."""
+    try:
+        return build_table(hashes, m)
+    except RuntimeError:
+        return None
+
+
+def merge_tables(blobs: list[bytes | None], m: int) -> bytes | None:
+    """Fold delta tables of IDENTICAL geometry into one by re-inserting
+    every occupied slot of the later tables into the first.
+
+    Works because i2 = i1 XOR h'(fp) is an involution: an occupied slot
+    (b, fp) yields the key's exact candidate pair {b, alt(b, fp)}
+    without knowing the key, so the merged table preserves the
+    no-false-negative contract.  Returns None when any input is None
+    (saturated delta) or capacity is exceeded — the probe then treats
+    the shard as all-maybe-seen and the exact anti-join decides.
+    """
+    if not blobs or any(b is None for b in blobs):
+        return None
+    acc = np.frombuffer(blobs[0], dtype=np.uint16).reshape(m, SLOTS).copy()
+    rng_state = 0x452821E638D01377
+    for blob in blobs[1:]:
+        t = np.frombuffer(blob, dtype=np.uint16).reshape(m, SLOTS)
+        bs, ss = np.nonzero(t)
+        for b, s in zip(bs, ss):
+            placed, rng_state = _insert_fp(
+                acc, int(b), int(t[b, s]), m, rng_state
+            )
+            if not placed:
+                return None
+    return acc.tobytes()
 
 
 def probe_table(blob: bytes, hashes: np.ndarray, m: int) -> np.ndarray:
@@ -183,6 +224,57 @@ def build_cuckoo_shards(
     )
 
 
+def build_cuckoo_delta_shards(seen: DataFrame, m: int) -> DataFrame:
+    """(shard, table, m, n_keys) delta rows at FIXED geometry ``m`` for
+    the incremental filter log (merge_tables folds them).  A batch that
+    exceeds the fixed capacity yields table=NULL with its n_keys — a
+    saturated marker the probe treats as all-maybe-seen."""
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        h = pdf["url_hash"].to_numpy().astype(np.int64).view(np.uint64)
+        h = np.unique(h)
+        return pd.DataFrame(
+            {
+                "shard": [int(pdf["shard"].iloc[0])],
+                "table": [build_table_fixed(h, m)],
+                "m": [m],
+                "n_keys": [len(h)],
+            }
+        )
+
+    return (
+        seen.select("shard", "url_hash")
+        .groupBy("shard")
+        .applyInPandas(
+            build, schema="shard int, table binary, m long, n_keys long"
+        )
+    )
+
+
+def merge_cuckoo_shards(log: DataFrame) -> DataFrame:
+    """Fold the delta log to one row per shard via merge_tables (the
+    incremental analogue of the Bloom OR-merge)."""
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = int(pdf["m"].iloc[0])
+        blobs = [
+            None if b is None else bytes(b) for b in pdf["table"]
+        ]
+        merged = merge_tables(blobs, m)
+        return pd.DataFrame(
+            {
+                "shard": [int(pdf["shard"].iloc[0])],
+                "table": [merged],
+                "m": [m],
+                "n_keys": [int(pdf["n_keys"].sum())],
+            }
+        )
+
+    return log.groupBy("shard").applyInPandas(
+        merge, schema="shard int, table binary, m long, n_keys long"
+    )
+
+
 def cuckoo_probe(candidates: DataFrame, shards: DataFrame) -> DataFrame:
     """Adds ``maybe_seen``: False ⇒ provably unseen (per-shard tables
     broadcast, numpy probe in mapInPandas — mirrors seen.bloom_probe)."""
@@ -197,6 +289,13 @@ def cuckoo_probe(candidates: DataFrame, shards: DataFrame) -> DataFrame:
                 for _, idx in pdf.groupby("shard").indices.items():
                     blob = pdf["table"].iloc[idx[0]]
                     if blob is None:
+                        nk = pdf["n_keys"].iloc[idx[0]]
+                        if nk is not None and not pd.isna(nk) and nk > 0:
+                            # saturated shard (incremental log overflow):
+                            # no filter evidence — everything goes to the
+                            # exact anti-join backstop
+                            maybe[idx] = True
+                        # else: shard has no seen keys → provably unseen
                         continue
                     m = int(pdf["m"].iloc[idx[0]])
                     maybe[idx] = probe_table(bytes(blob), h[idx], m)

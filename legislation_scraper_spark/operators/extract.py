@@ -36,6 +36,7 @@ from pyspark.sql.types import (
     ArrayType,
     BooleanType,
     IntegerType,
+    MapType,
     StringType,
     StructField,
     StructType,
@@ -55,6 +56,19 @@ _RE_PDF_OBJ = re.compile(
 _RE_ERROR = re.compile(r"<h1>A página não pode ser exibida</h1>")
 _RE_REVOKED = re.compile(r"revogad[oa] pel", re.I)
 _RE_RES_LINK = re.compile(r'<a class="res" href="([^"]+)">')
+# --- ficha (norm-data) enrichment: sao_paulo.py:202-236 semantics ----------
+# find("label", text=X).find_next(...): absent section => None (NOT []),
+# present-but-empty label => "" — mirrored here bit-for-bit.
+_RE_FICHA_PROM = re.compile(
+    r"<label>Promulgação</label>\s*<label>([^<]*)</label>"
+)
+_RE_FICHA_PROJ = re.compile(r"<label>Projeto</label>\s*<label>([^<]*)</label>")
+_RE_FICHA_TEMAS = re.compile(r"<label>Temas</label>\s*<div[^>]*>(.*?)</div>", re.S)
+_RE_FICHA_KW = re.compile(
+    r"<label>Palavras-chave</label>\s*<div[^>]*>(.*?)</div>", re.S
+)
+_RE_BUTTON = re.compile(r"<button[^>]*>([^<]*)</button>")
+_RE_A_TEXT = re.compile(r"<a[^>]*>([^<]*)</a>")
 _RE_NEXT_LINK = re.compile(r'<a class="next" href="([^"]+)">')
 _RE_TOTAL = re.compile(r"Total de registros:\s*(\d+)")
 
@@ -71,6 +85,36 @@ def _unwrap_paras(inner: str) -> str:
     return html_mod.unescape(inner.replace("</p><p>", "\n\n"))
 
 
+def _extract_ficha(h: str) -> tuple:
+    """(themes, keywords, extras) — the J2 enrichment payload.
+
+    Reference parity (sao_paulo.py:202-236 ``_get_norm_data``): each
+    section is looked up independently; a missing section yields None
+    (soup.find returns None), a present Temas/Palavras-chave section
+    yields the list of button/anchor texts (possibly empty).  The odd
+    per-source scalar fields (promulgation, project) ride in an
+    ``extras`` MAP<STRING,STRING> per SURVEY.md §1.4's overflow-column
+    disposition; both keys are always present, mirroring the
+    reference's returned dict shape."""
+    m = _RE_FICHA_PROM.search(h)
+    prom = html_mod.unescape(m.group(1)) if m else None
+    m = _RE_FICHA_PROJ.search(h)
+    proj = html_mod.unescape(m.group(1)) if m else None
+    m = _RE_FICHA_TEMAS.search(h)
+    themes = (
+        [html_mod.unescape(t) for t in _RE_BUTTON.findall(m.group(1))]
+        if m
+        else None
+    )
+    m = _RE_FICHA_KW.search(h)
+    keywords = (
+        [html_mod.unescape(t) for t in _RE_A_TEXT.findall(m.group(1))]
+        if m
+        else None
+    )
+    return themes, keywords, {"promulgation": prom, "project": proj}
+
+
 def _extract_one(raw: bytes) -> tuple:
     h = raw.decode("utf-8", errors="replace") if isinstance(raw, (bytes, bytearray)) else str(raw)
     meta = dict(_RE_META.findall(h))
@@ -78,8 +122,10 @@ def _extract_one(raw: bytes) -> tuple:
     summary = html_mod.unescape(meta.get("summary", ""))
     ntype = meta.get("type", "")
     year = int(meta["year"]) if meta.get("year", "").isdigit() else None
+    themes, keywords, extras = _extract_ficha(h)
     if _RE_ERROR.search(h):
-        return (title, ntype, year, meta.get("situation", ""), summary, "", True)
+        return (title, ntype, year, meta.get("situation", ""), summary, "",
+                True, themes, keywords, extras)
     text = None
     m = _RE_TEXTO_NORMA.search(h)
     if m:
@@ -114,13 +160,15 @@ def _extract_one(raw: bytes) -> tuple:
         if m:
             text = _unwrap_paras(m.group(1))
     if text is None:
-        return (title, ntype, year, meta.get("situation", ""), summary, "", True)
+        return (title, ntype, year, meta.get("situation", ""), summary, "",
+                True, themes, keywords, extras)
     situation = meta.get("situation")
     if situation is None:
         situation = (
             "Revogada" if _RE_REVOKED.search(text) else DEFAULT_SITUATION
         )
-    return (title, ntype, year, situation, summary, text, False)
+    return (title, ntype, year, situation, summary, text, False,
+            themes, keywords, extras)
 
 
 DOC_RECORD_TYPE = StructType(
@@ -132,6 +180,11 @@ DOC_RECORD_TYPE = StructType(
         StructField("summary", StringType()),
         StructField("text", StringType()),
         StructField("is_error", BooleanType()),
+        # J2 enrichment payload (appended last: positional consumers of
+        # the original seven fields are unaffected)
+        StructField("themes", ArrayType(StringType())),
+        StructField("keywords", ArrayType(StringType())),
+        StructField("extras", MapType(StringType(), StringType())),
     ]
 )
 
@@ -143,7 +196,7 @@ def extract_doc(html: pd.Series) -> pd.DataFrame:
         rows,
         columns=[
             "title", "type", "year", "situation", "summary", "text",
-            "is_error",
+            "is_error", "themes", "keywords", "extras",
         ],
     )
 
@@ -160,7 +213,8 @@ PARSE_TYPE = StructType(
     [StructField("rec", DOC_RECORD_TYPE), StructField("l", LINKS_TYPE)]
 )
 
-_DOC_KEYS = ["title", "type", "year", "situation", "summary", "text", "is_error"]
+_DOC_KEYS = ["title", "type", "year", "situation", "summary", "text",
+             "is_error", "themes", "keywords", "extras"]
 
 
 def make_parse_page(search_marker: str = "/busca"):

@@ -180,14 +180,16 @@ class SeenSet:
         self.fpp = fpp
         self.filter_kind = filter_kind
         # incremental filter state (SURVEY.md §4 "incremental partitioned
-        # filter"): per-add DELTA bitmaps appended to ``filters_table``
-        # and OR-merged at probe time — the probe never rescans the full
-        # seen table.  Requires FIXED bloom params across batches, sized
-        # by ``keys_per_shard`` capacity (resize = rebuild_filters()).
-        # Bloom-only: cuckoo tables don't merge bitwise.
-        self.filters_table = (
-            filters_table if filter_kind == "bloom" else None
-        )
+        # filter"): per-add DELTA filters appended to ``filters_table``
+        # and folded at probe time — the probe never rescans the full
+        # seen table.  Requires FIXED geometry across batches, sized by
+        # ``keys_per_shard`` capacity (resize = rebuild maintenance).
+        # Bloom deltas OR-merge bitwise; cuckoo deltas merge by
+        # fingerprint re-insertion (cuckoo.merge_tables — alt() is an
+        # involution so (bucket, fp) is a valid candidate pair), with a
+        # saturated-shard NULL marker degrading that shard to the exact
+        # anti-join rather than ever producing a false negative.
+        self.filters_table = filters_table
         self.keys_per_shard = keys_per_shard
 
     def _params(self) -> BloomParams:
@@ -206,11 +208,21 @@ class SeenSet:
         rows = keyed.select("shard", "url_hash", "canon_url").distinct()
         self.table.append(rows)
         if self.filters_table is not None:
-            delta = build_bloom_shards(rows, self._params(), self.n_shards)
+            if self.filter_kind == "cuckoo":
+                from .cuckoo import build_cuckoo_delta_shards, n_buckets_for
+
+                delta = build_cuckoo_delta_shards(
+                    rows, n_buckets_for(self.keys_per_shard)
+                )
+            else:
+                delta = build_bloom_shards(
+                    rows, self._params(), self.n_shards
+                )
             self.filters_table.append(delta)
 
     def merged_filters(self) -> DataFrame | None:
-        """One OR-merged bitmap per shard from the delta log."""
+        """One folded filter per shard from the delta log (bloom:
+        bitwise OR; cuckoo: fingerprint re-insertion)."""
         log = (
             self.filters_table.read()
             if self.filters_table is not None
@@ -218,6 +230,10 @@ class SeenSet:
         )
         if log is None:
             return None
+        if self.filter_kind == "cuckoo":
+            from .cuckoo import merge_cuckoo_shards
+
+            return merge_cuckoo_shards(log)
 
         def merge(pdf: pd.DataFrame) -> pd.DataFrame:
             acc = np.zeros(0, dtype=np.uint8)
@@ -266,7 +282,13 @@ class SeenSet:
         if self.filter_kind == "cuckoo":
             from .cuckoo import build_cuckoo_shards, cuckoo_probe
 
-            shards = build_cuckoo_shards(seen, self.n_shards)
+            # incremental path when a delta log exists (probe cost
+            # independent of total seen); stateless rebuild otherwise
+            shards = (
+                merged
+                if merged is not None
+                else build_cuckoo_shards(seen, self.n_shards)
+            )
             probed = cuckoo_probe(cand, shards)
         elif merged is not None:
             # incremental path: OR-merge the persisted delta bitmaps —

@@ -77,6 +77,12 @@ class CrawlConfig:
     # must stay fixed across delta batches for OR-merge); resize is a
     # rebuild-maintenance action
     filter_keys_per_shard: int = 65536
+    # store the frontier log bucketed by canon_url (Iceberg
+    # bucket-transform analogue): pending()'s per-round dedup groupBy
+    # then runs with NO Exchange over the log (tables.BucketedLog;
+    # asserted in tests/test_plans.py)
+    bucket_frontier: bool = True
+    frontier_buckets: int = 32
 
 
 class CrawlEngine:
@@ -95,7 +101,13 @@ class CrawlEngine:
         self.seeds = seeds
         self.robots = robots
         self.cfg = config or CrawlConfig()
-        self.frontier = catalog.table("frontier_log")
+        self.frontier = (
+            catalog.bucketed_log(
+                "frontier_log", "canon_url", self.cfg.frontier_buckets
+            )
+            if self.cfg.bucket_frontier
+            else catalog.table("frontier_log")
+        )
         self.pages = catalog.table("pages")
         self.errors = catalog.table("fetch_errors")
         self.visited = catalog.table("visited")
@@ -283,6 +295,10 @@ class CrawlEngine:
             F.col("rec.situation").alias("situation"),
             F.col("rec.summary").alias("summary"),
             F.col("rec.text").alias("text_markdown"),
+            # J2 enrichment payload (ficha metadata arrays + overflow map)
+            F.col("rec.themes").alias("themes"),
+            F.col("rec.keywords").alias("keywords"),
+            F.col("rec.extras").alias("extras"),
             F.lit(r).alias("fetched_round"),
         ).withColumns(
             {

@@ -22,6 +22,35 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
 
 
+def _tune_python_worker_allocators() -> None:
+    """Keep Python-worker memory churn out of the kernel.
+
+    Measured on this 32-vCPU VM (see BASELINE.md "Python-boundary
+    scaling"): a no-op pandas UDF over 1M ~3 KB documents took 6.8 s at
+    local[8] but 44 s at local[32], with 12 CPU-cores of *system* time —
+    the workers' per-batch allocation of millions of Python string
+    objects makes glibc/pymalloc return pages to the kernel
+    (munmap/madvise), and every unmap IPIs all other cores for TLB
+    shootdown; the cost grows superlinearly with core count.  Routing
+    object allocations through glibc (PYTHONMALLOC=malloc) and telling
+    glibc to never trim or mmap below 1 GB keeps freed memory inside the
+    allocator: the same probe drops to 6.2 s at local[32].  The Arrow
+    pool joins the same tuned heap via ARROW_DEFAULT_MEMORY_POOL=system.
+
+    Cost: each worker retains its high-water allocation (~hundreds of
+    MB under crawl parse) instead of returning it; right trade on any
+    executor provisioned for pandas UDFs.  Must run BEFORE the JVM
+    starts: workers inherit the gateway's environment.  Opt out with
+    SPARK_GRAFT_NO_ALLOC_TUNING=1.
+    """
+    if os.environ.get("SPARK_GRAFT_NO_ALLOC_TUNING"):
+        return
+    os.environ.setdefault("PYTHONMALLOC", "malloc")
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 30))
+    os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
+
+
 def get_spark(
     app_name: str = "legislation-scraper-spark",
     master: str | None = None,
@@ -33,6 +62,7 @@ def get_spark(
     ``master=None`` leaves master resolution to spark-submit / env; tests
     pass ``local[N]`` explicitly.
     """
+    _tune_python_worker_allocators()
     builder = SparkSession.builder.appName(app_name)
     if master:
         builder = builder.master(master)
@@ -58,6 +88,16 @@ def get_spark(
         "spark.ui.enabled": "false",
         "spark.ui.showConsoleProgress": "false",
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        # JVM↔Python-worker channel over Unix domain sockets (Spark 4.1+,
+        # always executor-local traffic).  Loopback TCP hits
+        # sk_stream_wait_memory stalls at high executor-core counts:
+        # the crawl-parse stage measured 77 s at local[32] over TCP vs
+        # 16 s over UDS, with kernel time dropping 16.7 → 2.5 cores
+        # (BASELINE.md "Python-boundary scaling").
+        "spark.python.unix.domain.socket.enabled": "true",
+        "spark.python.unix.domain.socket.dir": (
+            "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+        ),
     }
     if extra_conf:
         conf.update(extra_conf)

@@ -59,6 +59,15 @@ ERROR_TEXT = "A página não pode ser exibida"
 HEADER_LIT = "GOVERNO DO ESTADO - DIÁRIO OFICIAL"
 FOOTER_LIT = "Imprimir | Voltar ao topo"
 REVOKED_MARK = "revogado pelo decreto estadual"
+# ficha (norm-data) vocabulary — J2 enrichment, sao_paulo.py:202-236
+THEMES = (
+    "meio ambiente,saúde,educação,tributação,transporte,segurança,"
+    "cultura,habitação,agricultura,energia,trabalho,turismo"
+).split(",")
+KEYWORDS = (
+    "licença,imposto,zoneamento,concessão,servidor,orçamento,obra,"
+    "fundo,conselho,taxa,programa,convênio,cadastro,registro,multa,prazo"
+).split(",")
 OCR_TEASER = "Documento disponível apenas em PDF."
 
 
@@ -132,6 +141,64 @@ def _doc_meta(source_idx: int, source: str, i: int, text: str) -> dict:
     }
 
 
+def _ficha_fields(family: int, i: int, year: int) -> dict:
+    """Deterministic ficha payload for family-0 pages (the sao-paulo
+    shape: only that source family publishes a norm-data ficha).  Each
+    section is independently present/absent so the extractor's
+    absent→None semantics are exercised; values are pure functions of
+    (i, year)."""
+    if family != 0:
+        return {
+            "promulgacao": None, "projeto": None,
+            "themes": None, "keywords": None,
+        }
+    prom = (
+        f"{1 + i % 28:02d}/{1 + i % 12:02d}/{year}" if i % 5 != 1 else None
+    )
+    proj = f"PL {i % 997 + 1}" if i % 7 != 2 else None
+    themes = (
+        [THEMES[(i * 7 + j * 13) % len(THEMES)] for j in range(1 + i % 3)]
+        if i % 3 != 1
+        else None
+    )
+    kws = (
+        [KEYWORDS[(i * 11 + j * 17) % len(KEYWORDS)] for j in range(1 + i % 4)]
+        if i % 4 != 1
+        else None
+    )
+    return {
+        "promulgacao": prom, "projeto": proj,
+        "themes": themes, "keywords": kws,
+    }
+
+
+def _ficha_html(f: dict) -> str:
+    """Render the ficha block the way the source pages carry it."""
+    if all(v is None for v in f.values()):
+        return ""
+    parts = ['<div class="ficha">']
+    if f["promulgacao"] is not None:
+        parts.append(
+            f"<label>Promulgação</label><label>{f['promulgacao']}</label>"
+        )
+    if f["projeto"] is not None:
+        parts.append(f"<label>Projeto</label><label>{f['projeto']}</label>")
+    if f["themes"] is not None:
+        btns = "".join(
+            f"<button>{html_mod.escape(t)}</button>" for t in f["themes"]
+        )
+        parts.append(f'<label>Temas</label><div class="temas">{btns}</div>')
+    if f["keywords"] is not None:
+        links = "".join(
+            f'<a href="#">{html_mod.escape(k)}</a>' for k in f["keywords"]
+        )
+        parts.append(
+            f'<label>Palavras-chave</label><div class="kw">{links}</div>'
+        )
+    parts.append("</div>")
+    return "".join(parts)
+
+
 def _paras_html(text: str) -> str:
     esc = html_mod.escape(text)
     return "<p>" + esc.replace("\n\n", "</p><p>") + "</p>"
@@ -154,6 +221,7 @@ def _gen_html(source_idx: int, source: str, i: int, text: str, meta: dict) -> st
         meta_tags += f'<meta name="dc.situation" content="{meta["situation"]}">'
     head = f"<head><title>{html_mod.escape(meta['title'])}</title>{meta_tags}</head>"
     nav = '<div class="nav"><a href="/">Início</a> | <a href="/busca">Busca</a></div>'
+    ficha = _ficha_html(_ficha_fields(family, i, meta["year"]))
     if is_error:
         return f"<html>{head}<body><h1>{ERROR_TEXT}</h1></body></html>"
     if is_pdf:
@@ -161,12 +229,12 @@ def _gen_html(source_idx: int, source: str, i: int, text: str, meta: dict) -> st
         body = (
             f'{nav}<div id="texto-norma"><p>{OCR_TEASER}</p></div>'
             f'<object id="pdf" type="application/pdf" data="data:application/pdf;base64,{b64}"></object>'
-            "<footer>Governo Federal</footer>"
+            f"{ficha}<footer>Governo Federal</footer>"
         )
     elif family == 0:
         body = (
             f'{nav}<div id="texto-norma">{_paras_html(text)}</div>'
-            "<footer>Governo Federal</footer>"
+            f"{ficha}<footer>Governo Federal</footer>"
         )
     elif family == 1:
         rows = "".join(
@@ -196,7 +264,8 @@ def _doc_batches(
                 "url": [], "host": [], "source": [], "doc_i": [],
                 "year": [], "ntype": [], "situation": [], "title": [],
                 "summary": [], "text": [], "html": [], "lang": [],
-                "is_error": [],
+                "is_error": [], "themes": [], "keywords": [],
+                "promulgacao": [], "projeto": [],
             }
             for src_idx, source, i in zip(
                 pdf_in["source_idx"], pdf_in["source"], pdf_in["i"]
@@ -220,6 +289,11 @@ def _doc_batches(
                 out["html"].append(html.encode("utf-8"))
                 out["lang"].append("en" if i % 29 == 7 else "pt")
                 out["is_error"].append(is_error)
+                fich = _ficha_fields(family, i, meta["year"])
+                out["themes"].append(fich["themes"])
+                out["keywords"].append(fich["keywords"])
+                out["promulgacao"].append(fich["promulgacao"])
+                out["projeto"].append(fich["projeto"])
             yield pd.DataFrame(out)
 
     return gen
@@ -228,7 +302,9 @@ def _doc_batches(
 _DOC_SCHEMA = (
     "url string, host string, source string, doc_i long, year int, "
     "ntype string, situation string, title string, summary string, "
-    "text string, html binary, lang string, is_error boolean"
+    "text string, html binary, lang string, is_error boolean, "
+    "themes array<string>, keywords array<string>, "
+    "promulgacao string, projeto string"
 )
 
 
@@ -363,6 +439,7 @@ def synth_world(
         "source", "host", "title", "year",
         F.col("ntype").alias("type"),
         "situation", "summary", "text", "is_error",
+        "themes", "keywords", "promulgacao", "projeto",
     )
     srcs = SOURCES[:n_sources]
     seeds = spark.createDataFrame(
@@ -390,3 +467,47 @@ def synth_world(
         "seeds": seeds,
         "robots": robots,
     }
+
+
+def synth_viewstate_world(
+    spark: SparkSession, n_hosts: int = 3, pages_per_host: int = 4
+) -> dict:
+    """Tiny ASP.NET-postback web (S5, espirito_santo.py:69-127 shape).
+
+    Per host: one .aspx base URL whose GET body carries the
+    __VIEWSTATE/__EVENTVALIDATION hidden inputs (deterministic md5
+    tokens) plus the page-1 results; pages 2..P exist ONLY under the
+    token-bearing postback key, so fetching them requires the
+    harvest-then-POST sequence.  Error-path coverage by construction:
+    host index 1's base page omits its tokens (reference error branch,
+    :92-95) and the last host's final postback row is missing (404
+    postback, :124-127).  Returns {"pages_raw": DataFrame,
+    "web": dict} — the dict feeds the straight-line parity simulator.
+    """
+    from .operators.viewstate import EVENT_TARGET_FMT
+
+    web: dict[str, bytes] = {}
+    for hi in range(n_hosts):
+        url = f"https://www.al-vs{hi}.leg.br/consulta-legislacao.aspx?tipo=1&ano=200{hi}"
+        vs = hashlib.md5(url.encode()).hexdigest()
+        ev = hashlib.md5((url + "ev").encode()).hexdigest()
+        tokens = (
+            f'<input id="__VIEWSTATE" value="{vs}"/>'
+            f'<input id="__EVENTVALIDATION" value="{ev}"/>'
+            if hi != 1
+            else ""  # broken host: no tokens on the base page
+        )
+        page1 = f"<html><body><form>{tokens}<div>resultados p1 h{hi}</div></form></body></html>"
+        web[url] = page1.encode()
+        for page in range(2, pages_per_host + 1):
+            if hi == n_hosts - 1 and page == pages_per_host:
+                continue  # missing postback → 404 postback path
+            tgt = EVENT_TARGET_FMT.format(idx=page - 1)
+            key = f"{url}#postback:{tgt}:{vs}:{ev}"
+            web[key] = (
+                f"<html><body><div>resultados p{page} h{hi}</div></body></html>"
+            ).encode()
+    pages_raw = spark.createDataFrame(
+        [(u, b) for u, b in web.items()], "url string, html binary"
+    )
+    return {"pages_raw": pages_raw, "web": web}

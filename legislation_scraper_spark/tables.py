@@ -216,6 +216,156 @@ class Table:
                 os.remove(os.path.join(self.snap_dir, f"v{v:05d}.json"))
 
 
+class BucketedLog(Table):
+    """Append-only log stored as a BUCKETED external parquet table
+    (Iceberg bucket-partitioning analogue, VERDICT r1 item 5).
+
+    Why: ``pending()`` dedupes the frontier log with
+    ``groupBy(canon_url)`` every round; over a plain parquet scan that
+    is a full-log Exchange even when the round touches a fraction of
+    the frontier.  A bucketed table satisfies the aggregation's
+    ClusteredDistribution at scan time — ``groupBy`` on the bucket
+    column runs with NO Exchange, so the per-round cost is a co-located
+    scan+agg, never a 10^10-row shuffle.  (At cluster scale this is
+    Iceberg's ``bucket(N, canon_url)`` partition transform; here it is
+    Spark native bucketing over an external table.)
+
+    Mechanics: the table is registered in the session catalog
+    (``CREATE TABLE ... CLUSTERED BY ... LOCATION ...``) pointing at
+    this Table's data dir; appends go through ``insertInto`` so every
+    file carries bucket metadata; the snapshot manifest records the
+    FILE NAMES each commit added (bucketed files live flat in one
+    location), which keeps atomic snapshots, time travel, and rollback
+    working exactly as for ``Table``.  A ``_bucket_spec.json`` marker
+    makes the storage self-describing — ``Catalog.table`` returns a
+    ``BucketedLog`` for any table dir that carries one, so resume in a
+    fresh session re-registers the catalog table automatically.
+    """
+
+    SPEC_FILE = "_bucket_spec.json"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        name: str,
+        bucket_col: str | None = None,
+        n_buckets: int | None = None,
+    ):
+        super().__init__(spark, root, name)
+        spec_path = os.path.join(self.dir, self.SPEC_FILE)
+        if bucket_col is not None:
+            self.bucket_col, self.n_buckets = bucket_col, int(n_buckets)
+            if not os.path.exists(spec_path):
+                _atomic_write_json(
+                    spec_path,
+                    {"bucket_col": bucket_col, "n_buckets": self.n_buckets},
+                )
+        else:
+            with open(spec_path) as f:
+                d = json.load(f)
+            self.bucket_col, self.n_buckets = d["bucket_col"], d["n_buckets"]
+        # catalog identity is derived from the store path — unique per
+        # store, stable across sessions (resume re-registers it)
+        import hashlib as _hl
+
+        self.cat_name = (
+            f"lss_{name}_{_hl.md5(self.dir.encode()).hexdigest()[:10]}"
+        )
+        self._registered = False
+
+    def _data_files(self) -> set[str]:
+        return {
+            f
+            for f in os.listdir(self.data_dir)
+            if not f.startswith(("_", "."))
+        }
+
+    def _register(self, df_schema) -> None:
+        if self._registered:
+            return
+        cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in df_schema
+        )
+        self.spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {self.cat_name} ({cols}) "
+            f"USING PARQUET CLUSTERED BY ({self.bucket_col}) "
+            f"INTO {self.n_buckets} BUCKETS LOCATION '{self.data_dir}'"
+        )
+        self._registered = True
+
+    def _commit(self, df, mode, partition_cols, metrics) -> int:
+        assert partition_cols is None, "bucketed log: no dir partitions"
+        self._register(df.schema)
+        before = self._data_files()
+        df.write.mode(
+            "append" if mode == "append" else "overwrite"
+        ).insertInto(self.cat_name, overwrite=(mode != "append"))
+        self.spark.sql(f"REFRESH TABLE {self.cat_name}")
+        new_files = sorted(self._data_files() - before)
+        prev = self.snapshot()
+        if mode == "append" and prev is not None:
+            file_sets = prev.file_sets + new_files
+        else:
+            file_sets = new_files
+        import pyarrow.parquet as pq
+
+        n = sum(
+            pq.read_metadata(os.path.join(self.data_dir, f)).num_rows
+            for f in new_files
+        )
+        v = self.current_version() + 1
+        _atomic_write_json(
+            os.path.join(self.snap_dir, f"v{v:05d}.json"),
+            {
+                "version": v,
+                "file_sets": file_sets,
+                "lineage": {"__all__": n},
+                "metrics": metrics or {},
+            },
+        )
+        return v
+
+    def read(self, version: int | None = None) -> DataFrame | None:
+        snap = self.snapshot(version)
+        if snap is None or not snap.file_sets:
+            return None
+        if set(snap.file_sets) == self._data_files():
+            # current state == snapshot → the BUCKETED catalog scan
+            # (groupBy/join on bucket_col runs without Exchange)
+            self._register(
+                self.spark.read.parquet(
+                    os.path.join(self.data_dir, snap.file_sets[0])
+                ).schema
+            )
+            return self.spark.table(self.cat_name)
+        # historical read (time travel): plain file-list scan — correct
+        # rows, no bucket metadata (Iceberg keeps it; acceptable here)
+        return self.spark.read.parquet(
+            *[os.path.join(self.data_dir, f) for f in snap.file_sets]
+        )
+
+    def compact(self) -> int | None:
+        snap = self.snapshot()
+        if snap is None or len(snap.file_sets) <= self.n_buckets:
+            return None
+        df = self.read()
+        # rewrite through a staging DataFrame: collect-free, one job
+        staged = df.localCheckpoint(eager=True)
+        return self.overwrite(staged, metrics={"compaction": True})
+
+    def rollback(self, version: int) -> None:
+        keep = set()
+        snap = self.snapshot(version) if version > 0 else None
+        if snap is not None:
+            keep = set(snap.file_sets)
+        for f in self._data_files() - keep:
+            os.remove(os.path.join(self.data_dir, f))
+        super().rollback(version)
+        if self._registered:
+            self.spark.sql(f"REFRESH TABLE {self.cat_name}")
+
+
 class Catalog:
     """Directory of snapshot tables (one crawl-store root).
 
@@ -237,7 +387,19 @@ class Catalog:
         os.makedirs(self.ckpt_dir, exist_ok=True)
 
     def table(self, name: str) -> Table:
+        spec = os.path.join(self.root, name, BucketedLog.SPEC_FILE)
+        if os.path.exists(spec):
+            return BucketedLog(self.spark, self.root, name)
         return Table(self.spark, self.root, name)
+
+    def bucketed_log(
+        self, name: str, bucket_col: str, n_buckets: int
+    ) -> BucketedLog:
+        """Create-or-open a bucket-partitioned append log (see
+        BucketedLog).  Self-describing: later ``table(name)`` calls —
+        including resume in a fresh session — return the bucketed
+        implementation automatically."""
+        return BucketedLog(self.spark, self.root, name, bucket_col, n_buckets)
 
     def save_checkpoint(self, tag: int, versions: dict[str, int],
                         metrics: dict[str, Any] | None = None) -> None:

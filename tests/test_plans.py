@@ -118,3 +118,29 @@ def test_ivf_centroid_pick_is_partial_topk(spark):
                 f"unpartitioned Window over a full relation: {ln.strip()}"
             )
     assert checked_unpartitioned == 2  # the two centroid-pick windows
+
+
+def test_bucketed_frontier_pending_has_no_exchange(spark, tmp_path):
+    """VERDICT r1 item 5: with the frontier log stored as a bucketed
+    table (tables.BucketedLog), pending()'s dedup groupBy must satisfy
+    its ClusteredDistribution straight off the scan — the whole
+    pending() plan (groupBy + bloom probe + anti-join build side prep)
+    contains NO Exchange over the log relation."""
+    import re
+
+    from legislation_scraper_spark.plans.crawl import (
+        CrawlConfig, CrawlEngine,
+    )
+    from legislation_scraper_spark.synth import synth_world
+    from legislation_scraper_spark.tables import Catalog
+
+    w = synth_world(spark, seed=9, docs_per_source=6, n_sources=2,
+                    partitions=2)
+    eng = CrawlEngine(
+        spark, Catalog(spark, str(tmp_path / "store")), w["pages_raw"],
+        w["seeds"], w["robots"],
+        CrawlConfig(n_shards=4, fetch_partitions=4, salt_buckets=2),
+    )
+    eng.bootstrap()
+    plan = _explain(eng.pending())
+    assert not re.findall(r"\bExchange\b", plan), plan
