@@ -76,3 +76,86 @@ def export_dataset(
     build_dataset(pages).write.mode("overwrite").partitionBy(
         *partition_by
     ).parquet(out_dir)
+
+
+def export_hf_layout(
+    pages: DataFrame, out_dir: str, shard_rows: int = 50_000
+) -> dict:
+    """S20 twin: write the dataset in Hugging Face dataset-repo layout.
+
+    The reference pushes with ``datasets.push_to_hub``
+    (base/scraper.py S20 path); there is no network here, so the sink
+    produces the exact on-disk shape a hub push transfers —
+    ``data/train-XXXXX-of-NNNNN.parquet`` shards, ``dataset_infos.json``
+    (features + split sizes), and a ``README.md`` dataset card with the
+    YAML config header — such that ``datasets.load_dataset(out_dir)``
+    consumes it unchanged.  Shard sizing uses ``maxRecordsPerFile`` (no
+    driver-side count job); split statistics come from parquet footers
+    (metadata-only, the Iceberg-summary discipline).  Returns the split
+    metadata dict.
+    """
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    data_dir = os.path.join(out_dir, "data")
+    ds = build_dataset(pages)
+    (
+        ds.write.mode("overwrite")
+        .option("maxRecordsPerFile", shard_rows)
+        .parquet(data_dir)
+    )
+    parts = sorted(
+        f for f in os.listdir(data_dir)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+    n = len(parts)
+    num_rows = 0
+    num_bytes = 0
+    for i, f in enumerate(parts):
+        src = os.path.join(data_dir, f)
+        meta = pq.read_metadata(src)
+        num_rows += meta.num_rows
+        num_bytes += os.path.getsize(src)
+        os.rename(
+            src, os.path.join(data_dir, f"train-{i:05d}-of-{n:05d}.parquet")
+        )
+    for f in os.listdir(data_dir):  # drop _SUCCESS/.crc markers
+        if f.startswith(("_", ".")):
+            os.remove(os.path.join(data_dir, f))
+    features = {
+        fld.name: {"dtype": fld.dataType.simpleString(), "_type": "Value"}
+        for fld in ds.schema.fields
+    }
+    info = {
+        "default": {
+            "features": features,
+            "splits": {
+                "train": {
+                    "name": "train",
+                    "num_examples": num_rows,
+                    "num_bytes": num_bytes,
+                    "num_shards": n,
+                }
+            },
+        }
+    }
+    with open(os.path.join(out_dir, "dataset_infos.json"), "w") as f:
+        json.dump(info, f, indent=1, sort_keys=True)
+    card = (
+        "---\n"
+        "configs:\n"
+        "- config_name: default\n"
+        "  data_files:\n"
+        "  - split: train\n"
+        "    path: data/train-*\n"
+        "---\n\n"
+        "# Brazilian legislation corpus (engine export)\n\n"
+        f"{num_rows} documents in {n} parquet shard(s); schema and split\n"
+        "sizes in dataset_infos.json.  Produced by\n"
+        "legislation_scraper_spark.plans.dataset_build.export_hf_layout.\n"
+    )
+    with open(os.path.join(out_dir, "README.md"), "w") as f:
+        f.write(card)
+    return info["default"]["splits"]["train"]

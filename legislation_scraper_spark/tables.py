@@ -349,10 +349,23 @@ class BucketedLog(Table):
         snap = self.snapshot()
         if snap is None or len(snap.file_sets) <= self.n_buckets:
             return None
-        df = self.read()
-        # rewrite through a staging DataFrame: collect-free, one job
-        staged = df.localCheckpoint(eager=True)
-        return self.overwrite(staged, metrics={"compaction": True})
+        # overwrite-from-self would delete the very files the lazy plan
+        # reads; stage through a scratch parquet dir first (disk-backed
+        # and distributed — safe at any table size, unlike a
+        # localCheckpoint into executor memory)
+        import shutil
+        import tempfile
+
+        staging = tempfile.mkdtemp(prefix=f"compact_{self.name}_")
+        try:
+            self.read().write.mode("overwrite").parquet(staging)
+            v = self.overwrite(
+                self.spark.read.parquet(staging),
+                metrics={"compaction": True},
+            )
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        return v
 
     def rollback(self, version: int) -> None:
         keep = set()

@@ -101,3 +101,41 @@ def test_dataset_build(spark, world, tmp_path):
     for r in rows[:20]:
         assert r["n_tokens"] > 0 and 0 <= r["quality"] <= 1
         assert len(r["fingerprint"]) == 32
+
+
+def test_hf_layout_export(spark, world, tmp_path):
+    """S20 twin: the export directory is a loadable HF dataset repo —
+    train-XXXXX-of-NNNNN shards under data/, dataset_infos.json whose
+    split sizes equal the parquet footers, a card with the YAML config
+    header — and reading the shards back reproduces build_dataset."""
+    import json
+    import os
+
+    from legislation_scraper_spark.plans.dataset_build import (
+        export_hf_layout,
+    )
+
+    eng = CrawlEngine(
+        spark, Catalog(spark, str(tmp_path / "hf")),
+        world["pages_raw"], world["seeds"], world["robots"],
+        CrawlConfig(n_shards=8, fetch_partitions=4),
+    )
+    eng.run(max_rounds=30)
+    pages = eng.pages.read()
+    out = str(tmp_path / "hf_repo")
+    split = export_hf_layout(pages, out, shard_rows=10)
+
+    files = sorted(os.listdir(os.path.join(out, "data")))
+    n = len(files)
+    assert files == [f"train-{i:05d}-of-{n:05d}.parquet" for i in range(n)]
+    assert n >= 2  # shard_rows small enough to force multiple shards
+    info = json.load(open(os.path.join(out, "dataset_infos.json")))
+    tr = info["default"]["splits"]["train"]
+    assert tr == split and tr["num_shards"] == n
+    expect = build_dataset(pages)
+    assert tr["num_examples"] == expect.count()
+    got = spark.read.parquet(os.path.join(out, "data"))
+    assert got.count() == tr["num_examples"]
+    assert set(got.columns) == set(expect.columns)
+    card = open(os.path.join(out, "README.md")).read()
+    assert card.startswith("---\n") and "data/train-*" in card
