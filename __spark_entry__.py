@@ -851,6 +851,56 @@ _ORACLE_B2: dict[str, str] = {
         SELECT doc_id, format, media_type, width, height, feat_mean
         FROM '/root/repo/fixtures/multimodal_features_sf0.01.parquet'
     """,
+    "pii_scrub": r"""
+        WITH seeded AS (
+          SELECT doc_id,
+                 text || ' contato: user' || CAST(doc_id AS VARCHAR)
+                 || '@mail.example.com CPF 123.456.789-'
+                 || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                 || ' tel (11) 9'
+                 || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 || '-1234' AS t
+          FROM documents)
+        SELECT doc_id,
+               md5(regexp_replace(regexp_replace(regexp_replace(
+                     regexp_replace(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '[EMAIL]', 'g'),
+                     '\d{3}\.\d{3}\.\d{3}-\d{2}', '[CPF]', 'g'),
+                     '\d{2}\.\d{3}\.\d{3}/\d{4}-\d{2}', '[CNPJ]', 'g'),
+                     '\(\d{2}\)\s?\d{4,5}-\d{4}', '[PHONE]', 'g'))
+                 AS scrubbed_md5,
+               CAST(len(regexp_extract_all(t,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                 AS INT) AS n_email,
+               CAST(len(regexp_extract_all(t,
+                 '\d{3}\.\d{3}\.\d{3}-\d{2}')) AS INT) AS n_cpf,
+               CAST(len(regexp_extract_all(t,
+                 '\d{2}\.\d{3}\.\d{3}/\d{4}-\d{2}')) AS INT) AS n_cnpj,
+               CAST(len(regexp_extract_all(t,
+                 '\(\d{2}\)\s?\d{4,5}-\d{4}')) AS INT) AS n_phone
+        FROM seeded
+    """,
+    "contamination_screen": r"""
+        WITH w AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> x <> '') AS w
+          FROM documents),
+        g AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                   range(1, len(w) - 2),
+                   i -> array_to_string(list_slice(w, i, i + 3), ' '))))
+                   AS gram
+          FROM w WHERE len(w) >= 4),
+        b AS (SELECT gram, COUNT(*) AS bench_docs
+              FROM g WHERE doc_id % 50 = 0 GROUP BY gram),
+        c AS (SELECT doc_id, gram FROM g WHERE doc_id % 50 <> 0)
+        SELECT c.doc_id, COUNT(*) AS contaminated_grams,
+               CAST(SUM(bench_docs) AS BIGINT) AS benchmark_hits
+        FROM c JOIN b USING (gram) GROUP BY c.doc_id
+    """,
     "ficha_enrichment": """
         WITH t AS (
           SELECT doc_id, j
@@ -970,8 +1020,53 @@ def q_ficha_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-curation: PII redaction (operators/curation.scrub_pii) —
+    emails/CPF/CNPJ/phones to typed tags, pure regexp codegen.  PII is
+    synthesized deterministically per doc_id (both engines build the
+    identical string), counts via regexp_count, scrubbed text proven by
+    md5."""
+    from legislation_scraper_spark.operators.curation import (
+        pii_counts,
+        scrub_pii,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    seeded = F.concat(
+        F.col("text"),
+        F.lit(" contato: user"), did.cast("string"),
+        F.lit("@mail.example.com CPF 123.456.789-"),
+        F.lpad((did % 100).cast("string"), 2, "0"),
+        F.lit(" tel (11) 9"),
+        F.lpad((did % 10000).cast("string"), 4, "0"),
+        F.lit("-1234"),
+    )
+    return d.select(
+        "doc_id",
+        F.md5(scrub_pii(seeded)).alias("scrubbed_md5"),
+        *pii_counts(seeded),
+    )
+
+
+def q_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-curation: benchmark-contamination screen — corpus docs
+    sharing ≥1 4-gram with the held-out benchmark slice (doc_id % 50
+    == 0).  Benchmark shingle dim broadcasts; corpus never shuffles."""
+    from legislation_scraper_spark.operators.curation import (
+        contamination_screen,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    corpus = d.filter(F.col("doc_id") % 50 != 0)
+    return contamination_screen(corpus, bench, n=4)
+
+
 _Q_B2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ficha_enrichment": q_ficha_enrichment,
+    "pii_scrub": q_pii_scrub,
+    "contamination_screen": q_contamination_screen,
     "dedup_exact": q_dedup_exact,
     "dedup_clusters": q_dedup_clusters,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,

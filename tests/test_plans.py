@@ -144,3 +144,31 @@ def test_bucketed_frontier_pending_has_no_exchange(spark, tmp_path):
     eng.bootstrap()
     plan = _explain(eng.pending())
     assert not re.findall(r"\bExchange\b", plan), plan
+
+
+def test_contamination_screen_broadcasts_benchmark(spark):
+    """Corpus side of the contamination screen must probe a BROADCAST
+    benchmark dim; the only Exchange in the plan is the final per-doc
+    count aggregation (small (id, count) pairs), never the corpus
+    grams."""
+    import re
+
+    from legislation_scraper_spark.operators.curation import (
+        contamination_screen,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = contamination_screen(
+        d.filter(F.col("doc_id") % 50 != 0),
+        d.filter(F.col("doc_id") % 50 == 0),
+        n=4,
+    )
+    plan = _explain(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # exactly one shuffle: the final groupBy (plus any broadcast
+    # exchanges, which move only the benchmark dim)
+    shuffles = re.findall(r"Exchange hashpartitioning", plan)
+    assert len(shuffles) <= 1, plan
