@@ -851,6 +851,14 @@ _ORACLE_B2: dict[str, str] = {
         SELECT doc_id, format, media_type, width, height, feat_mean
         FROM '/root/repo/fixtures/multimodal_features_sf0.01.parquet'
     """,
+    # The sequential token-bucket recurrence is not SQL-expressible;
+    # expected rows precomputed by an independent straight-line
+    # implementation (scripts/gen_token_bucket_fixture.py) into a
+    # committed parquet fixture (sf0.01, the driver's correctness scale).
+    "token_bucket_admission": """
+        SELECT host, n_admitted, n_events
+        FROM '/root/repo/fixtures/token_bucket_sf0.01.parquet'
+    """,
     "pii_scrub": r"""
         WITH seeded AS (
           SELECT doc_id,
@@ -1148,9 +1156,10 @@ def q_token_bucket_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (batch form of the streaming
     applyInPandasWithState token bucket): per-host crawl-delay admission
     over the events stream — host := user_id bucket, 1 token/s refill,
-    burst 2.  Sequential recurrence per host ⇒ not SQL-expressible; the
-    driver records a rows-only check (streaming twin proven equal by
-    tests/test_streaming_politeness.py)."""
+    burst 2.  Sequential recurrence per host ⇒ not SQL-expressible;
+    oracle = committed fixture precomputed by an independent
+    straight-line implementation (scripts/gen_token_bucket_fixture.py);
+    streaming twin proven equal by tests/test_streaming_politeness.py."""
     from legislation_scraper_spark.streaming.politeness_stream import (
         admit_batch,
     )
