@@ -63,6 +63,13 @@ def compare_query(spark, name: str, sf_dir: str = SF_MED):
 
     q = entry_mod.queries()[name]
     sql = entry_mod.oracle_sql().get(name)
+    # fixture-backed oracles are generated per sf dir (each dir has
+    # independent content); retarget the committed sf0.01 path when the
+    # test runs at another scale
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    if sql is not None and "_sf0.01.parquet" in sql and tag != "sf0.01":
+        entry_mod.ensure_oracle_fixtures(sf_dir)
+        sql = sql.replace("_sf0.01.parquet", f"_{tag}.parquet")
     sdf = q(spark, sf_dir)
     scols = sorted(sdf.columns)
     srows = [tuple(r[c] for c in scols) for r in sdf.collect()]
