@@ -943,6 +943,90 @@ _ORACLE_B2: dict[str, str] = {
         FROM c, UNNEST(generate_series(
                1, CAST(ceil(total / 100.0) AS BIGINT))) AS u(g)
     """,
+    "repetition_scores": r"""
+        WITH w AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\s+'),
+                             x -> x <> '') AS ws
+          FROM documents),
+        bg AS (
+          SELECT doc_id, ws[i] || ' ' || ws[i+1] AS gram
+          FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS u(i)
+          WHERE len(ws) >= 2),
+        bc AS (SELECT doc_id, gram, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+        tops AS (
+          SELECT doc_id, MAX(c) AS topc, CAST(SUM(c) AS BIGINT) AS ng
+          FROM bc GROUP BY 1)
+        SELECT w.doc_id,
+               CAST(len(ws) AS BIGINT) AS n_words,
+               ROUND(len(list_distinct(ws))
+                     / CAST(NULLIF(len(ws), 0) AS DOUBLE), 6)
+                 AS distinct_word_frac,
+               ROUND(topc / CAST(NULLIF(ng, 0) AS DOUBLE), 6)
+                 AS top_ngram_frac
+        FROM w LEFT JOIN tops USING (doc_id)
+    """,
+    "chunk_dedup": r"""
+        WITH w AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\s+'),
+                             x -> x <> '') AS ws
+          FROM documents),
+        ch AS (
+          SELECT doc_id,
+                 md5(array_to_string(ws[(i*10+1):(i*10+10)], ' ')) AS h,
+                 doc_id * 1048576 + i AS skey
+          FROM w, UNNEST(generate_series(
+                 0, CAST(ceil(len(ws) / 10.0) AS INT) - 1)) AS u(i)),
+        s AS (SELECT h, MIN(skey) AS survivor_key FROM ch GROUP BY h)
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(CASE WHEN skey = survivor_key THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_kept
+        FROM ch JOIN s USING (h) GROUP BY doc_id
+    """,
+    "host_degree": """
+        WITH e AS (
+          SELECT 'h' || CAST(doc_id % 31 AS VARCHAR) AS src,
+                 'h' || CAST((doc_id * 7 + 3) % 31 AS VARCHAR) AS dst
+          FROM documents
+          WHERE doc_id % 31 <> (doc_id * 7 + 3) % 31),
+        od AS (SELECT src AS node, COUNT(*) AS out_deg FROM e GROUP BY 1),
+        id_ AS (SELECT dst AS node, COUNT(*) AS in_deg FROM e GROUP BY 1)
+        SELECT COALESCE(od.node, id_.node) AS node,
+               CAST(COALESCE(out_deg, 0) AS BIGINT) AS out_deg,
+               CAST(COALESCE(in_deg, 0) AS BIGINT) AS in_deg
+        FROM od FULL OUTER JOIN id_ ON od.node = id_.node
+    """,
+    "pagerank_hosts": """
+        WITH e AS (
+          SELECT 'h' || CAST(doc_id % 31 AS VARCHAR) AS src,
+                 'h' || CAST((doc_id * 7 + 3) % 31 AS VARCHAR) AS dst
+          FROM documents
+          WHERE doc_id % 31 <> (doc_id * 7 + 3) % 31),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        od AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS od FROM e
+               GROUP BY src),
+        r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+        c1 AS (SELECT e.dst, SUM(r0.rank / od.od) AS c
+               FROM e JOIN r0 ON e.src = r0.node
+                      JOIN od ON e.src = od.src
+               GROUP BY e.dst),
+        r1 AS (SELECT node,
+                      (1.0 - 0.85) / (SELECT n FROM nn)
+                        + 0.85 * COALESCE(c, 0.0) AS rank
+               FROM nodes LEFT JOIN c1 ON node = c1.dst),
+        c2 AS (SELECT e.dst, SUM(r1.rank / od.od) AS c
+               FROM e JOIN r1 ON e.src = r1.node
+                      JOIN od ON e.src = od.src
+               GROUP BY e.dst),
+        r2 AS (SELECT node,
+                      (1.0 - 0.85) / (SELECT n FROM nn)
+                        + 0.85 * COALESCE(c, 0.0) AS rank
+               FROM nodes LEFT JOIN c2 ON node = c2.dst)
+        SELECT node, ROUND(rank, 6) AS rank FROM r2
+    """,
     "ficha_enrichment": """
         WITH t AS (
           SELECT doc_id, j
@@ -1177,9 +1261,66 @@ def q_datatables_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (duplicate-word and top-bigram
+    fractions) per document — computed in-row by a sort+fold, zero
+    shuffle (operators/curation.repetition_scores)."""
+    from legislation_scraper_spark.operators.curation import (
+        repetition_scores,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return repetition_scores(d, n=2).withColumnRenamed("id", "doc_id")
+
+
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph/chunk-level exact dedup across the corpus: first
+    occurrence of each 10-word chunk survives
+    (operators/curation.chunk_dedup)."""
+    from legislation_scraper_spark.operators.curation import chunk_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_dedup(d, chunk_words=10).withColumnRenamed("id", "doc_id")
+
+
+def _edge_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic host-graph edges from doc ids (multi-edges kept —
+    real link graphs have them; both engines build the identical set)."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    e = d.select(
+        F.concat(F.lit("h"), (did % 31).cast("string")).alias("src"),
+        F.concat(F.lit("h"), ((did * 7 + 3) % 31).cast("string")).alias(
+            "dst"
+        ),
+    )
+    return e.filter(F.col("src") != F.col("dst"))
+
+
+def q_host_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph degree counts per host (operators/graph.degrees)."""
+    from legislation_scraper_spark.operators.graph import degrees
+
+    return degrees(_edge_synth(spark, sf_dir))
+
+
+def q_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two PageRank iterations over the host graph
+    (operators/graph.pagerank, iterate-as-joins; oracle = the same two
+    iterations as chained SQL CTEs, rounded to 6dp)."""
+    from legislation_scraper_spark.operators.graph import pagerank
+
+    ranks = pagerank(_edge_synth(spark, sf_dir), iters=2, damping=0.85)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
 _Q_B2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "datatables_scan": q_datatables_scan,
     "datatables_pages": q_datatables_pages,
+    "repetition_scores": q_repetition_scores,
+    "chunk_dedup": q_chunk_dedup,
+    "host_degree": q_host_degree,
+    "pagerank_hosts": q_pagerank_hosts,
     "ficha_enrichment": q_ficha_enrichment,
     "pii_scrub": q_pii_scrub,
     "contamination_screen": q_contamination_screen,

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import word_shingles
+from ..functions.text import word_shingles, words
 
 # pattern, replacement-tag pairs; ORDER MATTERS (CPF before phone —
 # a CPF's digit shape must not be half-eaten by the phone pattern)
@@ -94,5 +94,110 @@ def contamination_screen(
         .agg(
             F.count("*").alias("contaminated_grams"),
             F.sum("bench_docs").cast("bigint").alias("benchmark_hits"),
+        )
+    )
+
+
+def repetition_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """Gopher-style repetition signals per document, computed IN-ROW.
+
+    Returns ``(id, n_words, distinct_word_frac, top_ngram_frac)`` where
+    ``top_ngram_frac`` is the share of the document's word n-grams taken
+    by its single most frequent n-gram — the Gopher repetition-removal
+    family (Rae et al. 2021 §A1.1: "duplicate n-gram fraction").
+
+    Scale note: the naive plan explodes (doc, gram) pairs and shuffles
+    them to count per-doc modes — at 100 TB that is a shuffle of the
+    entire tokenized corpus.  Here the mode is computed WITHOUT any
+    exchange: sort the in-row gram array, then a sequential
+    ``aggregate`` fold finds the longest equal-run (= max frequency).
+    Everything stays inside whole-stage codegen; the operator adds zero
+    shuffles to whatever scan feeds it.  ``tests/test_curation_ext.py``
+    proves it equal to the explode/groupBy twin.
+    """
+    txt = F.col(text_col)
+    ws = words(txt)
+    grams_sorted = F.sort_array(word_shingles(txt, n))
+    # fold state: (prev gram, current run length, best run length)
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    top = F.aggregate(grams_sorted, init, step, lambda acc: acc["best"])
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(ws).cast("bigint").alias("n_words"),
+        F.round(
+            F.size(F.array_distinct(ws))
+            / F.nullif(F.size(ws), F.lit(0)).cast("double"),
+            6,
+        ).alias("distinct_word_frac"),
+        F.round(
+            top / F.nullif(F.size(grams_sorted), F.lit(0)).cast("double"), 6
+        ).alias("top_ngram_frac"),
+    )
+
+
+def chunk_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_words: int = 10,
+) -> DataFrame:
+    """Paragraph/chunk-level exact dedup across the corpus.
+
+    Splits each document into consecutive ``chunk_words``-word chunks
+    (the stand-in for paragraphs — the synthetic corpus has no newlines)
+    and keeps, per distinct chunk text, only the FIRST occurrence in
+    ``(id, chunk_idx)`` order.  Returns per-doc
+    ``(id, n_chunks, n_kept)`` — the C4/RefinedWeb intra-corpus
+    paragraph-dedup step reduced to counts.
+
+    Scale: chunk hashes (16-byte md5, not chunk text) shuffle once on
+    the hash — the canonical exact-dedup exchange, identical in shape to
+    ``dedup.exact_dedup``.  The survivor is ``min(id * 2^20 + idx)``
+    per hash, a plain partial-aggregatable ``min``.
+    """
+    txt = F.col(text_col)
+    w = words(txt)
+    n_chunks = F.ceil(F.size(w) / F.lit(chunk_words)).cast("int")
+    # guard: sequence(0, -1) is DESCENDING in Spark, not empty — an
+    # empty document must yield zero chunks, not two
+    hashes = F.when(
+        n_chunks > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.md5(
+                F.array_join(
+                    F.slice(w, i * chunk_words + 1, chunk_words), " "
+                )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ch = df.select(
+        F.col(id_col).alias("id"), F.posexplode(hashes).alias("idx", "h")
+    ).withColumn("skey", F.col("id") * (1 << 20) + F.col("idx"))
+    surv = ch.groupBy("h").agg(F.min("skey").alias("survivor_key"))
+    return (
+        ch.join(surv, "h")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_chunks"),
+            F.sum(
+                (F.col("skey") == F.col("survivor_key")).cast("bigint")
+            ).alias("n_kept"),
         )
     )

@@ -1,0 +1,101 @@
+"""Link-graph analytics over the crawl's extracted edges.
+
+The reference keeps no link graph (each site scraper enumerates its own
+search pages), but a web-scale crawl's frontier prioritization and spam
+filtering live on exactly these primitives: per-host degree counts and
+a PageRank-style authority score over the host graph.  Both are
+first-class, oracle-checked operators here.
+
+Scale notes:
+- ``degrees`` is two partial-aggregatable counts + one outer join on
+  the node id — the minimal shuffle for the answer.
+- ``pagerank`` is the classic iterate-as-joins formulation: each
+  iteration shuffles ``(dst, contribution)`` pairs once and joins the
+  rank vector back to the node list.  The edge list is augmented with
+  out-degree ONCE up front (so no per-iteration degree join) and cached;
+  ranks are ``localCheckpoint``-ed every iteration to cut the growing
+  lineage (same discipline as dedup.connected_components).  Dangling
+  nodes (no out-edges) keep the plain ``(1-d)/N`` base — their mass is
+  NOT redistributed; the fixed-iteration oracle mirrors that choice
+  exactly.
+- Float determinism: double sums are order-dependent across engines, so
+  query-level parity rounds to 6dp (same convention as every other
+  floating aggregate in __spark_entry__).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def degrees(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node (out_deg, in_deg) over a directed edge list; nodes with
+    only one side present get 0 for the other."""
+    out_d = edges.groupBy(F.col(src).alias("node")).agg(
+        F.count("*").alias("out_deg")
+    )
+    in_d = edges.groupBy(F.col(dst).alias("node")).agg(
+        F.count("*").alias("in_deg")
+    )
+    return (
+        out_d.join(in_d, "node", "full_outer")
+        .select(
+            "node",
+            F.coalesce("out_deg", F.lit(0)).cast("bigint").alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).cast("bigint").alias("in_deg"),
+        )
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 2,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list.
+
+    Returns ``(node, rank)`` after ``iters`` synchronous iterations from
+    the uniform vector 1/N.  No dangling-mass redistribution (see module
+    docstring).  ``checkpoint=False`` keeps the full lineage (used by
+    tests that assert the plan shape).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    out_deg = e.groupBy("src").agg(F.count("*").alias("od"))
+    # degree-annotated edges, computed once and reused every iteration
+    ew = e.join(out_deg, "src")
+    if checkpoint:
+        ew = ew.localCheckpoint(eager=False)
+        nodes = nodes.localCheckpoint(eager=False)
+    n = nodes.count()
+    base = (1.0 - damping) / n
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iters):
+        contrib = (
+            ew.join(ranks, ew["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("od")).alias("c"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce("c", F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks

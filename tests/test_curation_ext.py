@@ -1,0 +1,115 @@
+"""Webtext curation extensions: repetition scores (in-row fold),
+chunk-level corpus dedup, and link-graph degree/PageRank operators."""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+from pyspark.sql import functions as F
+
+from legislation_scraper_spark.operators.curation import (
+    chunk_dedup,
+    repetition_scores,
+)
+from legislation_scraper_spark.operators.graph import degrees, pagerank
+
+DOCS = [
+    (0, "a b a b a b"),            # top bigram "a b" x3 of 5
+    (1, "x"),                      # single word: no bigrams
+    (2, ""),                       # empty
+    (3, "w w w w"),                # all same
+    (4, "p q r s t u v"),          # all distinct
+    (5, "a b a b a b"),            # duplicate of doc 0
+]
+
+
+def _py_repetition(text: str, n: int = 2):
+    ws = text.split()
+    grams = [" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)]
+    nd = len(set(ws)) / len(ws) if ws else None
+    top = max(Counter(grams).values()) / len(grams) if grams else None
+    rnd = lambda v: round(v, 6) if v is not None else None  # noqa: E731
+    return len(ws), rnd(nd), rnd(top)
+
+
+def test_repetition_fold_matches_straight_line(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {
+        r["id"]: (r["n_words"], r["distinct_word_frac"], r["top_ngram_frac"])
+        for r in repetition_scores(df).collect()
+    }
+    for i, text in DOCS:
+        assert got[i] == _py_repetition(text), (i, text)
+
+
+def test_repetition_fold_matches_explode_twin(spark):
+    """The zero-shuffle fold must equal the canonical explode/groupBy
+    plan on real corpus text."""
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fold = {
+        r["id"]: r["top_ngram_frac"]
+        for r in repetition_scores(d).collect()
+    }
+    from legislation_scraper_spark.functions.text import word_shingles
+
+    grams = d.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 2)).alias("g")
+    )
+    twin = (
+        grams.groupBy("doc_id", "g").count()
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.max("count") / F.sum("count"), 6).alias("t")
+        )
+    )
+    for r in twin.collect():
+        assert fold[r["doc_id"]] == r["t"]
+
+
+def test_repetition_plan_has_no_exchange(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    plan = repetition_scores(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_chunk_dedup_survivors(spark):
+    rows = [
+        (0, " ".join(["w%d" % i for i in range(25)])),   # 3 chunks
+        (1, " ".join(["w%d" % i for i in range(10)])),   # dup of doc0 chunk0
+        (2, ""),                                          # empty: no chunks
+        (3, " ".join(["w%d" % i for i in range(10)])),   # dup of doc0+doc1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["id"]: (r["n_chunks"], r["n_kept"])
+        for r in chunk_dedup(df, chunk_words=10).collect()
+    }
+    assert got[0] == (3, 3)        # first occurrence keeps everything
+    assert got[1] == (1, 0)        # chunk already owned by doc 0
+    assert 2 not in got            # empty doc yields no chunk rows
+    assert got[3] == (1, 0)
+
+
+def _py_pagerank(edges, iters=2, d=0.85):
+    nodes = sorted({s for s, _ in edges} | {t for _, t in edges})
+    od = Counter(s for s, _ in edges)
+    n = len(nodes)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        contrib = defaultdict(float)
+        for s, t in edges:
+            contrib[t] += rank[s] / od[s]
+        rank = {v: (1 - d) / n + d * contrib.get(v, 0.0) for v in nodes}
+    return rank
+
+
+def test_degrees_and_pagerank_match_straight_line(spark):
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("a", "b")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    deg = {r["node"]: (r["out_deg"], r["in_deg"]) for r in degrees(df).collect()}
+    assert deg == {"a": (3, 1), "b": (1, 2), "c": (1, 2)}
+    pr = {r["node"]: round(r["rank"], 9) for r in pagerank(df, iters=2).collect()}
+    expect = {v: round(r, 9) for v, r in _py_pagerank(edges).items()}
+    assert pr == expect
+    # probability mass is conserved (no dangling nodes in this graph)
+    assert abs(sum(pr.values()) - 1.0) < 1e-9
