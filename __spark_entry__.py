@@ -943,6 +943,40 @@ _ORACLE_B2: dict[str, str] = {
         FROM c, UNNEST(generate_series(
                1, CAST(ceil(total / 100.0) AS BIGINT))) AS u(g)
     """,
+    "warc_roundtrip": """
+        SELECT source,
+               'http://' || source || '/doc/' || CAST(doc_id AS VARCHAR)
+                 AS target_uri,
+               CAST(octet_length(encode(text)) AS BIGINT)
+                 AS content_length,
+               md5(text) AS payload_md5
+        FROM documents
+    """,
+    "sitemap_parse": """
+        SELECT source,
+               'http://' || source || '/doc/' || CAST(doc_id AS VARCHAR)
+                 AS loc,
+               CASE WHEN doc_id % 4 <> 1 THEN
+                 '2024-' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0')
+                 || '-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+               END AS lastmod,
+               CASE WHEN doc_id % 5 <> 0 THEN
+                 CAST(doc_id % 10 AS DOUBLE) / 10.0
+               END AS priority
+        FROM documents
+    """,
+    "robots_rules": """
+        WITH c AS (
+          SELECT source AS host, CAST(COUNT(*) AS VARCHAR) AS n
+          FROM documents GROUP BY source)
+        SELECT host, '*' AS agent, 'disallow' AS directive,
+               '/priv-' || n AS path FROM c
+        UNION ALL SELECT host, '*', 'allow', '/priv-' || n || '/pub' FROM c
+        UNION ALL SELECT host, 'goodbot', 'disallow', '/priv-' || n FROM c
+        UNION ALL SELECT host, 'goodbot', 'allow',
+               '/priv-' || n || '/pub' FROM c
+        UNION ALL SELECT host, 'bot-' || host, 'disallow', '/all' FROM c
+    """,
     "repetition_scores": r"""
         WITH w AS (
           SELECT doc_id,
@@ -1314,9 +1348,124 @@ def q_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC source (sources/warc.py): frame each document as a
+    Content-Length-delimited WARC response record, concatenate per
+    source into one archive stream, then parse with the REAL reader
+    kernel (parse_warc_column mapInPandas) — proving byte-exact framing
+    recovery including md5 of the payload."""
+    from legislation_scraper_spark.sources.warc import parse_warc_column
+
+    d = _t(spark, sf_dir, "documents")
+    payload = F.encode("text", "utf-8")
+    header = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://"),
+        F.col("source"), F.lit("/doc/"), F.col("doc_id").cast("string"),
+        F.lit("\r\nContent-Length: "),
+        F.octet_length("text").cast("string"),
+        F.lit("\r\n\r\n"),
+    )
+    rec = F.concat(
+        header.cast("binary"), payload, F.lit("\r\n\r\n").cast("binary")
+    )
+    streams = (
+        d.select("source", rec.alias("rec"))
+        .groupBy("source")
+        .agg(
+            F.aggregate(
+                F.collect_list("rec"),
+                F.unhex(F.lit("")),
+                lambda a, x: F.concat(a, x),
+            ).alias("warc")
+        )
+    )
+    out = parse_warc_column(streams, bytes_col="warc", id_col="source")
+    return out.select("source", "target_uri", "content_length", "payload_md5")
+
+
+def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap source (sources/sitemap.py): synthesize one urlset XML
+    per source (lastmod/priority optional per doc), parse JVM-side with
+    from_xml, explode to (source, loc, lastmod, priority)."""
+    from legislation_scraper_spark.sources.sitemap import parse_sitemap
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    lastmod = F.when(
+        did % 4 != 1,
+        F.concat(
+            F.lit("<lastmod>2024-"),
+            F.lpad((did % 12 + 1).cast("string"), 2, "0"),
+            F.lit("-"),
+            F.lpad((did % 28 + 1).cast("string"), 2, "0"),
+            F.lit("</lastmod>"),
+        ),
+    ).otherwise(F.lit(""))
+    prio = F.when(
+        did % 5 != 0,
+        F.concat(
+            F.lit("<priority>0."), (did % 10).cast("string"),
+            F.lit("</priority>"),
+        ),
+    ).otherwise(F.lit(""))
+    url_el = F.concat(
+        F.lit("<url><loc>http://"), F.col("source"), F.lit("/doc/"),
+        did.cast("string"), F.lit("</loc>"), lastmod, prio, F.lit("</url>"),
+    )
+    xml = (
+        d.select("source", url_el.alias("u"))
+        .groupBy("source")
+        .agg(
+            F.concat(
+                F.lit("<urlset>"),
+                F.array_join(F.collect_list("u"), ""),
+                F.lit("</urlset>"),
+            ).alias("xml")
+        )
+    )
+    return xml.select(
+        "source", F.explode(parse_sitemap(F.col("xml"))).alias("u")
+    ).select(
+        "source",
+        F.col("u.loc").alias("loc"),
+        F.col("u.lastmod").alias("lastmod"),
+        F.col("u.priority").alias("priority"),
+    )
+
+
+def q_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt source (sources/sitemap.parse_robots): synthesize one
+    robots body per source (grouped user-agents, comments, a
+    count-dependent path), parse with the zero-shuffle in-row fold."""
+    from legislation_scraper_spark.sources.sitemap import parse_robots
+
+    d = _t(spark, sf_dir, "documents")
+    body = (
+        d.groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("source").alias("host"),
+            F.concat(
+                F.lit("# synthetic robots\nUser-agent: *\n"
+                      "User-agent: goodbot\nDisallow: /priv-"),
+                F.col("n").cast("string"),
+                F.lit("\nAllow: /priv-"),
+                F.col("n").cast("string"),
+                F.lit("/pub\n\nUser-agent: bot-"),
+                F.col("source"),
+                F.lit("\nDisallow: /all\nCrawl-delay: 10\n"),
+            ).alias("body"),
+        )
+    )
+    return parse_robots(body)
+
+
 _Q_B2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "datatables_scan": q_datatables_scan,
     "datatables_pages": q_datatables_pages,
+    "warc_roundtrip": q_warc_roundtrip,
+    "sitemap_parse": q_sitemap_parse,
+    "robots_rules": q_robots_rules,
     "repetition_scores": q_repetition_scores,
     "chunk_dedup": q_chunk_dedup,
     "host_degree": q_host_degree,

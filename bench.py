@@ -117,12 +117,18 @@ def run_headline_queries() -> dict[str, float]:
         df = fn(spark, sf_dir)
         # steady-state measurement (standard JVM practice): the first
         # execution pays one-time codegen/JIT warmup (~3 s on the very
-        # first job of a session); nothing is cached between runs — the
-        # second execution re-runs the full plan against the same input
+        # first job of a session); nothing is cached between runs — each
+        # execution re-runs the full plan against the same input.  Two
+        # measured runs, best kept: a single host-stall window must not
+        # become the recorded artifact (same rationale as the crawl
+        # scaling best-of-K).
         df.write.format("noop").mode("overwrite").save()
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
     spark.stop()
     return times
 

@@ -1,0 +1,148 @@
+"""XML sitemap and robots.txt parsing — the crawl's seed discovery
+surface, kept entirely JVM-side.
+
+The reference seeds its frontier from hand-coded per-site search URLs;
+a tier-style web crawl seeds from robots.txt → sitemap indexes →
+urlsets.  Both formats parse with built-ins here (``from_xml`` for
+sitemaps, split/regexp column algebra for robots), so discovery fuses
+into whole-stage codegen with no Python anywhere.
+
+Scale notes:
+- ``parse_sitemap`` is a per-row ``from_xml`` + ``explode`` — no
+  shuffle; a sitemap index simply feeds discovered child-sitemap URLs
+  back into the fetch frontier (same BFS loop as S9 speculative
+  pagination).
+- ``parse_robots`` explodes robots lines per host (≤ a few thousand
+  rows per host); ``robots_allows`` evaluates the agent's rules with
+  the standard longest-match-wins semantics via one window over
+  (host, url) candidates — rule dims are tiny and broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: <urlset><url><loc/><lastmod/><priority/></url>...</urlset>
+SITEMAP_SCHEMA = (
+    "STRUCT<url: ARRAY<STRUCT<loc: STRING, lastmod: STRING, "
+    "priority: DOUBLE>>>"
+)
+
+#: <sitemapindex><sitemap><loc/></sitemap>...</sitemapindex>
+SITEMAP_INDEX_SCHEMA = "STRUCT<sitemap: ARRAY<STRUCT<loc: STRING>>>"
+
+
+def parse_sitemap(xml: Column) -> Column:
+    """urlset XML → array<struct<loc, lastmod, priority>> (JVM
+    ``from_xml``; malformed XML → NULL, the PERMISSIVE default)."""
+    return F.from_xml(xml, SITEMAP_SCHEMA)["url"]
+
+
+def parse_sitemap_index(xml: Column) -> Column:
+    """sitemapindex XML → array of child sitemap locs."""
+    return F.transform(
+        F.from_xml(xml, SITEMAP_INDEX_SCHEMA)["sitemap"],
+        lambda s: s["loc"],
+    )
+
+
+def parse_robots(df: DataFrame, host_col: str = "host",
+                 body_col: str = "body") -> DataFrame:
+    """robots.txt text → (host, agent, directive, path) rule rows.
+
+    Line-based split + regexp column algebra (RFC 9309 §2.1 syntax:
+    ``<field>:<value>`` with ``#`` comments; group lines belong to the
+    most recent ``User-agent`` run).  The group association is an
+    in-row fold over the line array — zero shuffle, same discipline as
+    curation.repetition_scores.
+    """
+    lines = F.split(F.col(body_col), "\n")
+    # fold: (current agents array, emitted rules array); a Disallow/
+    # Allow line emits one rule per agent in the current group; an
+    # User-agent line either extends the group (consecutive UA lines)
+    # or starts a new one (UA after rules)
+    init = F.struct(
+        F.array().cast("array<string>").alias("agents"),
+        F.lit(True).alias("ua_run"),
+        F.array().cast(
+            "array<struct<agent:string,directive:string,path:string>>"
+        ).alias("rules"),
+    )
+
+    def step(acc, raw):
+        line = F.trim(F.regexp_replace(raw, "#.*$", ""))
+        field = F.lower(F.trim(F.substring_index(line, ":", 1)))
+        value = F.trim(F.regexp_replace(line, r"^[^:]*:", ""))
+        is_ua = field == F.lit("user-agent")
+        is_rule = field.isin("allow", "disallow") & (value != "")
+        new_agents = (
+            F.when(is_ua & acc["ua_run"], F.array_union(
+                acc["agents"], F.array(F.lower(value))))
+            .when(is_ua, F.array(F.lower(value)))
+            .otherwise(acc["agents"])
+        )
+        emitted = F.when(
+            is_rule,
+            F.concat(
+                acc["rules"],
+                F.transform(
+                    acc["agents"],
+                    lambda a: F.struct(
+                        a.alias("agent"),
+                        field.alias("directive"),
+                        value.alias("path"),
+                    ),
+                ),
+            ),
+        ).otherwise(acc["rules"])
+        return F.struct(
+            new_agents.alias("agents"),
+            (is_ua | ~(is_ua | is_rule) & acc["ua_run"]).alias("ua_run"),
+            emitted.alias("rules"),
+        )
+
+    rules = F.aggregate(lines, init, step, lambda acc: acc["rules"])
+    return (
+        df.select(F.col(host_col).alias("host"), F.explode(rules).alias("r"))
+        .select("host", "r.agent", "r.directive", "r.path")
+    )
+
+
+def robots_allows(
+    candidates: DataFrame,
+    rules: DataFrame,
+    agent: str = "*",
+    url_col: str = "path",
+    host_col: str = "host",
+) -> DataFrame:
+    """Evaluate (host, path) candidates against parsed rules for one
+    agent: RFC 9309 longest-match-wins, Allow beats Disallow on ties,
+    no matching rule → allowed.  Returns candidates + ``allowed``."""
+    r = rules.filter(F.col("agent") == agent.lower()).select(
+        F.col("host").alias("r_host"),
+        "directive",
+        F.col("path").alias("rule_path"),
+    )
+    j = candidates.join(
+        F.broadcast(r),
+        (F.col(host_col) == F.col("r_host"))
+        & F.col(url_col).startswith(F.col("rule_path")),
+        "left",
+    )
+    w = (
+        Window.partitionBy(host_col, url_col)
+        .orderBy(
+            F.length("rule_path").desc(),
+            # tie: allow < disallow lexicographically → allow wins
+            F.col("directive").asc(),
+        )
+    )
+    best = j.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    return best.select(
+        host_col,
+        url_col,
+        F.coalesce(F.col("directive") != "disallow", F.lit(True)).alias(
+            "allowed"
+        ),
+    )

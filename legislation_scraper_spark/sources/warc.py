@@ -1,0 +1,181 @@
+"""WARC (Web ARChive, ISO 28500) record reader — the Common Crawl
+ingestion path.
+
+The reference has no archive-format source (it fetches live HTML), but
+a 100 TB webtext pipeline starts from WARC segments, so the reader is
+a first-class source here.
+
+Format essentials (WARC/1.1 §4): a record is
+``WARC/1.0\\r\\n<headers>\\r\\n\\r\\n<Content-Length bytes of
+payload>\\r\\n\\r\\n`` and records concatenate back-to-back.  Payloads
+are arbitrary binary, so splitting on text delimiters is WRONG — the
+only correct framing is the declared ``Content-Length``.  That rules
+out ``spark.read.text(lineSep=...)`` and any JVM split; this is the
+legitimate mapInPandas case (SURVEY §2.10 discipline): one pass over
+each file's bytes, honoring Content-Length, emitting typed rows.
+
+Scale notes:
+- Parallelism is PER FILE (``binaryFile`` source): Common Crawl ships
+  ~1 GB gzip'd segments in the tens of thousands per dump, so file
+  granularity saturates any cluster; no intra-file split is needed (and
+  gzip forbids it anyway — the standard tradeoff every WARC engine
+  makes).
+- ``spark.sql.files.maxPartitionBytes`` does not split binaryFile rows;
+  memory per task = one segment (~1 GB decompressed burst), the same
+  envelope as the reference bench worlds.
+- Record headers travel as a ``map<string,string>`` column; payloads as
+  ``binary``.  Downstream pruning (e.g. response-only filter) happens
+  on the typed columns, not by re-parsing.
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import io
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+WARC_SCHEMA = (
+    "path string, record_type string, target_uri string, "
+    "warc_date string, content_length bigint, payload binary, "
+    "payload_md5 string"
+)
+
+_CRLF = b"\r\n"
+
+
+def parse_warc_stream(data: bytes):
+    """Parse one WARC file's bytes into records (straight-line kernel
+    shared by the Spark reader; tests verify it against hand-written
+    byte literals, not against itself).
+
+    Yields dicts with header map + payload.  Tolerates trailing
+    garbage / truncated tails by stopping at the first malformed
+    record boundary (Common Crawl segments occasionally truncate).
+    """
+    pos, n = 0, len(data)
+    while pos < n:
+        # skip inter-record CRLFs
+        while data.startswith(_CRLF, pos):
+            pos += 2
+        if pos >= n:
+            break
+        end_hdr = data.find(_CRLF + _CRLF, pos)
+        if end_hdr < 0:
+            break
+        head = data[pos:end_hdr].decode("utf-8", "replace").split("\r\n")
+        if not head or not head[0].startswith("WARC/"):
+            break
+        headers: dict[str, str] = {}
+        for line in head[1:]:
+            k, _, v = line.partition(":")
+            headers[k.strip().lower()] = v.strip()
+        try:
+            clen = int(headers.get("content-length", ""))
+        except ValueError:
+            break
+        body_start = end_hdr + 4
+        if body_start + clen > n:
+            break  # truncated tail
+        yield {
+            "headers": headers,
+            "payload": data[body_start:body_start + clen],
+        }
+        pos = body_start + clen
+
+
+def read_warc(
+    spark: SparkSession, path: str, response_only: bool = False
+) -> DataFrame:
+    """Read WARC files (optionally .gz) under ``path`` into typed rows.
+
+    ``response_only=True`` keeps only ``WARC-Type: response`` records
+    (the usual Common Crawl projection) — filtered INSIDE the parser so
+    request/metadata payloads never materialize as rows.
+    """
+    files = spark.read.format("binaryFile").load(path)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "path", "record_type", "target_uri", "warc_date",
+                "content_length", "payload", "payload_md5",
+            )}
+            for p, blob in zip(pdf["path"], pdf["content"]):
+                raw = bytes(blob)
+                if p.endswith(".gz"):
+                    raw = gzip.GzipFile(fileobj=io.BytesIO(raw)).read()
+                for rec in parse_warc_stream(raw):
+                    h = rec["headers"]
+                    rtype = h.get("warc-type", "")
+                    if response_only and rtype != "response":
+                        continue
+                    out["path"].append(p)
+                    out["record_type"].append(rtype)
+                    out["target_uri"].append(h.get("warc-target-uri"))
+                    out["warc_date"].append(h.get("warc-date"))
+                    out["content_length"].append(len(rec["payload"]))
+                    out["payload"].append(rec["payload"])
+                    out["payload_md5"].append(
+                        hashlib.md5(rec["payload"]).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return files.select("path", "content").mapInPandas(run, WARC_SCHEMA)
+
+
+def build_warc_bytes(records: list[tuple[str, str, bytes]]) -> bytes:
+    """Serialize (record_type, target_uri, payload) triples into a WARC
+    byte stream (test/synthesis helper; framing per ISO 28500 §4)."""
+    parts = []
+    for rtype, uri, payload in records:
+        head = (
+            "WARC/1.0\r\n"
+            f"WARC-Type: {rtype}\r\n"
+            f"WARC-Target-URI: {uri}\r\n"
+            "WARC-Date: 2024-01-01T00:00:00Z\r\n"
+            f"Content-Length: {len(payload)}\r\n"
+            "\r\n"
+        ).encode()
+        parts.append(head + payload + b"\r\n\r\n")
+    return b"".join(parts)
+
+
+def parse_warc_column(
+    df: DataFrame,
+    bytes_col: str = "warc",
+    id_col: str = "source",
+    response_only: bool = False,
+) -> DataFrame:
+    """Parse a binary WARC-stream COLUMN into exploded record rows
+    (same kernel as :func:`read_warc`, for streams that arrive as rows
+    — e.g. fetched sub-archives — instead of files)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                id_col, "record_type", "target_uri", "warc_date",
+                "content_length", "payload", "payload_md5",
+            )}
+            for key, blob in zip(pdf[id_col], pdf[bytes_col]):
+                for rec in parse_warc_stream(bytes(blob)):
+                    h = rec["headers"]
+                    rtype = h.get("warc-type", "")
+                    if response_only and rtype != "response":
+                        continue
+                    out[id_col].append(key)
+                    out["record_type"].append(rtype)
+                    out["target_uri"].append(h.get("warc-target-uri"))
+                    out["warc_date"].append(h.get("warc-date"))
+                    out["content_length"].append(len(rec["payload"]))
+                    out["payload"].append(rec["payload"])
+                    out["payload_md5"].append(
+                        hashlib.md5(rec["payload"]).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    schema = f"`{id_col}` string, " + WARC_SCHEMA.split(", ", 1)[1]
+    return df.select(id_col, bytes_col).mapInPandas(run, schema)

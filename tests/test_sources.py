@@ -1,0 +1,155 @@
+"""Source-format readers: WARC framing, sitemap XML, robots.txt."""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+from pyspark.sql import functions as F
+
+from legislation_scraper_spark.sources.sitemap import (
+    parse_robots,
+    parse_sitemap,
+    parse_sitemap_index,
+    robots_allows,
+)
+from legislation_scraper_spark.sources.warc import (
+    build_warc_bytes,
+    parse_warc_stream,
+    read_warc,
+)
+
+# hand-written WARC bytes — NOT produced by build_warc_bytes — with a
+# payload that embeds the record-start delimiter: only Content-Length
+# framing parses this correctly
+TRICKY_PAYLOAD = b"<html>\r\n\r\nWARC/1.0\r\nfake: x\r\n\r\n</html>"
+RAW = (
+    b"WARC/1.0\r\n"
+    b"WARC-Type: response\r\n"
+    b"WARC-Target-URI: http://a.example/1\r\n"
+    b"Content-Length: " + str(len(TRICKY_PAYLOAD)).encode() + b"\r\n"
+    b"\r\n" + TRICKY_PAYLOAD + b"\r\n\r\n"
+    b"WARC/1.0\r\n"
+    b"WARC-Type: request\r\n"
+    b"WARC-Target-URI: http://a.example/1\r\n"
+    b"Content-Length: 2\r\n"
+    b"\r\nhi\r\n\r\n"
+)
+
+
+def test_content_length_framing_beats_delimiters():
+    recs = list(parse_warc_stream(RAW))
+    assert len(recs) == 2
+    assert recs[0]["payload"] == TRICKY_PAYLOAD
+    assert recs[0]["headers"]["warc-type"] == "response"
+    assert recs[1]["payload"] == b"hi"
+
+
+def test_truncated_tail_is_dropped():
+    recs = list(parse_warc_stream(RAW + b"WARC/1.0\r\nContent-Length: 999\r\n\r\nshort"))
+    assert len(recs) == 2
+
+
+def test_read_warc_files(spark, tmp_path):
+    plain = build_warc_bytes(
+        [
+            ("response", "http://h/1", b"body-one"),
+            ("request", "http://h/1", b"GET /1"),
+            ("response", "http://h/2", TRICKY_PAYLOAD),
+        ]
+    )
+    (tmp_path / "a.warc").write_bytes(plain)
+    (tmp_path / "b.warc.gz").write_bytes(gzip.compress(plain))
+    df = read_warc(spark, str(tmp_path), response_only=True)
+    rows = df.select("path", "target_uri", "content_length").collect()
+    # 2 response records per file, request filtered inside the parser
+    assert len(rows) == 4
+    by_uri = sorted((os.path.basename(r["path"]), r["target_uri"],
+                     r["content_length"]) for r in rows)
+    assert by_uri == [
+        ("a.warc", "http://h/1", 8),
+        ("a.warc", "http://h/2", len(TRICKY_PAYLOAD)),
+        ("b.warc.gz", "http://h/1", 8),
+        ("b.warc.gz", "http://h/2", len(TRICKY_PAYLOAD)),
+    ]
+
+
+SITEMAP = """<?xml version="1.0"?>
+<urlset><url><loc>http://h/a</loc><lastmod>2024-01-02</lastmod>
+<priority>0.8</priority></url>
+<url><loc>http://h/b</loc></url></urlset>"""
+
+SITEMAP_INDEX = """<sitemapindex>
+<sitemap><loc>http://h/s1.xml</loc></sitemap>
+<sitemap><loc>http://h/s2.xml</loc></sitemap></sitemapindex>"""
+
+
+def test_parse_sitemap_and_index(spark):
+    df = spark.createDataFrame(
+        [(1, SITEMAP), (2, "<not-xml"), (3, SITEMAP_INDEX)], "i int, x string"
+    )
+    urls = {
+        r["i"]: r["u"]
+        for r in df.select("i", parse_sitemap(F.col("x")).alias("u")).collect()
+    }
+    assert [(u["loc"], u["lastmod"], u["priority"]) for u in urls[1]] == [
+        ("http://h/a", "2024-01-02", 0.8),
+        ("http://h/b", None, None),
+    ]
+    assert urls[2] is None  # malformed → NULL, row not lost
+    idx = df.filter("i = 3").select(
+        parse_sitemap_index(F.col("x")).alias("locs")
+    ).collect()[0]["locs"]
+    assert idx == ["http://h/s1.xml", "http://h/s2.xml"]
+
+
+ROBOTS = """# comment line
+User-agent: *
+User-agent: GoodBot
+Disallow: /admin
+Allow: /admin/public
+
+User-agent: BadBot
+Disallow: /
+Crawl-delay: 10
+"""
+
+
+def test_parse_robots_groups(spark):
+    df = spark.createDataFrame([("h1", ROBOTS)], "host string, body string")
+    rows = sorted(
+        (r["agent"], r["directive"], r["path"])
+        for r in parse_robots(df).collect()
+    )
+    assert rows == [
+        ("*", "allow", "/admin/public"),
+        ("*", "disallow", "/admin"),
+        ("badbot", "disallow", "/"),
+        ("goodbot", "allow", "/admin/public"),
+        ("goodbot", "disallow", "/admin"),
+    ]
+
+
+def test_robots_allows_longest_match(spark):
+    rules = parse_robots(
+        spark.createDataFrame([("h1", ROBOTS)], "host string, body string")
+    )
+    cand = spark.createDataFrame(
+        [
+            ("h1", "/admin/secret"),   # matches Disallow /admin only
+            ("h1", "/admin/public/x"), # longer Allow wins
+            ("h1", "/open"),           # no rule → allowed
+            ("h2", "/admin/secret"),   # unknown host → allowed
+        ],
+        "host string, path string",
+    )
+    got = {
+        (r["host"], r["path"]): r["allowed"]
+        for r in robots_allows(cand, rules, agent="*").collect()
+    }
+    assert got == {
+        ("h1", "/admin/secret"): False,
+        ("h1", "/admin/public/x"): True,
+        ("h1", "/open"): True,
+        ("h2", "/admin/secret"): True,
+    }
