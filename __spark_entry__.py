@@ -977,6 +977,38 @@ _ORACLE_B2: dict[str, str] = {
                '/priv-' || n || '/pub' FROM c
         UNION ALL SELECT host, 'bot-' || host, 'disallow', '/all' FROM c
     """,
+    "mixture_weights": """
+        WITH s AS (
+          SELECT source,
+                 CAST(SUM(octet_length(encode(text))) AS DOUBLE) AS sz
+          FROM documents GROUP BY source),
+        t AS (SELECT SUM(POWER(sz, 0.7)) AS z, SUM(sz) AS total FROM s)
+        SELECT source, CAST(sz AS BIGINT) AS size,
+               ROUND(POWER(sz, 0.7) / z, 6) AS weight,
+               ROUND((POWER(sz, 0.7) / z) / (sz / total), 6)
+                 AS oversample
+        FROM s, t
+    """,
+    "jsf_partial_scan": """
+        SELECT source,
+               'LEI ' || CAST(doc_id AS VARCHAR) AS title,
+               'PL ' || CAST(doc_id % 7 AS VARCHAR) AS project,
+               lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || '/' ||
+               lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0')
+                 AS publication,
+               substring(text, 1, 30) AS summary,
+               'http://' || source || '/pdf/' || CAST(doc_id AS VARCHAR)
+                 AS pdf_link
+        FROM documents
+    """,
+    "rendered_fetch": """
+        SELECT doc_id,
+               'http://' || source || '/doc/' || CAST(doc_id AS VARCHAR)
+                 AS url,
+               text || '<!-- rendered:' || substring(md5(text), 1, 8)
+                 || ' -->' AS rendered
+        FROM documents
+    """,
     "repetition_scores": r"""
         WITH w AS (
           SELECT doc_id,
@@ -1295,6 +1327,91 @@ def q_datatables_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix design: temperature-scaled (alpha=0.7) sampling
+    weights per source (operators/curation.mixture_weights), sized by
+    text bytes as the token proxy."""
+    from legislation_scraper_spark.operators.curation import (
+        mixture_weights,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "source", F.octet_length("text").alias("n_tokens")
+    )
+    return mixture_weights(d, group_col="source", alpha=0.7)
+
+
+def q_jsf_partial_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 JSF partial-AJAX scan (maranhao.py:44-185): synthesize a
+    PrimeFaces partial-response envelope per source (result rows in a
+    CDATA block), extract the table update with the REAL operator
+    (operators/jsf.partial_update), parse ui-widget-content rows with
+    the reference's label-index semantics, explode."""
+    from legislation_scraper_spark.operators import jsf
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    row = F.concat(
+        F.lit('<tr class="ui-widget-content">'
+              '<label class="ui-outputlabel ui-widget">LEI '),
+        did.cast("string"),
+        F.lit('</label><label class="ui-outputlabel ui-widget ementa">'),
+        F.substring("text", 1, 30),
+        F.lit('</label><label class="ui-outputlabel ui-widget">PL '),
+        (did % 7).cast("string"),
+        F.lit('</label><label class="ui-outputlabel ui-widget">'),
+        F.lpad((did % 28 + 1).cast("string"), 2, "0"),
+        F.lit("/"),
+        F.lpad((did % 12 + 1).cast("string"), 2, "0"),
+        F.lit('</label><a href="http://'),
+        F.col("source"),
+        F.lit("/pdf/"),
+        did.cast("string"),
+        F.lit('">pdf</a></tr>'),
+    )
+    xml = (
+        d.select("source", row.alias("row"))
+        .groupBy("source")
+        .agg(
+            F.concat(
+                F.lit('<partial-response><changes>'
+                      '<update id="table_resultados"><![CDATA['),
+                F.array_join(F.collect_list("row"), ""),
+                F.lit(']]></update><update id="javax.faces.ViewState">'
+                      "<![CDATA[-9:17]]></update></changes>"
+                      "</partial-response>"),
+            ).alias("xml")
+        )
+    )
+    return (
+        xml.select(
+            "source",
+            F.explode(
+                jsf.parse_result_rows(jsf.partial_update(F.col("xml")))
+            ).alias("r"),
+        )
+        .select("source", "r.title", "r.project", "r.publication",
+                "r.summary", "r.pdf_link")
+    )
+
+
+def q_rendered_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7/C3 rendered-DOM fetch: task-local driver lifecycle
+    (operators/render.rendered_fetch) over document bodies; the sandbox
+    driver is the deterministic md5-marker stub, which makes the
+    rendered output oracle-expressible."""
+    from legislation_scraper_spark.operators.render import rendered_fetch
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("http://"), "source", F.lit("/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.encode("text", "utf-8").alias("body"),
+    )
+    out = rendered_fetch(d)
+    return out.select("doc_id", "url", "rendered")
+
+
 def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filters (duplicate-word and top-bigram
     fractions) per document — computed in-row by a sort+fold, zero
@@ -1466,6 +1583,9 @@ _Q_B2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "warc_roundtrip": q_warc_roundtrip,
     "sitemap_parse": q_sitemap_parse,
     "robots_rules": q_robots_rules,
+    "jsf_partial_scan": q_jsf_partial_scan,
+    "rendered_fetch": q_rendered_fetch,
+    "mixture_weights": q_mixture_weights,
     "repetition_scores": q_repetition_scores,
     "chunk_dedup": q_chunk_dedup,
     "host_degree": q_host_degree,

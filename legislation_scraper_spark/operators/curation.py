@@ -201,3 +201,41 @@ def chunk_dedup(
             ).alias("n_kept"),
         )
     )
+
+
+def mixture_weights(
+    df: DataFrame,
+    group_col: str = "source",
+    weight_col: str = "n_tokens",
+    alpha: float = 0.7,
+) -> DataFrame:
+    """Temperature-scaled sampling weights per corpus subset.
+
+    The standard multi-source training mix (e.g. GPT-3/PaLM data
+    mixtures): subset s gets probability c_s^alpha / sum(c^alpha),
+    where c_s is its size and alpha<1 up-weights small subsets.
+    Returns (group, size, weight, oversample = weight / natural share).
+
+    Scale: one partial-aggregatable groupBy; the normalizing constant
+    is a scalar broadcast via a cross join of the 1-row total — no
+    collect, no second scan of the fact table.
+    """
+    sizes = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.sum(weight_col).cast("double").alias("size")
+    )
+    powed = sizes.withColumn("pw", F.pow("size", F.lit(alpha)))
+    tot = powed.agg(
+        F.sum("pw").alias("z"), F.sum("size").alias("total")
+    )
+    return (
+        powed.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("size").cast("bigint").alias("size"),
+            F.round(F.col("pw") / F.col("z"), 6).alias("weight"),
+            F.round(
+                (F.col("pw") / F.col("z")) / (F.col("size") / F.col("total")),
+                6,
+            ).alias("oversample"),
+        )
+    )
