@@ -655,9 +655,11 @@ def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _duck_minhash_sql() -> str:
+    # hash family i = 8-hex-char lane i%4 of md5(shingle || ':' || i//4)
+    # (functions/text.minhash_sig lane construction, 2 md5s -> 8 lanes)
     mins = ", ".join(
-        "list_aggregate(list_transform(sh, x -> md5(x || ':%d')), 'min') AS m%d"
-        % (i, i)
+        "list_aggregate(list_transform(ds, d -> substring(d, %d, 8)), "
+        "'min') AS m%d" % (i * 8 + 1, i)
         for i in range(8)
     )
     bands = ", ".join(
@@ -672,7 +674,11 @@ def _duck_minhash_sql() -> str:
                  list_transform(range(1, len(w) - 1),
                    i -> array_to_string(list_slice(w, i, i + 2), ' ')) AS sh
                FROM tok WHERE len(w) >= 3),
-        sig AS (SELECT doc_id, {mins} FROM sh WHERE len(sh) > 0),
+        dg AS (SELECT doc_id,
+                 list_transform(sh,
+                   x -> md5(x || ':0') || md5(x || ':1')) AS ds
+               FROM sh WHERE len(sh) > 0),
+        sig AS (SELECT doc_id, {mins} FROM dg),
         bands AS (SELECT doc_id, unnest([{bands}]) AS bk FROM sig)
         SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
         FROM bands a JOIN bands b
