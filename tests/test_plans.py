@@ -172,3 +172,36 @@ def test_contamination_screen_broadcasts_benchmark(spark):
     # exchanges, which move only the benchmark dim)
     shuffles = re.findall(r"Exchange hashpartitioning", plan)
     assert len(shuffles) <= 1, plan
+
+
+def test_protocol_parsers_stay_jvm_side(spark):
+    """The DataTables / JSF / sitemap / robots scan families claim
+    zero-Python plans — no Python eval operator may appear."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    for name in ("datatables_scan", "datatables_pages", "jsf_partial_scan",
+                 "sitemap_parse", "robots_rules"):
+        plan = _explain(qs[name](spark, SF))
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                       "FlatMapGroupsInPandas"):
+            assert marker not in plan, f"{name}: found {marker}"
+
+
+def test_pagerank_one_agg_shuffle_per_iteration(spark):
+    """Each added PageRank iteration contributes exactly ONE
+    (dst, contribution) aggregation exchange — the iteration's inherent
+    shuffle.  (Formatted plans put an Exchange and its hashpartitioning
+    arguments on separate lines, so count the argument line.)"""
+    from legislation_scraper_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    # checkpoint=False keeps the full lineage so the plan is countable
+    p1 = _explain(pagerank(edges, iters=1, checkpoint=False))
+    p2 = _explain(pagerank(edges, iters=2, checkpoint=False))
+    agg_ex = lambda p: len(  # noqa: E731
+        [l for l in p.splitlines() if "hashpartitioning(dst" in l]
+    )
+    assert agg_ex(p2) - agg_ex(p1) == 1
