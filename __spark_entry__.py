@@ -983,6 +983,26 @@ _ORACLE_B2: dict[str, str] = {
                '/priv-' || n || '/pub' FROM c
         UNION ALL SELECT host, 'bot-' || host, 'disallow', '/all' FROM c
     """,
+    "pack_sequences": r"""
+        WITH t AS (
+          SELECT doc_id, source,
+                 len(list_filter(string_split_regex(trim(text), '\s+'),
+                                 x -> x <> '')) AS n_tokens
+          FROM documents),
+        c AS (
+          SELECT doc_id, source AS shard,
+                 CAST(n_tokens AS BIGINT) AS n_tokens,
+                 CAST(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS start_tok
+          FROM t WHERE n_tokens > 0)
+        SELECT doc_id, shard, n_tokens, start_tok,
+               CAST(floor(start_tok / 256.0) AS BIGINT) AS first_seq,
+               CAST(floor((start_tok + n_tokens - 1) / 256.0) AS BIGINT)
+                 AS last_seq
+        FROM c
+    """,
     "mixture_weights": """
         WITH s AS (
           SELECT source,
@@ -1347,6 +1367,16 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_weights(d, group_col="source", alpha=0.7)
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training prep: greedy concat-then-chunk packing of each source's
+    token stream into 256-token sequences
+    (operators/curation.pack_sequences; shard-local, no global sort)."""
+    from legislation_scraper_spark.operators.curation import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_sequences(d, seq_len=256).withColumnRenamed("id", "doc_id")
+
+
 def q_jsf_partial_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6 JSF partial-AJAX scan (maranhao.py:44-185): synthesize a
     PrimeFaces partial-response envelope per source (result rows in a
@@ -1592,6 +1622,7 @@ _Q_B2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jsf_partial_scan": q_jsf_partial_scan,
     "rendered_fetch": q_rendered_fetch,
     "mixture_weights": q_mixture_weights,
+    "pack_sequences": q_pack_sequences,
     "repetition_scores": q_repetition_scores,
     "chunk_dedup": q_chunk_dedup,
     "host_degree": q_host_degree,

@@ -239,3 +239,62 @@ def mixture_weights(
             ).alias("oversample"),
         )
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    shard_col: str = "source",
+    id_col: str = "doc_id",
+    token_count_col=None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy concat-then-chunk sequence packing (training prep).
+
+    Documents are concatenated in ``(shard, id)`` order and cut into
+    fixed ``seq_len``-token training sequences; a document may span a
+    sequence boundary (the standard pretraining packing).  Returns per
+    doc: ``(id, shard, n_tokens, start_tok, first_seq, last_seq)``
+    where ``start_tok`` is the doc's offset in its shard's token stream
+    and sequences are numbered per shard.  Zero-token docs are dropped
+    (they occupy no sequence).
+
+    Scale: packing is SHARD-LOCAL by design — a global token order
+    would need a corpus-wide sort (total-order exchange), and training
+    shards are independent files anyway.  The only exchange is the
+    window's hash partition by shard; skewed shards are the caller's
+    responsibility (pre-split hot shards, same discipline as the
+    politeness salt).
+    """
+    from pyspark.sql import Window
+
+    toks = (
+        token_count_col
+        if token_count_col is not None
+        else F.size(words(F.col(text_col)))
+    )
+    # window over the RENAMED projection below (shard/id aliases)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(shard_col).alias("shard"),
+            toks.cast("bigint").alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .withColumn(
+            "start_tok",
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint"),
+        )
+    )
+    return out.select(
+        "id", "shard", "n_tokens", "start_tok",
+        F.floor(F.col("start_tok") / seq_len).cast("bigint")
+        .alias("first_seq"),
+        F.floor((F.col("start_tok") + F.col("n_tokens") - 1) / seq_len)
+        .cast("bigint").alias("last_seq"),
+    )

@@ -113,3 +113,27 @@ def test_degrees_and_pagerank_match_straight_line(spark):
     assert pr == expect
     # probability mass is conserved (no dangling nodes in this graph)
     assert abs(sum(pr.values()) - 1.0) < 1e-9
+
+
+def test_pack_sequences_boundaries(spark):
+    from legislation_scraper_spark.operators.curation import pack_sequences
+
+    rows = [
+        (0, "s", " ".join(["w"] * 6)),   # tokens 0-5   → seq 0
+        (1, "s", " ".join(["w"] * 6)),   # tokens 6-11  → seq 0..1 (spans)
+        (2, "s", ""),                     # zero tokens → dropped
+        (3, "s", " ".join(["w"] * 4)),   # tokens 12-15 → seq 1
+        (4, "t", " ".join(["w"] * 9)),   # other shard restarts at 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r["id"]: (r["start_tok"], r["first_seq"], r["last_seq"])
+        for r in pack_sequences(df, seq_len=8).collect()
+    }
+    assert got == {
+        0: (0, 0, 0),
+        1: (6, 0, 1),
+        3: (12, 1, 1),
+        4: (0, 0, 1),
+    }
+    assert 2 not in got
