@@ -1067,7 +1067,7 @@ _ORACLE_B2: dict[str, str] = {
         ch AS (
           SELECT doc_id,
                  md5(array_to_string(ws[(i*10+1):(i*10+10)], ' ')) AS h,
-                 doc_id * 1048576 + i AS skey
+                 ROW(doc_id, i) AS skey
           FROM w, UNNEST(generate_series(
                  0, CAST(ceil(len(ws) / 10.0) AS INT) - 1)) AS u(i)),
         s AS (SELECT h, MIN(skey) AS survivor_key FROM ch GROUP BY h)

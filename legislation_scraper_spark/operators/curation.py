@@ -168,8 +168,10 @@ def chunk_dedup(
 
     Scale: chunk hashes (16-byte md5, not chunk text) shuffle once on
     the hash — the canonical exact-dedup exchange, identical in shape to
-    ``dedup.exact_dedup``.  The survivor is ``min(id * 2^20 + idx)``
-    per hash, a plain partial-aggregatable ``min``.
+    ``dedup.exact_dedup``.  The survivor is ``min(struct(id, idx))``
+    per hash — lexicographic struct min, partial-aggregatable, and
+    collision-free at any document size (an arithmetic ``id*K+idx`` key
+    would silently collide across docs once idx ≥ K).
     """
     txt = F.col(text_col)
     w = words(txt)
@@ -189,7 +191,7 @@ def chunk_dedup(
     ).otherwise(F.array().cast("array<string>"))
     ch = df.select(
         F.col(id_col).alias("id"), F.posexplode(hashes).alias("idx", "h")
-    ).withColumn("skey", F.col("id") * (1 << 20) + F.col("idx"))
+    ).withColumn("skey", F.struct("id", "idx"))
     surv = ch.groupBy("h").agg(F.min("skey").alias("survivor_key"))
     return (
         ch.join(surv, "h")

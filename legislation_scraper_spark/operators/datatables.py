@@ -170,8 +170,11 @@ def doc_records(body: Column, base_url: Column) -> Column:
 
     def build(item: Column) -> Column:
         s = item["_source"]
-        title = F.concat_ws(
-            " ", s["nm_tipo_norma"], s["nr_norma"], F.lit("de"),
+        # F.concat (NULL-propagating), not concat_ws: a missing field
+        # must null the title like the oracle's || chain, not be
+        # silently skipped
+        title = F.concat(
+            s["nm_tipo_norma"], F.lit(" "), s["nr_norma"], F.lit(" de "),
             s["dt_assinatura"],
         )
         link = F.concat(

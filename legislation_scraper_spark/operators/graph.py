@@ -78,6 +78,10 @@ def pagerank(
         ew = ew.localCheckpoint(eager=False)
         nodes = nodes.localCheckpoint(eager=False)
     n = nodes.count()
+    if n == 0:
+        # empty graph (e.g. a quiet crawl round filtered all edges):
+        # return the empty (node, rank) frame instead of dividing by 0
+        return nodes.withColumn("rank", F.lit(0.0))
     base = (1.0 - damping) / n
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iters):

@@ -29,6 +29,8 @@ fuses into codegen, nothing crosses the Python boundary.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -77,9 +79,14 @@ def faces_post_body(
 def partial_update(xml: Column, update_id: str = "table_resultados") -> Column:
     """CDATA payload of ``<update id="{update_id}">`` in a JSF
     partial-response envelope (empty string when the id is absent —
-    the protocol's "nothing to render")."""
+    the protocol's "nothing to render").
+
+    ``update_id`` is regex-escaped: real PrimeFaces client ids carry
+    ``:`` ``(`` ``)`` and dots (e.g. ``form:tbl(0)``) which would
+    otherwise break or false-match the pattern."""
     pat = (
-        r'(?s)<update id="' + update_id + r'"><!\[CDATA\[(.*?)\]\]></update>'
+        r'(?s)<update id="' + re.escape(update_id)
+        + r'"><!\[CDATA\[(.*?)\]\]></update>'
     )
     return F.regexp_extract(xml, pat, 1)
 

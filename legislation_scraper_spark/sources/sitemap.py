@@ -72,10 +72,16 @@ def parse_robots(df: DataFrame, host_col: str = "host",
 
     def step(acc, raw):
         line = F.trim(F.regexp_replace(raw, "#.*$", ""))
+        # RFC 9309 §2.1: lines without a ':' separator are ignored —
+        # without this, a bare 'Disallow' line would emit a phantom
+        # rule whose path is the line's own text
+        has_colon = F.instr(line, ":") > 0
         field = F.lower(F.trim(F.substring_index(line, ":", 1)))
         value = F.trim(F.regexp_replace(line, r"^[^:]*:", ""))
-        is_ua = field == F.lit("user-agent")
-        is_rule = field.isin("allow", "disallow") & (value != "")
+        is_ua = has_colon & (field == F.lit("user-agent"))
+        is_rule = (
+            has_colon & field.isin("allow", "disallow") & (value != "")
+        )
         new_agents = (
             F.when(is_ua & acc["ua_run"], F.array_union(
                 acc["agents"], F.array(F.lower(value))))
@@ -109,6 +115,26 @@ def parse_robots(df: DataFrame, host_col: str = "host",
     )
 
 
+def rule_pattern(rule_path: Column) -> Column:
+    """RFC 9309 §2.2.3 rule path → anchored Java regex (column expr):
+    regex metachars are literal-escaped, ``*`` matches any span, a
+    TRAILING ``$`` anchors end-of-URL; otherwise prefix match."""
+    ends_anchor = rule_path.endswith("$")
+    body = F.when(
+        ends_anchor,
+        rule_path.substr(F.lit(1), F.length(rule_path) - 1),
+    ).otherwise(rule_path)
+    # escape every regex metachar except '*' (handled below); '$' was
+    # stripped above when terminal, mid-path '$' is literal
+    escaped = F.regexp_replace(
+        body, r"([.\^$+?(){}\[\]\\|])", r"\\$1"
+    )
+    wild = F.regexp_replace(escaped, r"\*", ".*")
+    return F.concat(
+        F.lit("^"), wild, F.when(ends_anchor, F.lit("$")).otherwise(F.lit(""))
+    )
+
+
 def robots_allows(
     candidates: DataFrame,
     rules: DataFrame,
@@ -117,17 +143,21 @@ def robots_allows(
     host_col: str = "host",
 ) -> DataFrame:
     """Evaluate (host, path) candidates against parsed rules for one
-    agent: RFC 9309 longest-match-wins, Allow beats Disallow on ties,
-    no matching rule → allowed.  Returns candidates + ``allowed``."""
+    agent: RFC 9309 longest-match-wins (match via §2.2.3 ``*``/``$``
+    patterns, specificity = rule path length), Allow beats Disallow on
+    ties, no matching rule → allowed.  Returns candidates +
+    ``allowed``.  The rule dim is broadcast, so the pattern-match theta
+    join is a map-side nested loop over a tiny side — no shuffle of
+    candidates."""
     r = rules.filter(F.col("agent") == agent.lower()).select(
         F.col("host").alias("r_host"),
         "directive",
         F.col("path").alias("rule_path"),
-    )
+    ).withColumn("rule_re", rule_pattern(F.col("rule_path")))
     j = candidates.join(
         F.broadcast(r),
         (F.col(host_col) == F.col("r_host"))
-        & F.col(url_col).startswith(F.col("rule_path")),
+        & F.regexp_like(F.col(url_col), F.col("rule_re")),
         "left",
     )
     w = (

@@ -77,6 +77,11 @@ def parse_warc_stream(data: bytes):
             clen = int(headers.get("content-length", ""))
         except ValueError:
             break
+        if clen < 0:
+            # malicious/corrupt header: a negative length would walk pos
+            # BACKWARDS (infinite loop) or slice a phantom payload from
+            # the buffer tail via negative indexing — treat as malformed
+            break
         body_start = end_hdr + 4
         if body_start + clen > n:
             break  # truncated tail
@@ -85,6 +90,33 @@ def parse_warc_stream(data: bytes):
             "payload": data[body_start:body_start + clen],
         }
         pos = body_start + clen
+
+
+def _accumulate_records(
+    out: dict, key_col: str, key, raw: bytes, response_only: bool
+) -> None:
+    """Append each parsed record of ``raw`` to the column buffers
+    (shared by the file reader and the column parser, so framing fixes
+    land in one place)."""
+    for rec in parse_warc_stream(raw):
+        h = rec["headers"]
+        rtype = h.get("warc-type", "")
+        if response_only and rtype != "response":
+            continue
+        out[key_col].append(key)
+        out["record_type"].append(rtype)
+        out["target_uri"].append(h.get("warc-target-uri"))
+        out["warc_date"].append(h.get("warc-date"))
+        out["content_length"].append(len(rec["payload"]))
+        out["payload"].append(rec["payload"])
+        out["payload_md5"].append(hashlib.md5(rec["payload"]).hexdigest())
+
+
+def _empty_buffers(key_col: str) -> dict:
+    return {k: [] for k in (
+        key_col, "record_type", "target_uri", "warc_date",
+        "content_length", "payload", "payload_md5",
+    )}
 
 
 def read_warc(
@@ -100,28 +132,12 @@ def read_warc(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {k: [] for k in (
-                "path", "record_type", "target_uri", "warc_date",
-                "content_length", "payload", "payload_md5",
-            )}
+            out = _empty_buffers("path")
             for p, blob in zip(pdf["path"], pdf["content"]):
                 raw = bytes(blob)
                 if p.endswith(".gz"):
                     raw = gzip.GzipFile(fileobj=io.BytesIO(raw)).read()
-                for rec in parse_warc_stream(raw):
-                    h = rec["headers"]
-                    rtype = h.get("warc-type", "")
-                    if response_only and rtype != "response":
-                        continue
-                    out["path"].append(p)
-                    out["record_type"].append(rtype)
-                    out["target_uri"].append(h.get("warc-target-uri"))
-                    out["warc_date"].append(h.get("warc-date"))
-                    out["content_length"].append(len(rec["payload"]))
-                    out["payload"].append(rec["payload"])
-                    out["payload_md5"].append(
-                        hashlib.md5(rec["payload"]).hexdigest()
-                    )
+                _accumulate_records(out, "path", p, raw, response_only)
             yield pd.DataFrame(out)
 
     return files.select("path", "content").mapInPandas(run, WARC_SCHEMA)
@@ -156,25 +172,11 @@ def parse_warc_column(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {k: [] for k in (
-                id_col, "record_type", "target_uri", "warc_date",
-                "content_length", "payload", "payload_md5",
-            )}
+            out = _empty_buffers(id_col)
             for key, blob in zip(pdf[id_col], pdf[bytes_col]):
-                for rec in parse_warc_stream(bytes(blob)):
-                    h = rec["headers"]
-                    rtype = h.get("warc-type", "")
-                    if response_only and rtype != "response":
-                        continue
-                    out[id_col].append(key)
-                    out["record_type"].append(rtype)
-                    out["target_uri"].append(h.get("warc-target-uri"))
-                    out["warc_date"].append(h.get("warc-date"))
-                    out["content_length"].append(len(rec["payload"]))
-                    out["payload"].append(rec["payload"])
-                    out["payload_md5"].append(
-                        hashlib.md5(rec["payload"]).hexdigest()
-                    )
+                _accumulate_records(
+                    out, id_col, key, bytes(blob), response_only
+                )
             yield pd.DataFrame(out)
 
     schema = f"`{id_col}` string, " + WARC_SCHEMA.split(", ", 1)[1]

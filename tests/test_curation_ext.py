@@ -137,3 +137,9 @@ def test_pack_sequences_boundaries(spark):
         4: (0, 0, 1),
     }
     assert 2 not in got
+
+
+def test_pagerank_empty_edges(spark):
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(empty, iters=2).collect() == []
+    assert degrees(empty).collect() == []

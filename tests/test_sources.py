@@ -153,3 +153,53 @@ def test_robots_allows_longest_match(spark):
         ("h1", "/open"): True,
         ("h2", "/admin/secret"): True,
     }
+
+
+WILD_ROBOTS = """User-agent: *
+Disallow: /*.pdf$
+Disallow: /tmp*
+Allow: /tmp/ok
+Disallow
+Allow:
+"""
+
+
+def test_robots_wildcard_and_anchor_rules(spark):
+    rules = parse_robots(
+        spark.createDataFrame([("h", WILD_ROBOTS)], "host string, body string")
+    )
+    got = sorted((r["directive"], r["path"]) for r in rules.collect())
+    # the colon-less 'Disallow' line and the empty 'Allow:' are ignored
+    assert got == [
+        ("allow", "/tmp/ok"),
+        ("disallow", "/*.pdf$"),
+        ("disallow", "/tmp*"),
+    ]
+    cand = spark.createDataFrame(
+        [("h", "/docs/a.pdf"),      # *.pdf$ → disallowed
+         ("h", "/docs/a.pdfx"),     # $ anchor: NOT matched → allowed
+         ("h", "/tmp/zzz"),         # /tmp* → disallowed
+         ("h", "/tmp/ok/sub"),      # longer Allow wins over /tmp*
+         ("h", "/a+b(c)"),          # regex metachars in path are safe
+         ],
+        "host string, path string",
+    )
+    got = {
+        r["path"]: r["allowed"]
+        for r in robots_allows(cand, rules, agent="*").collect()
+    }
+    assert got == {
+        "/docs/a.pdf": False,
+        "/docs/a.pdfx": True,
+        "/tmp/zzz": False,
+        "/tmp/ok/sub": True,
+        "/a+b(c)": True,
+    }
+
+
+def test_warc_negative_content_length_rejected():
+    bad = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"Content-Length: -33\r\n\r\npayload")
+    assert list(parse_warc_stream(bad)) == []
+    good_then_bad = RAW + bad
+    assert len(list(parse_warc_stream(good_then_bad))) == 2
