@@ -983,6 +983,63 @@ _ORACLE_B2: dict[str, str] = {
                '/priv-' || n || '/pub' FROM c
         UNION ALL SELECT host, 'bot-' || host, 'disallow', '/all' FROM c
     """,
+    "url_spam_features": r"""
+        WITH u AS (
+          SELECT doc_id,
+                 'https://' || source || '.leg.br/d/'
+                   || CAST(doc_id AS VARCHAR)
+                   || CASE CAST(doc_id % 4 AS INT)
+                        WHEN 0 THEN '?s=1&p=2&q=3&r=4'
+                        WHEN 1 THEN '?x=1' ELSE '' END AS url
+          FROM documents),
+        f AS (
+          SELECT doc_id, url,
+                 length(url) AS url_len,
+                 length(regexp_replace(
+                   regexp_replace(url, '^[a-z][a-z0-9+.-]*://[^/]*', ''),
+                   '[^/]', '', 'g')) AS path_depth,
+                 ROUND((length(url) - length(
+                   regexp_replace(url, '[0-9]', '', 'g')))
+                   / CAST(length(url) AS DOUBLE), 6) AS digit_ratio,
+                 CASE WHEN regexp_extract(url, '\?(.*)$', 1) = '' THEN 0
+                      ELSE len(string_split(
+                        regexp_extract(url, '\?(.*)$', 1), '&')) END
+                   AS n_params
+          FROM u)
+        SELECT doc_id, CAST(url_len AS INT) AS url_len,
+               CAST(path_depth AS INT) AS path_depth,
+               digit_ratio,
+               CAST(n_params AS INT) AS n_params,
+               ROUND(0.5 * digit_ratio
+                     + 0.2 * CASE WHEN url_len > 80 THEN 1 ELSE 0 END
+                     + 0.2 * CASE WHEN n_params > 3 THEN 1 ELSE 0 END
+                     + 0.1 * CASE WHEN path_depth > 6 THEN 1 ELSE 0 END,
+                     6) AS spam_score
+        FROM f
+    """,
+    "nfc_normalize": """
+        SELECT doc_id,
+               CAST(length(nfc_normalize(
+                 text || ' cafe' || chr(769) || ' ' || chr(64257)))
+                 AS INT) AS norm_len,
+               md5(nfc_normalize(
+                 text || ' cafe' || chr(769) || ' ' || chr(64257)))
+                 AS norm_md5
+        FROM documents
+    """,
+    "inverted_index": r"""
+        WITH p AS (
+          SELECT DISTINCT term, doc_id FROM (
+            SELECT doc_id,
+                   unnest(list_filter(
+                     string_split_regex(trim(text), '\s+'),
+                     x -> x <> '')) AS term
+            FROM documents))
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df_count,
+               md5(array_to_string(
+                 list_sort(list(doc_id))[1:16], ',')) AS postings_md5
+        FROM p GROUP BY term
+    """,
     "pack_sequences": r"""
         WITH t AS (
           SELECT doc_id, source,
@@ -1353,6 +1410,49 @@ def q_datatables_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_spam_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level curation: shape features + fixed-weight spam score
+    (functions/urls.url_features, pure codegen) over synthesized URLs
+    with varying query strings."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".leg.br/d/"),
+        did.cast("string"),
+        F.when(did % 4 == 0, F.lit("?s=1&p=2&q=3&r=4"))
+        .when(did % 4 == 1, F.lit("?x=1"))
+        .otherwise(F.lit("")),
+    )
+    return d.select("doc_id", *U.url_features(url))
+
+
+def q_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (functions/text.nfc_normalize pandas
+    UDF) vs DuckDB's built-in nfc_normalize — a true cross-engine
+    oracle for a Python-stage function.  Input gets a decomposed-accent
+    + ligature suffix so the normalizer has real work."""
+    d = _t(spark, sf_dir, "documents")
+    raw = F.concat(F.col("text"), F.lit(" cafe\u0301 \ufb01"))
+    norm = T.nfc_normalize()(raw)
+    return d.select(
+        "doc_id",
+        F.length(norm).alias("norm_len"),
+        F.md5(norm).alias("norm_md5"),
+    )
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval: capped inverted index (operators/index.inverted_index)
+    — term, true document frequency, md5 of the sorted capped posting
+    list (scalar fingerprint for the driver hash)."""
+    from legislation_scraper_spark.operators.index import inverted_index
+
+    d = _t(spark, sf_dir, "documents")
+    return inverted_index(d, max_postings=16).select(
+        "term", "df_count", "postings_md5"
+    )
+
+
 def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-mix design: temperature-scaled (alpha=0.7) sampling
     weights per source (operators/curation.mixture_weights), sized by
@@ -1623,6 +1723,9 @@ _Q_B2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rendered_fetch": q_rendered_fetch,
     "mixture_weights": q_mixture_weights,
     "pack_sequences": q_pack_sequences,
+    "url_spam_features": q_url_spam_features,
+    "nfc_normalize": q_nfc_normalize,
+    "inverted_index": q_inverted_index,
     "repetition_scores": q_repetition_scores,
     "chunk_dedup": q_chunk_dedup,
     "host_degree": q_host_degree,

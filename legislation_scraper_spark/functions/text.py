@@ -17,6 +17,7 @@ token counting, document fingerprinting.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -410,3 +411,28 @@ def ascii_slug(text: Column) -> Column:
 def fingerprint(text: Column) -> Column:
     """Whitespace-normalized md5 document fingerprint (exact-dup key)."""
     return F.md5(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")))
+
+
+def nfc_normalize():
+    """Unicode NFC normalization as an Arrow-batched pandas UDF.
+
+    Spark has no built-in Unicode normalizer, so this is a legitimate
+    Python-stage function (same policy as extraction): vectorized over
+    Arrow batches, never per-row Python in the JVM.  DuckDB's
+    ``nfc_normalize`` is the independent oracle — verified char-equal
+    on composed/decomposed accents and (non-)ligature behavior.
+    Returned as a factory so importing this module never touches the
+    UDF machinery.
+    """
+    # NB: `import pandas as pd` must be in MODULE globals for the hint
+    # resolver — this module uses `from __future__ import annotations`
+    # (PEP 563), so pyspark evaluates the "pd.Series" hint strings here.
+    @F.pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda x: None if x is None else unicodedata.normalize("NFC", x)
+        )
+
+    return _nfc

@@ -64,3 +64,40 @@ def salted_host(host: Column, url: Column, salt_buckets: int) -> Column:
     return F.concat_ws(
         "#", host, F.pmod(F.xxhash64(url), F.lit(salt_buckets)).cast("string")
     )
+
+
+def url_features(url: Column) -> list[Column]:
+    """URL-shape spam/quality features (pure codegen; the URL-level
+    curation pass every webtext pipeline runs before fetching).
+
+    Columns: url_len, path_depth (count of '/' after the authority),
+    digit_ratio, n_params, spam_score (fixed-weight linear score —
+    weights are the classifier STUB; a trained model would broadcast
+    its coefficients into the same expression shape).
+    """
+    ln = F.length(url)
+    path = F.regexp_replace(url, r"^[a-z][a-z0-9+.-]*://[^/]*", "")
+    depth = F.length(F.regexp_replace(path, r"[^/]", ""))
+    digit_ratio = F.round(
+        (ln - F.length(F.regexp_replace(url, r"[0-9]", "")))
+        / ln.cast("double"),
+        6,
+    )
+    q = F.regexp_extract(url, r"\?(.*)$", 1)
+    n_params = F.when(q == "", F.lit(0)).otherwise(
+        F.size(F.split(q, "&"))
+    )
+    spam = F.round(
+        F.lit(0.5) * digit_ratio
+        + F.lit(0.2) * (ln > 80).cast("double")
+        + F.lit(0.2) * (n_params > 3).cast("double")
+        + F.lit(0.1) * (depth > 6).cast("double"),
+        6,
+    )
+    return [
+        ln.cast("int").alias("url_len"),
+        depth.cast("int").alias("path_depth"),
+        digit_ratio.alias("digit_ratio"),
+        n_params.cast("int").alias("n_params"),
+        spam.alias("spam_score"),
+    ]

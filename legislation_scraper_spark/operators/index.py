@@ -1,0 +1,53 @@
+"""Inverted-index build — the retrieval-side companion of the corpus
+analytics (term → capped posting list + document frequency).
+
+Not in the reference (it ships raw documents), but any
+dataset-exploration or search layer over a 100 TB corpus needs postings.
+
+Scale notes:
+- Per-doc dedup is ROW-SIDE (``array_distinct`` before explode — same
+  discipline as contamination_screen), so the exchange carries one
+  (term, doc_id) pair per distinct term occurrence, with map-side
+  partial aggregation.
+- Posting lists are CAPPED at ``max_postings`` (stop-words would
+  otherwise build single-key arrays the size of the corpus); the true
+  document frequency is kept alongside so the cap loses no statistics.
+  The cap is applied after ``sort_array`` for deterministic content.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import words
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_postings: int = 64,
+) -> DataFrame:
+    """term → (df_count, postings array capped+sorted, postings_md5).
+
+    ``postings_md5`` (md5 over the comma-joined capped list) gives a
+    scalar fingerprint of the list content for cheap cross-engine
+    comparison and downstream change detection.
+    """
+    pairs = df.select(
+        F.explode(F.array_distinct(words(F.col(text_col)))).alias("term"),
+        F.col(id_col).alias("id"),
+    )
+    agg = pairs.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("df_count"),
+        F.slice(
+            F.sort_array(F.collect_list("id")), 1, max_postings
+        ).alias("postings"),
+    )
+    return agg.select(
+        "term",
+        "df_count",
+        "postings",
+        F.md5(F.concat_ws(",", F.col("postings"))).alias("postings_md5"),
+    )
