@@ -983,6 +983,55 @@ _ORACLE_B2: dict[str, str] = {
                '/priv-' || n || '/pub' FROM c
         UNION ALL SELECT host, 'bot-' || host, 'disallow', '/all' FROM c
     """,
+    "frontier_rank": """
+        WITH e AS (
+          SELECT a.source AS src, b.source AS dst
+          FROM documents a JOIN documents b
+            ON b.doc_id = (a.doc_id * 13 + 7)
+                          % (SELECT COUNT(*) FROM documents)
+          WHERE a.source <> b.source),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        od AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS od FROM e
+               GROUP BY src),
+        r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+        c1 AS (SELECT e.dst, SUM(r0.rank / od.od) AS c
+               FROM e JOIN r0 ON e.src = r0.node
+                      JOIN od ON e.src = od.src
+               GROUP BY e.dst),
+        r1 AS (SELECT node,
+                      (1.0 - 0.85) / (SELECT n FROM nn)
+                        + 0.85 * COALESCE(c, 0.0) AS rank
+               FROM nodes LEFT JOIN c1 ON node = c1.dst),
+        c2 AS (SELECT e.dst, SUM(r1.rank / od.od) AS c
+               FROM e JOIN r1 ON e.src = r1.node
+                      JOIN od ON e.src = od.src
+               GROUP BY e.dst),
+        r2 AS (SELECT node,
+                      (1.0 - 0.85) / (SELECT n FROM nn)
+                        + 0.85 * COALESCE(c, 0.0) AS rank
+               FROM nodes LEFT JOIN c2 ON node = c2.dst),
+        budgets AS (
+          SELECT node AS host,
+                 3 + CAST(round(rank * 20, 0) AS INT) AS budget
+          FROM r2),
+        frontier AS (
+          SELECT 'https://' || source || '.leg.br/norma/'
+                   || CAST(doc_id AS VARCHAR) AS url,
+                 source AS host,
+                 CAST(doc_id % 4 AS INT) AS priority,
+                 doc_id
+          FROM documents WHERE doc_id % 7 <> 0),
+        ranked AS (
+          SELECT host, url, priority,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY host ORDER BY priority, doc_id) AS INT)
+                   AS host_rank
+          FROM frontier)
+        SELECT r.host, r.url, r.priority, r.host_rank, b.budget
+        FROM ranked r JOIN budgets b ON r.host = b.host
+        WHERE r.host_rank <= b.budget
+    """,
     "url_spam_features": r"""
         WITH u AS (
           SELECT doc_id,
@@ -1410,6 +1459,42 @@ def q_datatables_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_frontier_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition capstone: authority-weighted frontier scheduling.
+    PageRank over the source-level link graph (operators/graph.pagerank)
+    sets each host's politeness budget (3 + round(rank*20)); the
+    frontier's per-host window rank is then cut at that budget — the
+    webtext-crawl pattern of spending fetch capacity on authoritative
+    hosts first."""
+    from legislation_scraper_spark.operators.graph import pagerank
+
+    d = _t(spark, sf_dir, "documents")
+    n_docs = d.count()
+    a = d.select("doc_id", F.col("source").alias("src"))
+    b = d.select(
+        F.col("doc_id").alias("b_id"), F.col("source").alias("dst")
+    )
+    edges = (
+        a.withColumn("b_id", (F.col("doc_id") * 13 + 7) % n_docs)
+        .join(b, "b_id")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+    )
+    ranks = pagerank(edges, iters=2, damping=0.85).select(
+        F.col("node").alias("host"),
+        (F.lit(3) + F.round(F.col("rank") * 20, 0).cast("int"))
+        .alias("budget"),
+    )
+    f = _frontier(spark, sf_dir).filter(~F.col("seen"))
+    w = Window.partitionBy("host").orderBy("priority", "doc_id")
+    return (
+        f.withColumn("host_rank", F.row_number().over(w))
+        .join(F.broadcast(ranks), "host")
+        .filter(F.col("host_rank") <= F.col("budget"))
+        .select("host", "url", "priority", "host_rank", "budget")
+    )
+
+
 def q_url_spam_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-level curation: shape features + fixed-weight spam score
     (functions/urls.url_features, pure codegen) over synthesized URLs
@@ -1724,6 +1809,7 @@ _Q_B2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_weights": q_mixture_weights,
     "pack_sequences": q_pack_sequences,
     "url_spam_features": q_url_spam_features,
+    "frontier_rank": q_frontier_rank,
     "nfc_normalize": q_nfc_normalize,
     "inverted_index": q_inverted_index,
     "repetition_scores": q_repetition_scores,
