@@ -1538,6 +1538,27 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_inverted_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance: build partial indexes over the
+    even/odd halves of the corpus and MERGE them
+    (operators/index.merge_indexes).  Min-k merge makes the result
+    exactly equal a full rebuild, so the oracle is the full-corpus
+    index SQL — the merge path is proven, not just run."""
+    from legislation_scraper_spark.operators.index import (
+        inverted_index,
+        merge_indexes,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    base = inverted_index(d.filter(F.col("doc_id") % 2 == 0),
+                          max_postings=16)
+    delta = inverted_index(d.filter(F.col("doc_id") % 2 == 1),
+                           max_postings=16)
+    return merge_indexes(base, delta, max_postings=16).select(
+        "term", "df_count", "postings_md5"
+    )
+
+
 def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-mix design: temperature-scaled (alpha=0.7) sampling
     weights per source (operators/curation.mixture_weights), sized by
@@ -1812,6 +1833,7 @@ _Q_B2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frontier_rank": q_frontier_rank,
     "nfc_normalize": q_nfc_normalize,
     "inverted_index": q_inverted_index,
+    "inverted_index_merge": q_inverted_index_merge,
     "repetition_scores": q_repetition_scores,
     "chunk_dedup": q_chunk_dedup,
     "host_degree": q_host_degree,
@@ -2312,6 +2334,10 @@ _ORACLE: dict[str, str] = {
         GROUP BY host, state
     """,
 }
+# the merge path must equal a full rebuild (min-k merge property), so
+# its oracle IS the full-corpus index SQL
+_ORACLE_B2["inverted_index_merge"] = _ORACLE_B2["inverted_index"]
+
 _ORACLE.update(_ORACLE_B2)
 _ORACLE.update(_ORACLE_B3)
 

@@ -51,3 +51,54 @@ def inverted_index(
         "postings",
         F.md5(F.concat_ws(",", F.col("postings"))).alias("postings_md5"),
     )
+
+
+def merge_indexes(
+    base: DataFrame, delta: DataFrame, max_postings: int = 64
+) -> DataFrame:
+    """Merge two (term, df_count, postings) indexes — the incremental
+    maintenance step (nightly delta folded into the base index, same
+    discipline as the seen-filter delta log).
+
+    Correctness property (tested + oracle-checked): because each input
+    keeps the ``max_postings`` SMALLEST ids per term, the merged capped
+    list equals the capped list of a full rebuild — the global k
+    smallest elements always lie within the union of each side's k
+    smallest (min-k merge).  ``df_count`` adds exactly (inputs must
+    partition the corpus).
+
+    Scale: one full-outer equi-join on term; posting arrays are ≤
+    2·max_postings long during the merge — bounded memory per row no
+    matter the corpus.
+    """
+    b = base.select(
+        "term",
+        F.col("df_count").alias("b_df"),
+        F.col("postings").alias("b_p"),
+    )
+    d = delta.select(
+        "term",
+        F.col("df_count").alias("d_df"),
+        F.col("postings").alias("d_p"),
+    )
+    empty = F.array().cast("array<bigint>")
+    merged = b.join(d, "term", "full_outer").select(
+        "term",
+        (
+            F.coalesce("b_df", F.lit(0)) + F.coalesce("d_df", F.lit(0))
+        ).cast("bigint").alias("df_count"),
+        F.slice(
+            F.sort_array(
+                F.concat(
+                    F.coalesce(F.col("b_p"), empty),
+                    F.coalesce(F.col("d_p"), empty),
+                )
+            ),
+            1,
+            max_postings,
+        ).alias("postings"),
+    )
+    return merged.select(
+        "term", "df_count", "postings",
+        F.md5(F.concat_ws(",", F.col("postings"))).alias("postings_md5"),
+    )
