@@ -1538,6 +1538,21 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_inverted_index_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof two-phase index build
+    (operators/index.inverted_index_salted): hot terms spread over 16
+    salts before the cap, merged by min-k; exactly equals the one-phase
+    build, so the oracle is the same full-index SQL."""
+    from legislation_scraper_spark.operators.index import (
+        inverted_index_salted,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return inverted_index_salted(d, max_postings=16, n_salts=16).select(
+        "term", "df_count", "postings_md5"
+    )
+
+
 def q_inverted_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental index maintenance: build partial indexes over the
     even/odd halves of the corpus and MERGE them
@@ -1834,6 +1849,7 @@ _Q_B2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nfc_normalize": q_nfc_normalize,
     "inverted_index": q_inverted_index,
     "inverted_index_merge": q_inverted_index_merge,
+    "inverted_index_salted": q_inverted_index_salted,
     "repetition_scores": q_repetition_scores,
     "chunk_dedup": q_chunk_dedup,
     "host_degree": q_host_degree,
@@ -2334,9 +2350,10 @@ _ORACLE: dict[str, str] = {
         GROUP BY host, state
     """,
 }
-# the merge path must equal a full rebuild (min-k merge property), so
-# its oracle IS the full-corpus index SQL
+# the merge and salted-two-phase paths must equal a full rebuild
+# (min-k merge property), so their oracle IS the full-corpus index SQL
 _ORACLE_B2["inverted_index_merge"] = _ORACLE_B2["inverted_index"]
+_ORACLE_B2["inverted_index_salted"] = _ORACLE_B2["inverted_index"]
 
 _ORACLE.update(_ORACLE_B2)
 _ORACLE.update(_ORACLE_B3)

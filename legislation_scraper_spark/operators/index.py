@@ -102,3 +102,44 @@ def merge_indexes(
         "term", "df_count", "postings",
         F.md5(F.concat_ws(",", F.col("postings"))).alias("postings_md5"),
     )
+
+
+def inverted_index_salted(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_postings: int = 64,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-proof two-phase inverted index.
+
+    The one-phase build funnels EVERY (term, id) pair of a hot term
+    (stopwords hit ~all docs) into a single reducer before the cap —
+    the classic straggler at corpus scale.  Here phase 1 aggregates per
+    ``(term, salt)`` — each hot term's pairs spread over ``n_salts``
+    reducers, each keeping only its k smallest ids + a count — and
+    phase 2 merges the ≤ ``n_salts`` bounded partials per term.  The
+    min-k merge property (see :func:`merge_indexes`) makes the result
+    EXACTLY equal to the one-phase build; phase-2 rows are bounded by
+    ``n_salts × max_postings`` ids per term regardless of corpus size.
+    """
+    pairs = df.select(
+        F.explode(F.array_distinct(words(F.col(text_col)))).alias("term"),
+        F.col(id_col).alias("id"),
+    ).withColumn("s", F.pmod(F.xxhash64("id"), F.lit(n_salts)))
+    partial = pairs.groupBy("term", "s").agg(
+        F.count("*").cast("bigint").alias("c"),
+        F.slice(
+            F.sort_array(F.collect_list("id")), 1, max_postings
+        ).alias("p"),
+    )
+    final = partial.groupBy("term").agg(
+        F.sum("c").cast("bigint").alias("df_count"),
+        F.slice(
+            F.sort_array(F.flatten(F.collect_list("p"))), 1, max_postings
+        ).alias("postings"),
+    )
+    return final.select(
+        "term", "df_count", "postings",
+        F.md5(F.concat_ws(",", F.col("postings"))).alias("postings_md5"),
+    )

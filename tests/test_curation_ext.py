@@ -143,3 +143,23 @@ def test_pagerank_empty_edges(spark):
     empty = spark.createDataFrame([], "src string, dst string")
     assert pagerank(empty, iters=2).collect() == []
     assert degrees(empty).collect() == []
+
+
+def test_salted_index_equals_one_phase(spark):
+    from legislation_scraper_spark.operators.index import (
+        inverted_index,
+        inverted_index_salted,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    one = {
+        r["term"]: (r["df_count"], r["postings"])
+        for r in inverted_index(d, max_postings=8).collect()
+    }
+    two = {
+        r["term"]: (r["df_count"], r["postings"])
+        for r in inverted_index_salted(
+            d, max_postings=8, n_salts=4
+        ).collect()
+    }
+    assert one == two
