@@ -105,7 +105,10 @@ class Table:
         v = self.current_version() if version is None else version
         if v == 0:
             return None
-        with open(os.path.join(self.snap_dir, f"v{v:05d}.json")) as f:
+        path = os.path.join(self.snap_dir, f"v{v:05d}.json")
+        if not os.path.exists(path):
+            return None  # expired (expire_snapshots) — history is gone
+        with open(path) as f:
             d = json.load(f)
         return Snapshot(d["version"], d["file_sets"], d["lineage"], d["metrics"])
 
@@ -194,8 +197,12 @@ class Table:
             if v > snap.version:
                 break
             s = self.snapshot(v)
+            # an expired predecessor means v starts a chain at a full
+            # rewrite (expire_snapshots only drops history up to such a
+            # boundary), so its lineage covers all of its file sets
+            prev = self.snapshot(v - 1) if v > 1 else None
             new_sets = set(s.file_sets) - (
-                set(self.snapshot(v - 1).file_sets) if v > 1 else set()
+                set(prev.file_sets) if prev is not None else set()
             )
             if new_sets & live:
                 total += sum(s.lineage.values())
@@ -214,6 +221,67 @@ class Table:
         for v in self.versions():
             if v > version:
                 os.remove(os.path.join(self.snap_dir, f"v{v:05d}.json"))
+
+    def expire_snapshots(
+        self, keep_last: int = 2, protect: tuple[int, ...] = ()
+    ) -> dict[str, int]:
+        """Iceberg ``expire_snapshots`` analogue: drop old manifests and
+        DELETE data files no remaining snapshot references.
+
+        Without this, every ``compact()``/``overwrite()`` strands its
+        predecessors' files forever — at a 10^10-row frontier that is
+        an unbounded storage leak (the whole reason Iceberg ships the
+        maintenance action).
+
+        The keep horizon (``keep_last`` newest versions, plus any
+        ``protect``-ed ones, e.g. checkpoint-referenced) is walked BACK
+        to the nearest full-rewrite boundary (a snapshot sharing no
+        file set with its predecessor — an overwrite/compaction), so
+        the surviving manifest chain still attributes every live file's
+        rows and ``approx_rows`` stays exact.  Time travel below the
+        horizon is gone — that is the semantics of expiry.
+        """
+        import shutil
+
+        vs = self.versions()
+        if not vs:
+            return {"snapshots_removed": 0, "file_sets_removed": 0}
+        horizon = vs[0] if len(vs) <= keep_last else vs[-keep_last]
+
+        def sets(v: int) -> set[str]:
+            return set(self.snapshot(v).file_sets)
+
+        b = horizon
+        while b > vs[0]:
+            prev = vs[vs.index(b) - 1]
+            if not (sets(b) & sets(prev)):
+                break  # b is a fresh rewrite: chain restarts here
+            b = prev
+        keep = {v for v in vs if v >= b} | {v for v in protect if v in vs}
+        live: set[str] = set()
+        for v in keep:
+            live.update(sets(v))
+        removed_snaps = 0
+        for v in vs:
+            if v not in keep:
+                os.remove(os.path.join(self.snap_dir, f"v{v:05d}.json"))
+                removed_snaps += 1
+        removed_sets = 0
+        for entry in sorted(os.listdir(self.data_dir)):
+            p = os.path.join(self.data_dir, entry)
+            if p in live or entry in live:
+                continue  # Table refs abs dirs; BucketedLog refs names
+            if entry.startswith(("_", ".")):
+                continue  # catalog markers (_SUCCESS, _bucket_spec…)
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+            else:
+                os.remove(p)
+            removed_sets += 1
+        return {
+            "snapshots_removed": removed_snaps,
+            "file_sets_removed": removed_sets,
+        }
 
 
 class BucketedLog(Table):
@@ -431,6 +499,31 @@ class Catalog:
     def load_checkpoint(self, tag: int) -> dict:
         with open(os.path.join(self.ckpt_dir, f"c{tag:06d}.json")) as f:
             return json.load(f)
+
+    def expire_all(
+        self, keep_last: int = 2, keep_checkpoints: int = 2
+    ) -> dict[str, dict[str, int]]:
+        """Store-wide maintenance: trim the checkpoint log to the last
+        ``keep_checkpoints`` entries, then expire every table's
+        snapshots — versions referenced by the REMAINING checkpoints are
+        protected, so ``restore_last_checkpoint`` keeps working."""
+        tags = self.checkpoints()
+        for t in tags[: max(0, len(tags) - keep_checkpoints)]:
+            os.remove(os.path.join(self.ckpt_dir, f"c{t:06d}.json"))
+        protect: dict[str, set[int]] = {}
+        for t in self.checkpoints():
+            for name, v in self.load_checkpoint(t)["versions"].items():
+                protect.setdefault(name, set()).add(v)
+        out: dict[str, dict[str, int]] = {}
+        for name in sorted(os.listdir(self.root)):
+            if name.startswith("_") or not os.path.isdir(
+                os.path.join(self.root, name)
+            ):
+                continue
+            out[name] = self.table(name).expire_snapshots(
+                keep_last, tuple(protect.get(name, ()))
+            )
+        return out
 
     def restore_last_checkpoint(self) -> int | None:
         """Roll every table back to the last complete checkpoint.

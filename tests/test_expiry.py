@@ -1,0 +1,76 @@
+"""Snapshot expiry: orphaned data removed, live data + lineage +
+checkpoint-protected time travel intact."""
+
+from __future__ import annotations
+
+import os
+
+from legislation_scraper_spark.tables import Catalog
+
+
+def _rows(df):
+    return sorted(r["x"] for r in df.collect())
+
+
+def test_expire_removes_orphans_keeps_exactness(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path))
+    t = cat.table("t")
+    t.append(spark.range(3).selectExpr("id AS x"))
+    t.append(spark.range(3, 5).selectExpr("id AS x"))
+    assert t.compact() is not None          # v3 = rewrite
+    t.append(spark.range(5, 6).selectExpr("id AS x"))  # v4
+    n_sets_before = len(os.listdir(t.data_dir))
+    stats = t.expire_snapshots(keep_last=2)
+    # v1/v2 manifests gone; their two pre-compaction dirs deleted
+    assert t.versions() == [3, 4]
+    assert stats["snapshots_removed"] == 2
+    assert stats["file_sets_removed"] == 2
+    assert len(os.listdir(t.data_dir)) == n_sets_before - 2
+    assert _rows(t.read()) == [0, 1, 2, 3, 4, 5]
+    assert t.approx_rows() == 6             # lineage chain still exact
+    assert _rows(t.read(version=3)) == [0, 1, 2, 3, 4]  # kept time travel
+
+
+def test_expire_append_only_walks_back_to_chain_start(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path))
+    t = cat.table("t")
+    for lo, hi in [(0, 2), (2, 4), (4, 6)]:
+        t.append(spark.range(lo, hi).selectExpr("id AS x"))
+    stats = t.expire_snapshots(keep_last=1)
+    # pure append chain: every file is live and every manifest is needed
+    # to attribute rows — nothing may be deleted
+    assert stats == {"snapshots_removed": 0, "file_sets_removed": 0}
+    assert t.versions() == [1, 2, 3]
+    assert t.approx_rows() == 6
+
+
+def test_expire_all_protects_checkpoints(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path))
+    t = cat.table("t")
+    v1 = t.append(spark.range(2).selectExpr("id AS x"))
+    cat.save_checkpoint(1, {"t": v1})
+    t.overwrite(spark.range(9).selectExpr("id AS x"))   # v2
+    t.overwrite(spark.range(4).selectExpr("id AS x"))   # v3
+    cat.save_checkpoint(2, {"t": t.current_version()})
+    cat.expire_all(keep_last=1, keep_checkpoints=2)
+    # v1 is below the keep horizon but checkpoint-protected; v2 is not
+    assert t.versions() == [1, 3]
+    assert _rows(t.read(version=1)) == [0, 1]
+    assert cat.restore_last_checkpoint() == 2
+    assert _rows(t.read()) == [0, 1, 2, 3]
+
+
+def test_bucketed_expiry_trims_manifests_keeps_data(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path))
+    log = cat.bucketed_log("log", "x", 4)
+    log.append(spark.range(8).selectExpr("id AS x"))
+    log.append(spark.range(8, 16).selectExpr("id AS x"))
+    assert log.compact() is not None
+    # insertInto(overwrite) already truncated the old files, so expiry
+    # only trims the pre-compaction manifests
+    stats = log.expire_snapshots(keep_last=1)
+    assert stats["snapshots_removed"] == 2
+    assert stats["file_sets_removed"] == 0
+    assert log.versions() == [3]
+    assert set(log.snapshot().file_sets) == log._data_files()
+    assert _rows(log.read()) == list(range(16))
