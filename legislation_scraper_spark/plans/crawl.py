@@ -83,6 +83,14 @@ class CrawlConfig:
     # asserted in tests/test_plans.py)
     bucket_frontier: bool = True
     frontier_buckets: int = 32
+    # snapshot-expiry maintenance (tables.Catalog.expire_all): every
+    # N rounds, drop manifests/data below the keep horizon while
+    # protecting checkpoint-referenced versions.  0 disables (default:
+    # tests exercise full time travel; a long-running crawl turns this
+    # on or compaction leaks storage without bound).
+    expire_every_rounds: int = 0
+    expire_keep_snapshots: int = 4
+    expire_keep_checkpoints: int = 2
 
 
 class CrawlEngine:
@@ -213,6 +221,20 @@ class CrawlEngine:
                 # one row per round; this ORs them to one per shard)
                 self.seen.compact_filters()
 
+    def _maybe_expire(self, r: int) -> None:
+        """Periodic storage reclamation (CrawlConfig.expire_every_rounds):
+        compaction leaves predecessors' files on disk; expire_all deletes
+        everything below the keep horizon except checkpoint-referenced
+        versions, so resume keeps working (tests/test_expiry.py)."""
+        cfg = self.cfg
+        if cfg.expire_every_rounds and r > 0 and (
+            r % cfg.expire_every_rounds == 0
+        ):
+            self.catalog.expire_all(
+                keep_last=cfg.expire_keep_snapshots,
+                keep_checkpoints=cfg.expire_keep_checkpoints,
+            )
+
     def round(self, r: int) -> dict:
         """Execute crawl round ``r``; returns the round's metrics
         (including per-phase wall times under ``timings``)."""
@@ -227,6 +249,7 @@ class CrawlEngine:
 
         t = _time.perf_counter()
         self._maintain()
+        self._maybe_expire(r)
         t = _mark("maintain", t)
         pending = self.pending()
         metrics = {"round": r, "selected": 0, "fetched": 0, "errors": 0,

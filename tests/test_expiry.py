@@ -74,3 +74,40 @@ def test_bucketed_expiry_trims_manifests_keeps_data(spark, tmp_path):
     assert log.versions() == [3]
     assert set(log.snapshot().file_sets) == log._data_files()
     assert _rows(log.read()) == list(range(16))
+
+
+def test_crawl_with_periodic_expiry_matches_plain_run(spark, tmp_path):
+    """A crawl that expires snapshots every 2 rounds must produce the
+    same pages and visit set as one that never expires — expiry only
+    reclaims history the engine no longer needs."""
+    from legislation_scraper_spark.plans.crawl import (
+        CrawlConfig,
+        CrawlEngine,
+    )
+    from legislation_scraper_spark.synth import synth_world
+
+    w = synth_world(spark, seed=11, docs_per_source=8, skew=2,
+                    n_sources=3, partitions=4, budget_base=4)
+
+    def run(store, **cfg_kw):
+        cat = Catalog(spark, str(store))
+        eng = CrawlEngine(
+            spark, cat, w["pages_raw"], w["seeds"], w["robots"],
+            CrawlConfig(n_shards=4, fetch_partitions=4, **cfg_kw),
+        )
+        eng.run(max_rounds=30)
+        pages = eng.pages.read()
+        visited = eng.visited.read()
+        return (
+            sorted(r["document_url"] for r in pages.collect()),
+            sorted(r["canon_url"] for r in visited.collect()),
+        )
+
+    plain = run(tmp_path / "plain")
+    expiring = run(
+        tmp_path / "exp",
+        expire_every_rounds=2,
+        expire_keep_snapshots=2,
+        expire_keep_checkpoints=1,
+    )
+    assert expiring == plain
