@@ -531,8 +531,12 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = _t(spark, sf_dir, "embeddings")
+    # max_bucket is unbounded here because the DuckDB oracle joins all
+    # buckets with no cap — production callers keep the degenerate-
+    # bucket cap (same convention as q_dedup_minhash_lsh)
     pairs = embedding_cosine_pairs(
-        e, vec_col="embedding", id_col="vec_id", threshold=0.9, sign_bits=8
+        e, vec_col="embedding", id_col="vec_id", threshold=0.9, sign_bits=8,
+        max_bucket=1 << 31,
     )
     return pairs.select("a_id", "b_id", F.round("cosine", 6).alias("cosine"))
 
@@ -757,6 +761,52 @@ def _duck_quality_sql() -> str:
 
 
 _ORACLE_B2: dict[str, str] = {
+    "viewstate_scan": """
+        WITH src AS (SELECT DISTINCT source FROM documents),
+        tok AS (
+          SELECT source,
+                 'https://' || source || '.leg.br/busca.aspx' AS base_url,
+                 SUBSTRING(md5(source), 1, 12) AS vs,
+                 SUBSTRING(md5(source || 'ev'), 1, 12) AS ev,
+                 (LENGTH(source) % 4) <> 1 AS has_ev
+          FROM src),
+        req AS (
+          SELECT source, base_url, vs, ev, has_ev, page, alt,
+                 base_url || CASE WHEN alt = 1 THEN '?alt=1' ELSE '' END
+                   AS url
+          FROM tok,
+               (SELECT UNNEST(generate_series(1, 6)) AS page),
+               (VALUES (0), (1)) a(alt)
+          WHERE alt = 0 OR page <= 2)
+        SELECT url, CAST(page AS INT) AS page,
+               CASE
+                 WHEN alt = 1 THEN NULL
+                 WHEN page = 1 THEN
+                   '<html><form><input id="__VIEWSTATE" value="' || vs
+                   || '"/>'
+                   || CASE WHEN has_ev THEN
+                        '<input id="__EVENTVALIDATION" value="' || ev
+                        || '"/>' ELSE '' END
+                   || '</form><p>busca ' || source || '</p></html>'
+                 WHEN has_ev AND page BETWEEN 2 AND 5 THEN
+                   '<html><table>resultados ' || source || ' pagina '
+                   || CAST(page AS VARCHAR) || '</table></html>'
+                 ELSE NULL
+               END AS body_text,
+               (alt = 0 AND (page = 1 OR (has_ev AND page BETWEEN 2 AND 5)))
+                 AS fetched,
+               CASE
+                 WHEN alt = 1 AND page = 1 THEN '404 not found'
+                 WHEN alt = 1
+                   THEN 'missing __VIEWSTATE/__EVENTVALIDATION'
+                 WHEN page = 1 THEN NULL
+                 WHEN NOT has_ev
+                   THEN 'missing __VIEWSTATE/__EVENTVALIDATION'
+                 WHEN page = 6 THEN '404 postback'
+                 ELSE NULL
+               END AS fetch_error
+        FROM req
+    """,
     "dedup_clusters": """
         WITH e AS (
           SELECT l.doc_id AS a, r.doc_id AS b
@@ -1013,7 +1063,7 @@ _ORACLE_B2: dict[str, str] = {
                FROM nodes LEFT JOIN c2 ON node = c2.dst),
         budgets AS (
           SELECT node AS host,
-                 3 + CAST(round(rank * 20, 0) AS INT) AS budget
+                 3 + CAST(round(round(rank, 6) * 20, 0) AS INT) AS budget
           FROM r2),
         frontier AS (
           SELECT 'https://' || source || '.leg.br/norma/'
@@ -1264,13 +1314,14 @@ _ORACLE_B2: dict[str, str] = {
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs → clusters: connected components over a deterministic
-    near-dup edge set (consecutive ids chained in groups of 8), via
-    iterative min-label propagation (operators/dedup.
-    connected_components — BFS-over-DataFrames; chains of 8 force ≥7
-    propagation rounds).  Oracle: the closed-form component id
-    ``id - id % 8`` for every chained node."""
+    near-dup edge set (consecutive ids chained in groups of 8), via the
+    O(log n)-round large-star/small-star algorithm (operators/dedup.
+    connected_components_star; the O(diameter) min-label propagation
+    twin is proven equal in tests/test_dedup_similarity.py).  Oracle:
+    the closed-form component id ``id - id % 8`` for every chained
+    node."""
     from legislation_scraper_spark.operators.dedup import (
-        connected_components,
+        connected_components_star,
     )
 
     d = _t(spark, sf_dir, "documents").select("doc_id")
@@ -1282,7 +1333,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l.doc_id").alias("a_id"), F.col("r.doc_id").alias("b_id")
         )
     )
-    return connected_components(edges)
+    return connected_components_star(edges)
 
 
 def q_ficha_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1480,9 +1531,13 @@ def q_frontier_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("src") != F.col("dst"))
         .select("src", "dst")
     )
+    # round rank to 6dp BEFORE the discrete budget cutoff: double sums
+    # are order-dependent across engines (graph.py docstring), and an
+    # unrounded rank landing near a .5/20 boundary could round
+    # differently in Spark vs DuckDB and flip whole frontier rows
     ranks = pagerank(edges, iters=2, damping=0.85).select(
         F.col("node").alias("host"),
-        (F.lit(3) + F.round(F.col("rank") * 20, 0).cast("int"))
+        (F.lit(3) + F.round(F.round("rank", 6) * 20, 0).cast("int"))
         .alias("budget"),
     )
     f = _frontier(spark, sf_dir).filter(~F.col("seen"))
@@ -1834,8 +1889,82 @@ def q_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_robots(body)
 
 
+def q_viewstate_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 ASP.NET VIEWSTATE two-request postback scan
+    (espirito_santo.py:69-127) through the REAL stateful operator
+    (operators/viewstate.fetch_paged): synthesize per-source base pages
+    carrying __VIEWSTATE/__EVENTVALIDATION hidden inputs plus the
+    postback result pages their tokens resolve to, then drive (url,
+    page) requests through harvest → postback.  Every protocol branch
+    is exercised: page-1 GET, token harvest + POST (pages 2-5), missing
+    tokens (sources synthesized without __EVENTVALIDATION), postback
+    404 (page 6), base-url 404 (?alt=1 requests).  The oracle rebuilds
+    the same outcomes straight from `documents` — possible only because
+    the harvested tokens are deterministic, which is exactly the
+    two-request dependency under test."""
+    from legislation_scraper_spark.operators import viewstate as vs_ops
+
+    src = _t(spark, sf_dir, "documents").select("source").distinct()
+    base_url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".leg.br/busca.aspx")
+    )
+    vs = F.substring(F.md5(F.col("source")), 1, 12)
+    ev = F.substring(F.md5(F.concat(F.col("source"), F.lit("ev"))), 1, 12)
+    has_ev = F.length("source") % 4 != 1
+    base_body = F.concat(
+        F.lit('<html><form><input id="__VIEWSTATE" value="'), vs,
+        F.lit('"/>'),
+        F.when(
+            has_ev,
+            F.concat(
+                F.lit('<input id="__EVENTVALIDATION" value="'), ev,
+                F.lit('"/>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</form><p>busca "), F.col("source"), F.lit("</p></html>"),
+    )
+    base_pages = src.select(
+        base_url.alias("url"), F.encode(base_body, "utf-8").alias("html")
+    )
+    pb = src.select(
+        "source", F.explode(F.sequence(F.lit(2), F.lit(5))).alias("page")
+    )
+    pb_pages = pb.select(
+        F.concat(
+            base_url, F.lit("#postback:"), vs_ops.event_target("page"),
+            F.lit(":"), vs, F.lit(":"), ev,
+        ).alias("url"),
+        F.encode(
+            F.concat(
+                F.lit("<html><table>resultados "), F.col("source"),
+                F.lit(" pagina "), F.col("page").cast("string"),
+                F.lit("</table></html>"),
+            ),
+            "utf-8",
+        ).alias("html"),
+    )
+    web = base_pages.unionByName(pb_pages)
+    requests = src.select(
+        base_url.alias("url"),
+        F.explode(F.sequence(F.lit(1), F.lit(6))).alias("page"),
+    ).unionByName(
+        # base URL absent from the web: 404 / missing-token branches
+        src.select(
+            F.concat(base_url, F.lit("?alt=1")).alias("url"),
+            F.explode(F.sequence(F.lit(1), F.lit(2))).alias("page"),
+        )
+    )
+    out = vs_ops.fetch_paged(requests, web)
+    return out.select(
+        "url", "page",
+        F.decode("body", "utf-8").alias("body_text"),
+        "fetched", "fetch_error",
+    )
+
+
 _Q_B2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "datatables_scan": q_datatables_scan,
+    "viewstate_scan": q_viewstate_scan,
     "datatables_pages": q_datatables_pages,
     "warc_roundtrip": q_warc_roundtrip,
     "sitemap_parse": q_sitemap_parse,
@@ -2413,6 +2542,7 @@ def ensure_oracle_fixtures(sf_dir: str = "/root/testdata/sf0.01") -> None:
         want = {src: _md5(os.path.join(sf_dir, src)) for _, src, _ in specs}
     except OSError:
         return  # no testdata here (e.g. unit context) — leave as-is
+    os.makedirs(os.path.join(repo, "fixtures"), exist_ok=True)
     stamp_path = os.path.join(repo, "fixtures", f"_stamp_{tag}.json")
     try:
         with open(stamp_path) as f:

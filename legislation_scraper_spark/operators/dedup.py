@@ -166,17 +166,23 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact word-set Jaccard ≥ threshold within blocking keys.
 
-    Token sets are dictionary-encoded before the pair join, then one of
-    two physical representations is chosen from the measured vocabulary
-    size:
+    One of two physical representations is chosen from the measured
+    vocabulary size:
 
-    - **bitset path** (vocab ≤ ``max_bitset_bits``): each doc's token
-      set becomes ⌈vocab/64⌉ LONG columns; per-pair intersection is
-      ``bit_count(a & b)`` — pure scalar whole-stage-codegen, no array
-      allocation per pair.  This is the dictionary-+-bitmap trick from
-      the set-similarity-join literature, exact for any vocab that fits.
-    - **array path** (fallback): sorted int arrays + one
-      ``array_intersect`` per pair (|A∪B| = |A|+|B|−|A∩B|).
+    - **bitset path** (vocab ≤ ``max_bitset_bits``): tokens are
+      dictionary-encoded (the dict is tiny by construction — it fits
+      ``max_bitset_bits`` rows — so the encode join broadcasts it) and
+      each doc's token set becomes ⌈vocab/64⌉ LONG columns; per-pair
+      intersection is ``bit_count(a & b)`` — pure scalar
+      whole-stage-codegen, no array allocation per pair.  This is the
+      dictionary-+-bitmap trick from the set-similarity-join
+      literature, exact for any vocab that fits.
+    - **hash path** (fallback): tokens encode as ``xxhash64(token)``
+      IN ROW — no dictionary, no broadcast, no join (a web-scale vocab
+      of 10^8–10^9 distinct tokens has no broadcastable dict); pairs
+      compare sorted hash arrays with one ``array_intersect``
+      (|A∪B| = |A|+|B|−|A∩B|).  64-bit collisions are negligible
+      (P ≈ tokens²/2⁶⁵ per doc) and only ever merge two tokens.
 
     Both paths produce identical pairs (tests force each).  Docs with
     empty token sets can never reach the threshold and drop out at the
@@ -248,17 +254,15 @@ def ngram_jaccard_pairs(
             .select("a_id", "b_id", "jaccard")
         )
 
-    # -- array fallback (large vocabulary) ----------------------------------
-    dict_df = distinct_toks.withColumn(
-        # ids need distinctness only: monotonically_increasing_id avoids a
-        # global single-partition window over a large vocabulary
-        "tid", F.monotonically_increasing_id()
-    )
-    enc = (
-        tok.select(*block_cols, "id", F.explode("ws").alias("t"))
-        .join(F.broadcast(dict_df.select("t", "tid")), "t")
-        .groupBy(*block_cols, "id")
-        .agg(F.array_sort(F.collect_list("tid")).alias("ws"))
+    # -- hash fallback (large vocabulary) -----------------------------------
+    # per-row encode: sorted distinct xxhash64 values stand in for the
+    # token ids — zero shuffles between the scan and the pair join
+    enc = tok.filter(F.size("ws") > 0).select(
+        *block_cols,
+        "id",
+        F.array_sort(
+            F.array_distinct(F.transform("ws", lambda t: F.xxhash64(t)))
+        ).alias("ws"),
     )
     a = enc.select(*block_cols, F.col("id").alias("a_id"), F.col("ws").alias("a_ws"))
     b = enc.select(*block_cols, F.col("id").alias("b_id"), F.col("ws").alias("b_ws"))
@@ -343,6 +347,114 @@ def connected_components(
     return labels
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iter: int = 30,
+    return_rounds: bool = False,
+) -> DataFrame:
+    """Connected components in O(log n) rounds via alternating
+    large-star / small-star (Kiveris et al., *Connected Components in
+    MapReduce and Beyond*, SoCC'14): (id, comp) with comp = min id.
+
+    :func:`connected_components` (min-label propagation) needs
+    O(diameter) rounds — fine for near-dup clusters (tiny diameters),
+    quadratic-ish wall time on adversarial chain graphs such as
+    template spam where one cluster is a 10^5-long path.  The star
+    operations contract any graph to stars in O(log n) alternations:
+
+    - **large-star** — every node's *larger* neighbors re-attach to the
+      minimum of its closed neighborhood;
+    - **small-star** — every node's smaller-or-equal neighbors (and the
+      node) attach to that minimum.
+
+    Each round is one groupBy shuffle over the current edge set (edges
+    shrink toward one-per-node) plus a scalar checksum action for the
+    convergence test; ``localCheckpoint`` truncates lineage per round,
+    exactly like the crawl loop."""
+    e = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select("u").unionByName(e.select(F.col("v").alias("u"))).distinct()
+    )
+
+    def large_star(edges: DataFrame) -> DataFrame:
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        g = sym.groupBy("u").agg(F.collect_set("v").alias("ns"))
+        m = F.least(F.col("u"), F.array_min("ns"))
+        return (
+            g.select(
+                F.explode(
+                    F.filter(F.col("ns"), lambda x: x > F.col("u"))
+                ).alias("x"),
+                m.alias("m"),
+            )
+            .filter(F.col("x") != F.col("m"))
+            .select(F.col("x").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def small_star(edges: DataFrame) -> DataFrame:
+        d = (
+            edges.select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        g = d.groupBy("u").agg(F.collect_set("v").alias("ns"))
+        m = F.array_min("ns")
+        return (
+            g.select(
+                F.explode(
+                    F.array_union(
+                        F.filter(F.col("ns"), lambda x: x != F.array_min("ns")),
+                        F.array(F.col("u")),
+                    )
+                ).alias("x"),
+                m.alias("m"),
+            )
+            .filter(F.col("x") != F.col("m"))
+            .select(F.col("x").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    prev_sig = None
+    rounds = 0
+    for _ in range(max_iter):
+        e = small_star(large_star(e)).localCheckpoint()
+        rounds += 1
+        sig = e.agg(
+            F.count("*").alias("n"),
+            # xor-fold: order-independent and overflow-free under ANSI
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).collect()[0]
+        sig = (sig["n"], sig["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # converged edge set is a union of stars (member → root); roots
+    # label themselves.  The nodes join is insurance that every input
+    # node gets a label even in the degenerate single-node case.
+    star = e.select(F.col("u").alias("id"), F.col("v").alias("comp"))
+    roots = e.select(F.col("v").alias("id"), F.col("v").alias("comp")).distinct()
+    labels = nodes.select(F.col("u").alias("id")).join(
+        star.unionByName(roots).groupBy("id").agg(F.min("comp").alias("comp")),
+        "id",
+        "left",
+    ).select("id", F.coalesce("comp", F.col("id")).alias("comp"))
+    if return_rounds:
+        return labels, rounds
+    return labels
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -351,18 +463,43 @@ def _dot(a, b):
     )
 
 
+def cap_buckets(
+    e: DataFrame, bucket_col: str, max_bucket: int
+) -> DataFrame:
+    """Drop degenerate LSH buckets (> ``max_bucket`` members) before a
+    bucket self-join — the same discipline as ``minhash_lsh_pairs``.
+
+    Sign-bucket spaces are tiny (≤ 2^sign_bits distinct values), so the
+    surviving-bucket dim is always broadcastable; the guarded corpus
+    never shuffles for the cap itself.  Without this, one hot bucket
+    over correlated embeddings (8 sign bits ⇒ 256 buckets) turns the
+    self-join quadratic: ~N²/256 pairs at worst.
+    """
+    ok = (
+        e.groupBy(bucket_col)
+        .agg(F.count("*").alias("_bn"))
+        .filter(F.col("_bn") <= max_bucket)
+        .select(bucket_col)
+    )
+    return e.join(F.broadcast(ok), bucket_col)
+
+
 def embedding_cosine_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
     sign_bits: int = 8,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Near-dup pairs by cosine ≥ threshold, blocked by sign-bit LSH.
 
     Sign-bucket blocking is recall-lossy near the threshold (standard
     SRP-LSH trade-off); raise recall by lowering ``sign_bits`` or by
-    multi-probe (union over several bit-flip probes).
+    multi-probe (union over several bit-flip probes).  Buckets larger
+    than ``max_bucket`` are dropped before the self-join
+    (:func:`cap_buckets`) — at web scale a single degenerate bucket is
+    the difference between O(matches) and O(N²) pair expansion.
     """
     bits = F.concat(
         *[
@@ -373,6 +510,7 @@ def embedding_cosine_pairs(
     e = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), bits.alias("bucket")
     )
+    e = cap_buckets(e, "bucket", max_bucket)
     a = e.select("bucket", F.col("id").alias("a_id"), F.col("v").alias("a_v"))
     b = e.select("bucket", F.col("id").alias("b_id"), F.col("v").alias("b_v"))
     sim = _dot(F.col("a_v"), F.col("b_v")) / (

@@ -57,15 +57,25 @@ def resolve_against_web(selected: DataFrame, pages_raw: DataFrame) -> DataFrame:
     """Left join the scheduled URLs to the sandbox web on canonical URL.
 
     Join strategy matters at scale: ``selected`` is politeness-bounded
-    (≤ Σ per-host budgets per round) while the web table is huge, so we
-    *broadcast the selected side twice* (hit join + miss anti-join)
-    rather than let a sort-merge join shuffle every page body — the
-    body bytes then stream map-side from the scan into the parse stage
-    without ever crossing a shuffle.  At 10^10-frontier scale with
-    multi-GB rounds, the equivalent is bucketing both tables by
-    url_hash (Iceberg bucket partitioning) for a shuffle-free
-    co-located join; the broadcast form is right whenever one round's
-    selection fits the broadcast threshold.
+    (≤ Σ per-host budgets per round) while the web table is huge, so
+    the ONLY broadcastable relations are ``selected`` and anything
+    bounded by it — never a projection of the web table:
+
+    - hit path: ``web ⋈ broadcast(selected)`` — body bytes stream
+      map-side from the scan into the parse stage without crossing a
+      shuffle.
+    - miss path: ``selected ⟂ broadcast(hits.canon_url)`` — the
+      anti-join build side is the HIT set, which is ⊆ selected and
+      therefore politeness-bounded by construction.  (Building it from
+      ``web.canon_url`` instead would broadcast 10^10 URLs: driver
+      OOM.)  The hit subtree is evaluated twice — a second scan of the
+      politeness-bounded join, not of the page bodies, since only
+      canon_url survives column pruning on this branch.
+
+    At 10^10-frontier scale with multi-GB rounds, the equivalent is
+    bucketing both tables by url_hash (Iceberg bucket partitioning)
+    for a shuffle-free co-located join; the broadcast form is right
+    whenever one round's selection fits the broadcast threshold.
     """
     sel = F.broadcast(selected)
     web = pages_raw.select(
@@ -76,7 +86,7 @@ def resolve_against_web(selected: DataFrame, pages_raw: DataFrame) -> DataFrame:
     hits = web.join(sel, "canon_url", "inner")
     misses = (
         selected.join(
-            F.broadcast(web.select("canon_url")), "canon_url", "left_anti"
+            F.broadcast(hits.select("canon_url")), "canon_url", "left_anti"
         )
         .withColumn("body", F.lit(None).cast("binary"))
         .withColumn("warc_ts", F.lit(None).cast("timestamp"))

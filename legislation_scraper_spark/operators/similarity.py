@@ -92,14 +92,28 @@ def lsh_topk(
     multiprobe: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_bucket: int = 100_000,
 ) -> DataFrame:
     """Approximate top-k: sign-bucket blocking + 1-bit multi-probe +
-    exact rerank within candidates."""
+    exact rerank within candidates.
+
+    Corpus buckets larger than ``max_bucket`` are dropped before the
+    candidate join (same degenerate-bucket discipline as
+    ``dedup.minhash_lsh_pairs`` / ``dedup.cap_buckets``): with
+    correlated embeddings one hot sign-bucket can hold a large corpus
+    fraction, and Q queries probing it cost O(Q × |bucket|).  The cap
+    bounds per-probe cost; queries that land only in dropped buckets
+    lose recall — raise ``bits`` (smaller buckets) or the cap instead
+    of uncapping.
+    """
+    from .dedup import cap_buckets
+
     c = corpus.select(
         F.col(id_col).alias("cid"),
         F.col(vec_col).alias("cv"),
         sign_bucket(vec_col, bits).alias("bucket"),
     )
+    c = cap_buckets(c, "bucket", max_bucket)
     qb = queries.select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("qv"),

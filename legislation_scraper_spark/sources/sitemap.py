@@ -20,7 +20,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: <urlset><url><loc/><lastmod/><priority/></url>...</urlset>
@@ -145,34 +145,46 @@ def robots_allows(
     """Evaluate (host, path) candidates against parsed rules for one
     agent: RFC 9309 longest-match-wins (match via §2.2.3 ``*``/``$``
     patterns, specificity = rule path length), Allow beats Disallow on
-    ties, no matching rule → allowed.  Returns candidates +
-    ``allowed``.  The rule dim is broadcast, so the pattern-match theta
-    join is a map-side nested loop over a tiny side — no shuffle of
-    candidates."""
+    ties, no matching rule → allowed.  Returns the candidate rows —
+    all columns, original multiplicity — plus ``allowed``: the verdict
+    is computed once per distinct (host, path) and joined back, so
+    duplicate candidates and extra columns survive.  The rule dim is
+    broadcast, so the pattern-match theta join is a map-side nested
+    loop over a tiny side — no shuffle of candidates beyond the
+    distinct+join pair."""
     r = rules.filter(F.col("agent") == agent.lower()).select(
         F.col("host").alias("r_host"),
         "directive",
         F.col("path").alias("rule_path"),
     ).withColumn("rule_re", rule_pattern(F.col("rule_path")))
-    j = candidates.join(
+    distinct_cand = candidates.select(host_col, url_col).distinct()
+    j = distinct_cand.join(
         F.broadcast(r),
         (F.col(host_col) == F.col("r_host"))
         & F.regexp_like(F.col(url_col), F.col("rule_re")),
         "left",
     )
-    w = (
-        Window.partitionBy(host_col, url_col)
-        .orderBy(
-            F.length("rule_path").desc(),
-            # tie: allow < disallow lexicographically → allow wins
-            F.col("directive").asc(),
+    verdict = (
+        j.groupBy(host_col, url_col)
+        .agg(
+            # longest-match-wins; tie → allow ('allow' < 'disallow'
+            # lexicographically, so min(struct) with directive ASC after
+            # length DESC picks allow); no matching rule → NULL → allowed
+            F.min(
+                F.struct(
+                    (-F.length("rule_path")).alias("neg_len"),
+                    F.col("directive").alias("directive"),
+                )
+            ).alias("best")
+        )
+        .select(
+            host_col,
+            url_col,
+            F.coalesce(
+                F.col("best.directive") != "disallow", F.lit(True)
+            ).alias("allowed"),
         )
     )
-    best = j.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
-    return best.select(
-        host_col,
-        url_col,
-        F.coalesce(F.col("directive") != "disallow", F.lit(True)).alias(
-            "allowed"
-        ),
+    return candidates.join(verdict, [host_col, url_col], "left").fillna(
+        True, subset=["allowed"]
     )

@@ -68,12 +68,21 @@ def _atomic_write_json(path: str, payload: dict) -> None:
     os.rename(tmp, path)
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Two writers raced a commit on one table and the loser could not
+    be serialized (see Table._claim_version)."""
+
+
 @dataclass
 class Snapshot:
     version: int
     file_sets: list[str]
     lineage: dict[str, Any]
     metrics: dict[str, Any]
+    # cumulative live-row count at this version (appends accumulate,
+    # overwrites reset).  None only for manifests written before this
+    # field existed — readers fall back to the lineage-chain walk.
+    total_rows: int | None = None
 
 
 class Table:
@@ -110,7 +119,40 @@ class Table:
             return None  # expired (expire_snapshots) — history is gone
         with open(path) as f:
             d = json.load(f)
-        return Snapshot(d["version"], d["file_sets"], d["lineage"], d["metrics"])
+        return Snapshot(
+            d["version"], d["file_sets"], d["lineage"], d["metrics"],
+            d.get("total_rows"),
+        )
+
+    # -- commit serialization --------------------------------------------------
+
+    def _claim_version(self, build_payload, retries: int = 20) -> int:
+        """Publish a manifest under optimistic concurrency (the Iceberg
+        commit model): pick version = current + 1, build the payload
+        against the FRESH predecessor, and claim the manifest path with
+        an atomic exclusive create (``os.link`` fails on an existing
+        path where ``os.rename`` would silently overwrite).  A loser
+        re-reads the new current version and retries, so two writers
+        appending to one table serialize instead of last-writer-wins
+        dropping a commit; persistent contention fails loudly."""
+        for _ in range(retries):
+            v = self.current_version() + 1
+            payload = build_payload(v)
+            path = os.path.join(self.snap_dir, f"v{v:05d}.json")
+            tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump(payload, f, indent=1, sort_keys=True)
+            try:
+                os.link(tmp, path)
+                return v
+            except FileExistsError:
+                continue  # another writer claimed v — rebuild against it
+            finally:
+                os.remove(tmp)
+        raise ConcurrentCommitError(
+            f"table {self.name}: could not claim a version after "
+            f"{retries} attempts (concurrent writers)"
+        )
 
     # -- read ----------------------------------------------------------------
 
@@ -149,22 +191,29 @@ class Table:
         # metadata (driver-side file walk, no Spark job — the Iceberg
         # analogue is snapshot summary stats, likewise metadata-only)
         lineage = _footer_lineage(new_set, partition_cols)
-        prev = self.snapshot()
-        if mode == "append" and prev is not None:
-            file_sets = prev.file_sets + [new_set]
-        else:
-            file_sets = [new_set]
-        v = self.current_version() + 1
-        _atomic_write_json(
-            os.path.join(self.snap_dir, f"v{v:05d}.json"),
-            {
+        commit_rows = sum(lineage.values())
+
+        def build(v: int) -> dict:
+            prev = self.snapshot(v - 1) if v > 1 else None
+            if mode == "append" and prev is not None:
+                file_sets = prev.file_sets + [new_set]
+                prev_total = (
+                    prev.total_rows
+                    if prev.total_rows is not None
+                    else self.approx_rows(prev.version)
+                )
+            else:
+                file_sets = [new_set]
+                prev_total = 0
+            return {
                 "version": v,
                 "file_sets": file_sets,
                 "lineage": lineage,
                 "metrics": metrics or {},
-            },
-        )
-        return v
+                "total_rows": prev_total + commit_rows,
+            }
+
+        return self._claim_version(build)
 
     def append(
         self,
@@ -185,12 +234,20 @@ class Table:
     def approx_rows(self, version: int | None = None) -> int:
         """Row count from manifest lineage (no Spark job).
 
-        Exact for append-only tables (sums every commit's lineage);
-        equals the live count because appends never delete rows.
+        Exact for append-only tables.  Each manifest stores its
+        CUMULATIVE ``total_rows`` at commit time, so the count does not
+        depend on predecessor manifests surviving expiry — a
+        checkpoint-protected snapshot below the expiry horizon (whose
+        predecessors' manifests are gone) still reports the full count
+        (ADVICE r2 item 1; seen.py sizes bloom filters from this).
+        Manifests written before the field existed fall back to the
+        lineage-chain walk.
         """
         snap = self.snapshot(version)
         if snap is None:
             return 0
+        if snap.total_rows is not None:
+            return snap.total_rows
         total = 0
         live = set(snap.file_sets)
         for v in self.versions():
@@ -371,28 +428,39 @@ class BucketedLog(Table):
         ).insertInto(self.cat_name, overwrite=(mode != "append"))
         self.spark.sql(f"REFRESH TABLE {self.cat_name}")
         new_files = sorted(self._data_files() - before)
-        prev = self.snapshot()
-        if mode == "append" and prev is not None:
-            file_sets = prev.file_sets + new_files
-        else:
-            file_sets = new_files
         import pyarrow.parquet as pq
 
         n = sum(
             pq.read_metadata(os.path.join(self.data_dir, f)).num_rows
             for f in new_files
         )
-        v = self.current_version() + 1
-        _atomic_write_json(
-            os.path.join(self.snap_dir, f"v{v:05d}.json"),
-            {
+
+        def build(v: int) -> dict:
+            prev = self.snapshot(v - 1) if v > 1 else None
+            if mode == "append" and prev is not None:
+                file_sets = prev.file_sets + new_files
+                prev_total = (
+                    prev.total_rows
+                    if prev.total_rows is not None
+                    else self.approx_rows(prev.version)
+                )
+            else:
+                file_sets = new_files
+                prev_total = 0
+            return {
                 "version": v,
                 "file_sets": file_sets,
                 "lineage": {"__all__": n},
                 "metrics": metrics or {},
-            },
-        )
-        return v
+                "total_rows": prev_total + n,
+            }
+
+        # retries=1: a bucketed log is SINGLE-WRITER by contract — the
+        # file-diff attribution above (before/after the insertInto)
+        # cannot distinguish a concurrent writer's files from its own,
+        # so a lost claim means attribution is already suspect and the
+        # commit must fail loudly rather than serialize.
+        return self._claim_version(build, retries=1)
 
     def read(self, version: int | None = None) -> DataFrame | None:
         snap = self.snapshot(version)

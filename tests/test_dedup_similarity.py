@@ -107,6 +107,73 @@ def test_ivf_topk_recall(emb):
     assert fu == ex
 
 
+def test_ngram_jaccard_paths_identical(spark):
+    """Bitset and hash physical paths must produce identical pairs
+    (same (a, b, jaccard) sets) on a corpus whose vocab fits both."""
+    rows = [
+        (1, "g", "um dois tres quatro cinco"),
+        (2, "g", "um dois tres quatro cinco"),
+        (3, "g", "um dois tres quatro seis"),
+        (4, "g", "sete oito nove dez onze"),
+        (5, "h", "um dois tres quatro cinco"),
+        (6, "h", "um dois tres quatro"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    def pairs(max_bits):
+        out = dedup.ngram_jaccard_pairs(
+            df, ["source"], threshold=0.5, max_bitset_bits=max_bits
+        )
+        return {
+            (r["a_id"], r["b_id"], round(r["jaccard"], 9))
+            for r in out.collect()
+        }
+
+    bitset, hashed = pairs(512), pairs(0)
+    assert bitset == hashed
+    assert (1, 2, 1.0) in bitset
+
+
+def test_star_cc_equals_propagation(spark):
+    """large-star/small-star labels == min-label propagation labels on
+    a multi-component graph with chains, triangles and a hub."""
+    edges = (
+        [(i, i + 1) for i in range(0, 9)]            # chain 0..9
+        + [(20, 21), (21, 22), (22, 20)]             # triangle
+        + [(30, j) for j in range(31, 40)]           # star hub
+        + [(50, 51)]                                  # pair
+    )
+    df = spark.createDataFrame(edges, "a_id long, b_id long")
+    prop = {
+        (r["id"], r["comp"])
+        for r in dedup.connected_components(df).collect()
+    }
+    star = {
+        (r["id"], r["comp"])
+        for r in dedup.connected_components_star(df).collect()
+    }
+    assert prop == star
+    assert (9, 0) in star and (22, 20) in star and (39, 30) in star
+
+
+def test_star_cc_long_chain_converges_logarithmically(spark):
+    """The adversarial case propagation can't handle: a 256-node chain
+    must converge in ≤ log2(n) + 4 star rounds (propagation needs 255)
+    with every node labeled 0."""
+    import math
+
+    n = 256
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a_id long, b_id long"
+    )
+    labels, rounds = dedup.connected_components_star(
+        df, return_rounds=True
+    )
+    assert rounds <= int(math.log2(n)) + 4, rounds
+    got = {(r["id"], r["comp"]) for r in labels.collect()}
+    assert got == {(i, 0) for i in range(n)}
+
+
 def test_multimodal_plumbing(spark):
     rows = [
         (1, b"\x89PNG\r\n" + b"x" * 100),

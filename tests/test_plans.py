@@ -45,12 +45,22 @@ def test_robots_join_is_broadcast(spark):
 
 
 def test_fetch_join_never_shuffles_bodies(spark):
+    """Bodies never cross a shuffle AND no broadcast is ever built from
+    the web side (VERDICT r2 item 1): the miss-path anti-join's build
+    side must be the politeness-bounded HIT set — which makes the plan
+    contain ≥3 BroadcastHashJoins (hit inner join, the hits subtree
+    re-evaluated inside the anti build, and the anti join itself); the
+    old web-side-broadcast plan had exactly 2."""
+    import re
+
     w = synth_world(spark, seed=5, docs_per_source=5, n_sources=2, partitions=2)
     sel = with_url_key(w["pages_raw"].select("url").limit(10), "url", 4)
     resolved = resolve_against_web(sel, w["pages_raw"])
     plan = _explain(resolved)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+    n_bhj = len(re.findall(r"\(\d+\) BroadcastHashJoin", plan))
+    assert n_bhj >= 3, f"anti-join build side looks web-derived:\n{plan}"
 
 
 def test_minhash_lsh_plan_has_no_join(spark):
@@ -64,15 +74,61 @@ def test_minhash_lsh_plan_has_no_join(spark):
     assert "Join" not in plan  # covers SortMergeJoin/BroadcastHashJoin/...
 
 
-def test_jaccard_dict_join_is_broadcast(spark):
-    """Token-dictionary encoding must broadcast the dict, and the pair
-    join must stay an equi join (no cartesian)."""
+def test_jaccard_hash_path_has_no_dictionary(spark):
+    """Large-vocab fallback: tokens hash-encode IN ROW — the plan has
+    no dictionary relation, no broadcast encode join, no
+    monotonically_increasing_id; the only join is the blocked pair
+    equi-join (VERDICT r2 item 3)."""
+    import re
+
     from legislation_scraper_spark.operators.dedup import ngram_jaccard_pairs
 
     df = spark.read.parquet(f"{SF}/documents.parquet")
+    # force the large-vocab path (max_bitset_bits=0): web-scale corpora
+    # always land here
+    plan = _explain(
+        ngram_jaccard_pairs(df, ["source"], threshold=0.8, max_bitset_bits=0)
+    )
+    assert "xxhash64" in plan
+    assert "monotonically_increasing" not in plan
+    assert "CartesianProduct" not in plan
+    joins = re.findall(r"\(\d+\) \w*Join\w*", plan)
+    assert len(joins) == 1, f"expected only the pair join, got {joins}"
+
+
+def test_jaccard_bitset_dict_join_is_broadcast(spark):
+    """Small-vocab bitset path: the (tiny by construction) token dict
+    is broadcast for the encode join; no cartesian anywhere."""
+    from legislation_scraper_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(i, "g", "alfa bravo carga delta eco") for i in range(6)],
+        "doc_id long, source string, text string",
+    )
     plan = _explain(ngram_jaccard_pairs(df, ["source"], threshold=0.8))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_embedding_pair_buckets_are_capped(spark):
+    """VERDICT r2 item 4: the sign-bucket self-joins in
+    embedding_cosine_pairs and lsh_topk must run through the
+    degenerate-bucket cap — the surviving-bucket dim join is broadcast
+    and a tiny max_bucket empties a single-hot-bucket corpus."""
+    from legislation_scraper_spark.operators.dedup import (
+        embedding_cosine_pairs,
+    )
+    from legislation_scraper_spark.operators.similarity import lsh_topk
+
+    # 40 identical vectors → ONE sign bucket of size 40
+    rows = [(i, [1.0] * 8) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    plan = _explain(embedding_cosine_pairs(df, max_bucket=10))
+    assert "BroadcastHashJoin" in plan  # the bucket-cap dim join
+    assert embedding_cosine_pairs(df, max_bucket=10).count() == 0
+    assert embedding_cosine_pairs(df, max_bucket=1000).count() == 40 * 39 / 2
+    assert lsh_topk(df.limit(2), df, k=3, max_bucket=10).count() == 0
+    assert lsh_topk(df.limit(2), df, k=3, max_bucket=1000).count() == 6
 
 def test_ivf_centroid_pick_is_partial_topk(spark):
     """IVF centroid selection must not move the corpus through a single
