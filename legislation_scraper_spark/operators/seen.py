@@ -206,6 +206,10 @@ class SeenSet:
         instead of rescanning the full seen table every round."""
         keyed = with_url_key(urls.select(url_col), url_col, self.n_shards)
         rows = keyed.select("shard", "url_hash", "canon_url").distinct()
+        if self.filters_table is not None:
+            # the distinct-keyed rows feed TWO writes (seen rows + delta
+            # filter blobs); persist so the dedup shuffle runs once
+            rows = rows.persist()
         self.table.append(rows)
         if self.filters_table is not None:
             if self.filter_kind == "cuckoo":
@@ -219,6 +223,7 @@ class SeenSet:
                     rows, self._params(), self.n_shards
                 )
             self.filters_table.append(delta)
+            rows.unpersist()
 
     def merged_filters(self) -> DataFrame | None:
         """One folded filter per shard from the delta log (bloom:

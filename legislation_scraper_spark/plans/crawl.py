@@ -209,10 +209,14 @@ class CrawlEngine:
 
     def _maintain(self) -> None:
         """Compact many-commit tables (Iceberg rewrite_data_files
-        analogue) so read fan-in stays bounded as rounds accumulate."""
+        analogue) so read fan-in stays bounded as rounds accumulate.
+        The trigger threshold is per-table: a bucketed log legitimately
+        holds one file per bucket per commit, so its fan-in budget is
+        buckets × 12, not 12."""
         for t in (self.frontier, self.seen.table, self.visited):
             snap = t.snapshot()
-            if snap and len(snap.file_sets) > 12:
+            thr = 12 * getattr(t, "n_buckets", 1)
+            if snap and len(snap.file_sets) > thr:
                 t.compact()
         if self.seen.filters_table is not None:
             snap = self.seen.filters_table.snapshot()
@@ -394,9 +398,14 @@ class CrawlEngine:
                 versions["fetch_errors"] = self.errors.append(err_df)
 
         def w_links() -> int:
-            n = new_front.count()
-            if n:
-                versions["frontier_log"] = self.frontier.append(new_front)
+            # single pass: append, then read the new-URL count from the
+            # commit's manifest lineage (computed from parquet footers
+            # during the append) — a separate count() job re-ran the
+            # whole distinct shuffle
+            v = self.frontier.append(new_front)
+            # manifest lineage records THIS commit's rows only
+            n = int(sum(self.frontier.snapshot(v).lineage.values()))
+            versions["frontier_log"] = v
             return n
 
         def w_seen():

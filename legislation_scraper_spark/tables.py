@@ -423,6 +423,13 @@ class BucketedLog(Table):
         assert partition_cols is None, "bucketed log: no dir partitions"
         self._register(df.schema)
         before = self._data_files()
+        # align input partitioning with the table's bucketing before the
+        # insert: repartition(n, bucket_col) uses the same murmur3 hash
+        # as CLUSTERED BY, so each task holds exactly one bucket's rows
+        # and writes ONE file — an unaligned insert writes up to
+        # (input partitions × buckets) files per commit, which made the
+        # maintenance compactor fire every round (2.5 s serial/round)
+        df = df.repartition(self.n_buckets, F.col(self.bucket_col))
         df.write.mode(
             "append" if mode == "append" else "overwrite"
         ).insertInto(self.cat_name, overwrite=(mode != "append"))
@@ -495,6 +502,9 @@ class BucketedLog(Table):
         staging = tempfile.mkdtemp(prefix=f"compact_{self.name}_")
         try:
             self.read().write.mode("overwrite").parquet(staging)
+            # overwrite re-aligns to one file per bucket via the
+            # repartition in _commit, so a compacted log is exactly
+            # n_buckets files
             v = self.overwrite(
                 self.spark.read.parquet(staging),
                 metrics={"compaction": True},
