@@ -189,17 +189,18 @@ def _crawl_once(master: str, cores: int, world_dir: str) -> dict:
                 # WORLD (its host skew), not the parallelism level —
                 # fixed across levels so the seen-set layout and the
                 # fetch-key space are identical in every measured round.
-                # 256 salts: the planalto mega-host (352k of 1.16M
-                # pages, skew=10) splits into ~1.4k-row buckets, so the
-                # salted repartition is balanced at ANY partition count;
-                # round-2's salt=cores left one partition 1.8× over
-                # average at local[8] — a parse-stage straggler that
-                # read as serial cost in the scaling artifact.
+                # salt=8 splits the planalto mega-host (352k of 1.16M
+                # pages, skew=10) into 44k-row buckets — enough balance
+                # for up to ~cores*3 fetch partitions at every level;
+                # 256 salts measured WORSE end-to-end at local[8]
+                # (113-133 s vs 79-94 s) despite better partition
+                # balance in isolation, so balance is not the binding
+                # term (empirical, round 3).
                 n_shards=int(os.environ.get("LSS_BENCH_SHARDS", "64")),
                 fetch_partitions=int(
                     os.environ.get("LSS_BENCH_FETCH_PARTS", max(cores * 3, 6))
                 ),
-                salt_buckets=int(os.environ.get("LSS_BENCH_SALT", "256")),
+                salt_buckets=int(os.environ.get("LSS_BENCH_SALT", "8")),
             ),
         )
         eng.bootstrap()

@@ -69,6 +69,65 @@ def rank_per_host(candidates: DataFrame) -> DataFrame:
     return candidates.withColumn("host_rank", F.row_number().over(w))
 
 
+def rank_per_host_range(
+    candidates: DataFrame, partitions: int | None = None
+) -> DataFrame:
+    """Skew-safe exact per-host rank (same output as
+    :func:`rank_per_host`, proven by tests/test_politeness.py).
+
+    A window rank sorts each host inside ONE task, so a mega-host (the
+    north star's host-skew case: one host holding 30% of the frontier)
+    becomes a single-task straggler no matter how many executors run.
+    This variant range-partitions by (host, *ORDER_COLS) — the range
+    sampler splits the mega-host across MANY partitions mid-host — and
+    reconstructs the exact rank positionally:
+
+    1. ``repartitionByRange`` + ``sortWithinPartitions`` gives a global
+       sort with balanced partitions;
+    2. ``monotonically_increasing_id`` on the sorted stream encodes
+       (partition id << 33) | local index — the documented bit layout;
+    3. one tiny driver action collects per-partition row counts →
+       prefix-sum offsets (≤ ``partitions`` rows);
+    4. global position = offset[pid] + local index; per-host rank =
+       position − min(position) over the host + 1, where the per-host
+       minimum is a broadcast dim (hosts ≪ rows).
+
+    Cost: the range shuffle runs twice (counts pass + final pass —
+    plan re-execution, deliberately NOT persisted so the caller
+    controls memory) over politeness-bounded METADATA, in exchange for
+    no per-host sort straggler at any skew.  Use when per-host budgets
+    are large/unbounded; with small budgets the plain window +
+    WindowGroupLimit map-side prune is cheaper.
+    """
+    spark = candidates.sparkSession
+    n = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cols = ["host", *ORDER_COLS]
+    s = (
+        candidates.repartitionByRange(n, *[F.col(c) for c in cols])
+        .sortWithinPartitions(*cols)
+        .withColumn("_mid", F.monotonically_increasing_id())
+    )
+    pid = F.shiftright(F.col("_mid"), 33).cast("int")
+    lidx = F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
+    counts = s.groupBy(pid.alias("_pid")).count().collect()
+    acc, offs = 0, {}
+    for r in sorted(counts, key=lambda r: r["_pid"]):
+        offs[int(r["_pid"])] = acc
+        acc += r["count"]
+    off_map = F.create_map(
+        *[F.lit(v) for k in sorted(offs) for v in (k, offs[k])]
+    )
+    g = s.withColumn("_pos", off_map.getItem(pid) + lidx)
+    base = g.groupBy("host").agg(F.min("_pos").alias("_base"))
+    return (
+        g.join(F.broadcast(base), "host")
+        .withColumn(
+            "host_rank", (F.col("_pos") - F.col("_base") + 1).cast("int")
+        )
+        .drop("_mid", "_pos", "_base")
+    )
+
+
 def select_budget(ranked: DataFrame) -> DataFrame:
     """Keep at most `budget` URLs per host this round."""
     return ranked.filter(F.col("host_rank") <= F.col("budget"))
@@ -80,12 +139,22 @@ def schedule_round(
     salt_buckets: int = 8,
     fetch_partitions: int | None = None,
     round_window_ms: int | None = None,
+    rank_impl: str = "window",
 ) -> DataFrame:
     """Full politeness pass: robots gate → rank → budget → salted
-    repartition for the fetch stage."""
-    sel = select_budget(
-        rank_per_host(apply_robots(candidates, robots, round_window_ms))
+    repartition for the fetch stage.
+
+    ``rank_impl='window'`` (default): per-host window rank — cheapest
+    with bounded budgets (WindowGroupLimit map-side prune).
+    ``rank_impl='range'``: :func:`rank_per_host_range` — skew-safe for
+    mega-hosts when budgets are large/unbounded."""
+    gated = apply_robots(candidates, robots, round_window_ms)
+    ranked = (
+        rank_per_host_range(gated)
+        if rank_impl == "range"
+        else rank_per_host(gated)
     )
+    sel = select_budget(ranked)
     key = salted_host(F.col("host"), F.col("canon_url"), salt_buckets)
     if fetch_partitions:
         return sel.repartition(fetch_partitions, key)

@@ -64,6 +64,10 @@ class CrawlConfig:
     policy: FetchPolicy = field(default_factory=FetchPolicy)
     search_marker: str = "/busca"  # URL shape that dispatches link parsing
     transport: str = "jvm"  # 'jvm' (codegen sim) | 'python' (mapInPandas)
+    # politeness ranking strategy: 'window' (cheapest with bounded
+    # budgets) | 'range' (skew-safe for mega-hosts with large budgets;
+    # operators/politeness.rank_per_host_range)
+    rank_impl: str = "window"
     round_window_ms: int | None = None  # crawl-delay budget cap (politeness)
     # Error-driven host cooldown (SURVEY.md §2.11 C5: the reference
     # rotates VPN / sleeps when a site starts blocking; here a host with
@@ -268,6 +272,7 @@ class CrawlEngine:
         selected = politeness.schedule_round(
             pending, self.robots, self.cfg.salt_buckets,
             self.cfg.fetch_partitions, self.cfg.round_window_ms,
+            self.cfg.rank_impl,
         )
         raw = fetch(
             selected, self.pages_raw, self.cfg.policy, self.cfg.transport

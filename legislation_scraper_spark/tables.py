@@ -422,19 +422,50 @@ class BucketedLog(Table):
     def _commit(self, df, mode, partition_cols, metrics) -> int:
         assert partition_cols is None, "bucketed log: no dir partitions"
         self._register(df.schema)
-        before = self._data_files()
-        # align input partitioning with the table's bucketing before the
-        # insert: repartition(n, bucket_col) uses the same murmur3 hash
-        # as CLUSTERED BY, so each task holds exactly one bucket's rows
-        # and writes ONE file — an unaligned insert writes up to
-        # (input partitions × buckets) files per commit, which made the
-        # maintenance compactor fire every round (2.5 s serial/round)
-        df = df.repartition(self.n_buckets, F.col(self.bucket_col))
-        df.write.mode(
-            "append" if mode == "append" else "overwrite"
-        ).insertInto(self.cat_name, overwrite=(mode != "append"))
-        self.spark.sql(f"REFRESH TABLE {self.cat_name}")
-        new_files = sorted(self._data_files() - before)
+        # Write bucket-aligned files OUTSIDE the catalog write path.
+        # Two reasons, both measured in round 3:
+        # - ``insertInto`` ends with an automatic refreshByPath, which
+        #   invalidates EVERY cached plan scanning this table — a crawl
+        #   round's parsed cache reads the frontier, so each frontier
+        #   append silently forced later sinks to recompute the whole
+        #   fetch+parse chain (≈77 s/round at local[4]).
+        # - an unaligned insert writes (input partitions × buckets)
+        #   files per commit, tripping the compactor every round.
+        # Mechanics: ``repartition(n, col)`` assigns partition id
+        # pmod(murmur3(col), n) — the SAME function the bucket spec
+        # uses — so staged partition i holds exactly bucket i's rows,
+        # and the bucket id is carried in the file NAME (Spark's
+        # BucketingUtils parses the trailing ``_NNNNN`` group), so a
+        # rename turns plain parquet output into valid bucket files.
+        import shutil as _sh
+
+        staging = os.path.join(self.dir, f"_staging_{uuid.uuid4().hex}")
+        new_files: list[str] = []
+        try:
+            (
+                df.repartition(self.n_buckets, F.col(self.bucket_col))
+                .write.mode("overwrite")
+                .parquet(staging)
+            )
+            staged = []
+            for f in sorted(os.listdir(staging)):
+                if not f.startswith("part-"):
+                    continue
+                i = int(f.split("-", 2)[1])
+                stem, dot, ext = f.partition(".")
+                staged.append((f, f"{stem}_{i:05d}{dot}{ext}"))
+            if mode != "append":
+                for f in self._data_files():
+                    os.remove(os.path.join(self.data_dir, f))
+            for src, dst in staged:
+                os.rename(
+                    os.path.join(staging, src),
+                    os.path.join(self.data_dir, dst),
+                )
+                new_files.append(dst)
+        finally:
+            _sh.rmtree(staging, ignore_errors=True)
+        new_files = sorted(new_files)
         import pyarrow.parquet as pq
 
         n = sum(
@@ -475,12 +506,19 @@ class BucketedLog(Table):
             return None
         if set(snap.file_sets) == self._data_files():
             # current state == snapshot → the BUCKETED catalog scan
-            # (groupBy/join on bucket_col runs without Exchange)
+            # (groupBy/join on bucket_col runs without Exchange).
+            # REFRESH happens here, at read time — NOT in _commit: a
+            # refresh invalidates every cached plan that scans this
+            # table, and a crawl round's parsed cache reads the
+            # frontier, so a post-append refresh silently forced later
+            # sinks to recompute the whole fetch+parse chain (measured
+            # 77 s/round at local[4]).
             self._register(
                 self.spark.read.parquet(
                     os.path.join(self.data_dir, snap.file_sets[0])
                 ).schema
             )
+            self.spark.sql(f"REFRESH TABLE {self.cat_name}")
             return self.spark.table(self.cat_name)
         # historical read (time travel): plain file-list scan — correct
         # rows, no bucket metadata (Iceberg keeps it; acceptable here)

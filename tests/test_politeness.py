@@ -115,3 +115,45 @@ def test_salting_defeats_host_skew(spark):
     assert max(salted) <= 3 * total / n_parts, (max(salted), total / n_parts)
     # salting preserves host affinity upstream invariants: every row kept
     assert sum(salted) == total
+
+
+def test_range_rank_equals_window_rank(spark):
+    """Skew-safe range-partitioned ranking must reproduce the window
+    rank EXACTLY on a skewed candidate set (mega-host + small hosts),
+    including the (priority, discovered_round, canon_url) tie order."""
+    cand = _candidates(
+        spark, {"mega.example": 900, "a.example": 40, "b.example": 7}
+    )
+    w = {
+        (r["host"], r["canon_url"]): r["host_rank"]
+        for r in politeness.rank_per_host(cand).collect()
+    }
+    g = {
+        (r["host"], r["canon_url"]): r["host_rank"]
+        for r in politeness.rank_per_host_range(cand, partitions=7).collect()
+    }
+    assert w == g
+    assert max(v for (h, _), v in g.items() if h == "mega.example") == 900
+
+
+def test_schedule_round_range_impl_equals_window(spark):
+    """The full politeness pass must select the same rows with either
+    rank implementation."""
+    cand = _candidates(spark, {"mega.example": 300, "a.example": 11})
+    robots = _robots(
+        spark,
+        [("mega.example", True, 0, 5), ("a.example", True, 0, 3)],
+    )
+    key = lambda r: (r["host"], r["canon_url"], r["host_rank"])  # noqa: E731
+    a = sorted(
+        map(key, politeness.schedule_round(cand, robots).collect())
+    )
+    b = sorted(
+        map(
+            key,
+            politeness.schedule_round(
+                cand, robots, rank_impl="range"
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) == 8
