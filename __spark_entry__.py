@@ -407,6 +407,30 @@ _DUCK_WORDS = (
     "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
 )
 
+# SQL twin of the synthesized CDX world (shared by both cdx oracles)
+_CDX_SQL = """
+    WITH caps AS (SELECT UNNEST(generate_series(0, 1)) AS cap),
+    rec AS (
+      SELECT doc_id, source, cap,
+             'https://www.' || source || '.leg.br/norma/'
+               || CAST(doc_id AS VARCHAR) AS url,
+             'br,leg,' || source || ')/norma/'
+               || CAST(doc_id AS VARCHAR) AS urlkey,
+             make_timestamp(2024, doc_id % 12 + 1, doc_id % 28 + 1,
+                            doc_id % 24, doc_id % 60,
+                            (doc_id * 7 + cap * 11) % 60) AS ts,
+             CASE WHEN doc_id % 13 = 0 THEN 404 ELSE 200 END AS status,
+             'sha1:' || md5('https://www.' || source || '.leg.br/norma/'
+               || CAST(doc_id AS VARCHAR) || CAST(cap AS VARCHAR))
+               AS digest,
+             CAST(doc_id % 9000 + 512 AS BIGINT) AS length,
+             CAST(doc_id * 1337 % 10000000 AS BIGINT) AS "offset",
+             'crawl-' || lpad(CAST(doc_id % 4 AS VARCHAR), 2, '0')
+               || '.warc.gz' AS filename,
+             doc_id % 17 = 0 AS malformed
+      FROM documents, caps)
+"""
+
 
 def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
@@ -761,6 +785,44 @@ def _duck_quality_sql() -> str:
 
 
 _ORACLE_B2: dict[str, str] = {
+    "cdx_parse": _CDX_SQL
+    + """
+        SELECT urlkey, ts,
+               CASE WHEN malformed THEN NULL ELSE url END AS url,
+               CASE WHEN malformed THEN NULL ELSE 'text/html' END AS mime,
+               CASE WHEN malformed THEN NULL ELSE status END AS status,
+               CASE WHEN malformed THEN NULL ELSE digest END AS digest,
+               CASE WHEN malformed THEN NULL ELSE length END AS length,
+               CASE WHEN malformed THEN NULL ELSE "offset" END AS "offset",
+               CASE WHEN malformed THEN NULL ELSE filename END AS filename
+        FROM rec
+    """,
+    "cdx_latest": _CDX_SQL
+    + """
+        SELECT urlkey, ts, url, digest, length, "offset", filename
+        FROM (
+          SELECT urlkey, ts, url, digest, length, "offset", filename,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY urlkey ORDER BY ts DESC) AS rn
+          FROM rec WHERE status = 200 AND NOT malformed)
+        WHERE rn = 1
+    """,
+    "unigram_logprob": f"""
+        WITH tok AS (SELECT doc_id, {_DUCK_WORDS} AS ws FROM documents),
+        w AS (SELECT doc_id, UNNEST(ws) AS w FROM tok WHERE len(ws) > 0),
+        wc AS (SELECT w, COUNT(*) AS cnt FROM w GROUP BY w),
+        st AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total,
+                      CAST(COUNT(*) AS DOUBLE) AS vocab FROM wc),
+        top AS (SELECT w, cnt FROM wc ORDER BY cnt DESC, w LIMIT 200),
+        lm AS (SELECT w, log10((cnt + 1) / (total + vocab)) AS lp
+               FROM top, st)
+        SELECT doc_id AS id, COUNT(*) AS n_words,
+               ROUND(AVG(COALESCE(lm.lp,
+                     log10(1.0 / (st.total + st.vocab)))), 6)
+                 AS mean_logprob
+        FROM w LEFT JOIN lm USING (w), st
+        GROUP BY doc_id
+    """,
     "viewstate_scan": """
         WITH src AS (SELECT DISTINCT source FROM documents),
         tok AS (
@@ -1889,6 +1951,79 @@ def q_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_robots(body)
 
 
+def _cdx_lines(spark: SparkSession, sf_dir: str, captures: int = 2):
+    """Synthesize CDXJ index lines from `documents` (2 captures per
+    doc; ~1/13 non-200; ~1/17 malformed JSON)."""
+    from legislation_scraper_spark.sources.cdx import surt_key
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://www."), F.col("source"), F.lit(".leg.br/norma/"),
+        did.cast("string"),
+    )
+    cap = F.explode(F.sequence(F.lit(0), F.lit(captures - 1))).alias("cap")
+    rows = d.select("doc_id", "source", url.alias("url"), cap)
+    ts = F.concat(
+        F.lit("2024"),
+        F.lpad((did % 12 + 1).cast("string"), 2, "0"),
+        F.lpad((did % 28 + 1).cast("string"), 2, "0"),
+        F.lpad((did % 24).cast("string"), 2, "0"),
+        F.lpad((did % 60).cast("string"), 2, "0"),
+        F.lpad(((did * 7 + F.col("cap") * 11) % 60).cast("string"), 2, "0"),
+    )
+    status = F.when(did % 13 == 0, F.lit("404")).otherwise(F.lit("200"))
+    good_json = F.concat(
+        F.lit('{"url": "'), F.col("url"),
+        F.lit('", "mime": "text/html", "status": "'), status,
+        F.lit('", "digest": "sha1:'), F.md5(F.concat(F.col("url"), F.col("cap").cast("string"))),
+        F.lit('", "length": "'), (did % 9000 + 512).cast("string"),
+        F.lit('", "offset": "'), (did * 1337 % 10**7).cast("string"),
+        F.lit('", "filename": "crawl-'),
+        F.lpad((did % 4).cast("string"), 2, "0"),
+        F.lit('.warc.gz"}'),
+    )
+    payload = F.when(did % 17 == 0, F.lit('{"url": ')).otherwise(good_json)
+    return rows.select(
+        F.concat_ws(" ", surt_key(F.col("url")), ts, payload).alias("line")
+    )
+
+
+def q_cdx_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-Crawl-style CDXJ index parse (sources/cdx.parse_cdxj +
+    surt_key, pure JVM): synthesize index lines from `documents` (two
+    captures per doc, some non-200, some malformed JSON) and parse
+    them back; malformed JSON keeps key/timestamp with NULL metadata."""
+    from legislation_scraper_spark.sources.cdx import parse_cdxj
+
+    return parse_cdxj(_cdx_lines(spark, sf_dir))
+
+
+def q_cdx_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fetch planning over the CDX index: newest 200-status capture per
+    urlkey via a partial-aggregatable max_by (sources/cdx.
+    latest_captures) — no window, the shuffle carries one row/key."""
+    from legislation_scraper_spark.sources.cdx import (
+        latest_captures,
+        parse_cdxj,
+    )
+
+    return latest_captures(parse_cdxj(_cdx_lines(spark, sf_dir)))
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy LM quality scores (operators/curation.
+    unigram_logprob_scores): mean unigram log10-prob per doc under the
+    corpus's own add-one-smoothed top-200 unigram LM, OOV floored —
+    the CCNet-style cheap LM filter."""
+    from legislation_scraper_spark.operators.curation import (
+        unigram_logprob_scores,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return unigram_logprob_scores(d, top_k=200)
+
+
 def q_viewstate_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5 ASP.NET VIEWSTATE two-request postback scan
     (espirito_santo.py:69-127) through the REAL stateful operator
@@ -1965,6 +2100,9 @@ def q_viewstate_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q_B2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "datatables_scan": q_datatables_scan,
     "viewstate_scan": q_viewstate_scan,
+    "cdx_parse": q_cdx_parse,
+    "cdx_latest": q_cdx_latest,
+    "unigram_logprob": q_unigram_logprob,
     "datatables_pages": q_datatables_pages,
     "warc_roundtrip": q_warc_roundtrip,
     "sitemap_parse": q_sitemap_parse,

@@ -300,3 +300,78 @@ def pack_sequences(
         F.floor((F.col("start_tok") + F.col("n_tokens") - 1) / seq_len)
         .cast("bigint").alias("last_seq"),
     )
+
+
+def unigram_logprob_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 50_000,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Perplexity-proxy quality score: mean unigram log10-probability
+    per document under the corpus's own add-one-smoothed unigram LM —
+    the classic cheap LM filter in webtext curation ladders (documents
+    of gibberish / boilerplate / wrong-language text score far below
+    the corpus mode; CCNet-style pipelines threshold on exactly this
+    statistic, just with a bigger LM).
+
+    Spark-first shape, scale notes:
+
+    - corpus counts: one (word, count) aggregation — partial map-side
+      combine, the only full-corpus shuffle;
+    - the LM itself is the TOP-``top_k`` words by (count desc, word) —
+      ``orderBy().limit()`` compiles to TakeOrderedAndProject (partial
+      per-partition top-k, no global sort), and the resulting dim is
+      bounded by construction, so the score join BROADCASTS the LM no
+      matter how big the corpus vocabulary is.  Out-of-LM words get
+      the add-one floor log10(1 / (total + vocab)) — at web scale the
+      tail you dropped is exactly the tail a 50k-entry LM models as
+      OOV anyway;
+    - per-doc mean: explode → broadcast-join → one (doc, sum/count)
+      aggregation keyed by the id — second shuffle, rows not text.
+
+    Both corpus statistics (``total`` tokens and ``vocab`` distinct
+    words) ride along in the broadcast dim, so no driver collect
+    anywhere.  Rounded to ``ndigits`` for cross-engine comparison
+    (DuckDB oracle mirrors the same rounding).
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"), words(F.col(text_col)).alias("ws")
+    ).filter(F.size("ws") > 0)
+    wcounts = (
+        tok.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    stats = wcounts.agg(
+        F.sum("cnt").alias("total"), F.count("*").alias("vocab")
+    )
+    lm = (
+        wcounts.orderBy(F.desc("cnt"), F.asc("w"))
+        .limit(top_k)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "w",
+            F.log10((F.col("cnt") + 1) / (F.col("total") + F.col("vocab")))
+            .alias("lp"),
+        )
+    )
+    # the OOV floor is a corpus CONSTANT: 1-row broadcast, never null
+    # on join miss (same no-collect pattern as mixture_weights)
+    oov = stats.select(
+        F.log10(F.lit(1.0) / (F.col("total") + F.col("vocab")))
+        .alias("oov_lp")
+    )
+    return (
+        tok.select("id", F.explode("ws").alias("w"))
+        .join(F.broadcast(lm), "w", "left")
+        .crossJoin(F.broadcast(oov))
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.round(
+                F.avg(F.coalesce("lp", "oov_lp")), ndigits
+            ).alias("mean_logprob"),
+        )
+    )

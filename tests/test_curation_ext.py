@@ -163,3 +163,31 @@ def test_salted_index_equals_one_phase(spark):
         ).collect()
     }
     assert one == two
+
+
+def test_unigram_logprob_scores_orders_quality(spark):
+    """Common-word docs must outscore rare/OOV-word docs under the
+    corpus's own unigram LM; the OOV floor applies to words outside
+    the top-k."""
+    import math
+
+    from legislation_scraper_spark.operators.curation import (
+        unigram_logprob_scores,
+    )
+
+    rows = [(i, "lei norma artigo lei norma lei") for i in range(8)]
+    rows += [(100, "zzq xxw yyk qqz"), (101, "lei norma artigo")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["id"]: (r["n_words"], r["mean_logprob"])
+        for r in unigram_logprob_scores(df, top_k=3).collect()
+    }
+    assert got[101][0] == 3
+    # common-word doc beats the OOV doc
+    assert got[101][1] > got[100][1]
+    # doc 100 is entirely OOV (top_k=3 keeps lei/norma/artigo):
+    # every word scores the add-one floor log10(1/(total+vocab))
+    total = 8 * 6 + 4 + 3
+    vocab = 3 + 4
+    floor = round(math.log10(1.0 / (total + vocab)), 6)
+    assert abs(got[100][1] - floor) < 1e-6

@@ -203,3 +203,57 @@ def test_warc_negative_content_length_rejected():
     assert list(parse_warc_stream(bad)) == []
     good_then_bad = RAW + bad
     assert len(list(parse_warc_stream(good_then_bad))) == 2
+
+
+def test_surt_key_examples(spark):
+    from legislation_scraper_spark.sources.cdx import surt_key
+
+    df = spark.createDataFrame(
+        [
+            ("https://WWW.Planalto.Gov.BR/ccivil_03/leis",),
+            ("http://example.org",),
+            ("https://sub.a.example.org/x?q=1",),
+        ],
+        "url string",
+    )
+    got = [r["k"] for r in df.select(surt_key(F.col("url")).alias("k")).collect()]
+    assert got == [
+        "br,gov,planalto)/ccivil_03/leis",
+        "org,example)/",
+        "org,example,a,sub)/x?q=1",
+    ]
+
+
+def test_cdxj_parse_and_latest(spark):
+    from legislation_scraper_spark.sources.cdx import (
+        latest_captures,
+        parse_cdxj,
+    )
+
+    lines = spark.createDataFrame(
+        [
+            ('org,example)/a 20240101000000 {"url": "https://example.org/a",'
+             ' "mime": "text/html", "status": "200", "digest": "sha1:x1",'
+             ' "length": "10", "offset": "0", "filename": "w0.warc.gz"}',),
+            ('org,example)/a 20240301000000 {"url": "https://example.org/a",'
+             ' "mime": "text/html", "status": "200", "digest": "sha1:x2",'
+             ' "length": "11", "offset": "5", "filename": "w1.warc.gz"}',),
+            ('org,example)/b 20240201000000 {"url": "https://example.org/b",'
+             ' "mime": "text/html", "status": "404", "digest": "sha1:y",'
+             ' "length": "9", "offset": "7", "filename": "w0.warc.gz"}',),
+            ("org,example)/c 20240401000000 {broken",),
+        ],
+        "line string",
+    )
+    parsed = parse_cdxj(lines)
+    rows = {(r["urlkey"], str(r["ts"])): r for r in parsed.collect()}
+    assert len(rows) == 4
+    assert rows[("org,example)/c", "2024-04-01 00:00:00")]["url"] is None
+    assert rows[("org,example)/a", "2024-03-01 00:00:00")]["digest"] == "sha1:x2"
+    assert rows[("org,example)/b", "2024-02-01 00:00:00")]["status"] == 404
+
+    latest = {r["urlkey"]: r for r in latest_captures(parsed).collect()}
+    # only the 200-status urlkey survives; newest capture wins
+    assert set(latest) == {"org,example)/a"}
+    assert latest["org,example)/a"]["digest"] == "sha1:x2"
+    assert latest["org,example)/a"]["offset"] == 5
