@@ -257,3 +257,42 @@ def test_cdxj_parse_and_latest(spark):
     assert set(latest) == {"org,example)/a"}
     assert latest["org,example)/a"]["digest"] == "sha1:x2"
     assert latest["org,example)/a"]["offset"] == 5
+
+
+def test_surt_key_matches_python_twin_on_adversarial_urls(spark):
+    """Column-expression SURT vs an independent straight-line Python
+    twin over adversarial URL shapes (ports, queries, fragments,
+    uppercase schemes, www variants, deep subdomains, trailing
+    slashes)."""
+    import re as _re
+
+    def surt_py(url: str) -> str:
+        u = url.lower()
+        u = _re.sub(r"^[a-z][a-z0-9+.-]*://", "", u)
+        u = _re.sub(r"^www\d*\.", "", u)
+        host, sep, rest = u.partition("/")
+        path = sep + rest
+        rev = ",".join(reversed(host.split(".")))
+        return rev + ")" + (path if path else "/")
+
+    urls = [
+        "https://example.org",
+        "https://example.org/",
+        "HTTPS://EXAMPLE.ORG/A/B?C=1#frag",
+        "http://www.example.org/x",
+        "http://www2.example.org/x",
+        "http://wwwx.example.org/x",       # not a www prefix
+        "https://a.b.c.d.example.co.uk/deep/path/",
+        "ftp://files.example.org/pub",
+        "https://example.org:8443/port/kept",
+        "https://example.org/a//b///c",
+        "https://xn--caf-dma.example/menu",
+        "https://example.org/%2Fencoded?x=%20y",
+    ]
+    from legislation_scraper_spark.sources.cdx import surt_key
+
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [
+        r["k"] for r in df.select(surt_key(F.col("url")).alias("k")).collect()
+    ]
+    assert got == [surt_py(u) for u in urls]
