@@ -784,7 +784,76 @@ def _duck_quality_sql() -> str:
     """
 
 
+# SQL twin of the synthesized capture-history world (change-rate ops)
+_CAPS_SQL = """
+    WITH caps AS (SELECT UNNEST(generate_series(0, 5)) AS cap),
+    rec AS (
+      SELECT 'br,leg,' || source || ')/norma/'
+               || CAST(doc_id AS VARCHAR) AS urlkey,
+             1704067200 + (doc_id % 1000) * 97
+               + cap * ((doc_id % 5 + 1) * 86400) AS epoch,
+             md5('br,leg,' || source || ')/norma/'
+               || CAST(doc_id AS VARCHAR) || '#'
+               || CAST(CASE WHEN cap = 0 THEN 0
+                       ELSE len(list_filter(generate_series(1, cap),
+                                j -> (doc_id * 31 + j) % 3 = 0))
+                       END AS VARCHAR)) AS digest
+      FROM documents, caps),
+    h AS (
+      SELECT urlkey, epoch, digest,
+             lag(digest) OVER (
+               PARTITION BY urlkey ORDER BY epoch, digest) AS pd
+      FROM rec),
+    a AS (
+      SELECT urlkey, CAST(COUNT(*) AS BIGINT) AS n_captures,
+             CAST(SUM(CASE WHEN pd IS NOT NULL AND digest <> pd
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+             CAST(MAX(epoch) - MIN(epoch) AS BIGINT) AS span_secs
+      FROM h GROUP BY urlkey),
+    rates AS (
+      SELECT urlkey, n_captures, n_changes, span_secs,
+             ROUND(-ln((n_captures - 1 - n_changes + 0.5)
+                       / (n_captures - 1 + 0.5))
+                   / (span_secs / (n_captures - 1.0) / 86400.0), 6)
+               AS lambda_per_day,
+             ROUND(1 - exp(ln((n_captures - 1 - n_changes + 0.5)
+                              / (n_captures - 1 + 0.5))
+                           / (span_secs / (n_captures - 1.0) / 86400.0)
+                           * 7.0), 6) AS staleness
+      FROM a WHERE n_captures >= 2 AND span_secs > 0)
+"""
+
+
 _ORACLE_B2: dict[str, str] = {
+    "change_rates": _CAPS_SQL
+    + """
+        SELECT urlkey, n_captures, n_changes, span_secs,
+               lambda_per_day, staleness
+        FROM rates
+    """,
+    "revisit_topk": _CAPS_SQL
+    + """
+        SELECT urlkey, staleness, lambda_per_day
+        FROM rates
+        ORDER BY staleness DESC, urlkey
+        LIMIT 50
+    """,
+    "anchor_topk": """
+        WITH e AS (
+          SELECT 'h' || CAST((doc_id * 7 + 3) % 31 AS VARCHAR) AS dst,
+                 'leia a norma ' || CAST((doc_id * 3) % 7 AS VARCHAR)
+                   AS anchor
+          FROM documents),
+        c AS (SELECT dst, anchor, CAST(COUNT(*) AS BIGINT) AS n_links
+              FROM e GROUP BY dst, anchor)
+        SELECT dst, anchor, n_links, rnk FROM (
+          SELECT dst, anchor, n_links,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY dst
+                   ORDER BY n_links DESC, anchor) AS INT) AS rnk
+          FROM c)
+        WHERE rnk <= 3
+    """,
     "cdx_parse": _CDX_SQL
     + """
         SELECT urlkey, ts,
@@ -1839,6 +1908,80 @@ def q_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
+def _capture_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 6-capture history per urlkey from `documents`:
+    capture i occurs at base + i*interval (interval 1..5 days by doc);
+    the digest bumps its version at capture i iff (doc_id*31+i)%3==0,
+    so change counts X span 0..5 across the corpus."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    urlkey = F.concat(
+        F.lit("br,leg,"), F.col("source"), F.lit(")/norma/"),
+        did.cast("string"),
+    )
+    caps = d.select(
+        "doc_id", "source",
+        F.explode(F.sequence(F.lit(0), F.lit(5))).alias("cap"),
+    )
+    epoch = (
+        F.lit(1704067200)
+        + (did % 1000) * 97
+        + F.col("cap") * ((did % 5 + 1) * 86400)
+    )
+    version = F.when(F.col("cap") == 0, F.lit(0)).otherwise(
+        F.expr("size(filter(sequence(1, cap), j -> (doc_id*31 + j) % 3 = 0))")
+    )
+    return caps.select(
+        urlkey.alias("urlkey"),
+        F.timestamp_seconds(epoch).alias("ts"),
+        F.md5(
+            F.concat(urlkey, F.lit("#"), version.cast("string"))
+        ).alias("digest"),
+    )
+
+
+def q_change_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson change-rate estimation per urlkey from capture history
+    (operators/revisit.change_rates — Cho & Garcia-Molina estimator,
+    one groupBy shuffle, in-row adjacent-change fold)."""
+    from legislation_scraper_spark.operators.revisit import change_rates
+
+    return change_rates(_capture_history(spark, sf_dir))
+
+
+def q_revisit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl fetch list: top-50 stalest urlkeys by the
+    7-day staleness probability (operators/revisit.revisit_priorities —
+    TakeOrderedAndProject, deterministic urlkey tie-break)."""
+    from legislation_scraper_spark.operators.revisit import (
+        change_rates,
+        revisit_priorities,
+    )
+
+    return revisit_priorities(
+        change_rates(_capture_history(spark, sf_dir)), budget=50
+    )
+
+
+def q_anchor_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 anchor texts per link target (operators/graph.anchor_texts
+    — partial-agg count + WindowGroupLimit rank)."""
+    from legislation_scraper_spark.operators.graph import anchor_texts
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    e = d.select(
+        F.concat(F.lit("h"), (did % 31).cast("string")).alias("src"),
+        F.concat(F.lit("h"), ((did * 7 + 3) % 31).cast("string")).alias(
+            "dst"
+        ),
+        F.concat(
+            F.lit("leia a norma "), ((did * 3) % 7).cast("string")
+        ).alias("anchor"),
+    )
+    return anchor_texts(e, k=3)
+
+
 def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC source (sources/warc.py): frame each document as a
     Content-Length-delimited WARC response record, concatenate per
@@ -2103,6 +2246,9 @@ _Q_B2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdx_parse": q_cdx_parse,
     "cdx_latest": q_cdx_latest,
     "unigram_logprob": q_unigram_logprob,
+    "change_rates": q_change_rates,
+    "revisit_topk": q_revisit_topk,
+    "anchor_topk": q_anchor_topk,
     "datatables_pages": q_datatables_pages,
     "warc_roundtrip": q_warc_roundtrip,
     "sitemap_parse": q_sitemap_parse,

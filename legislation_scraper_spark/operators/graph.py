@@ -21,6 +21,10 @@ Scale notes:
 - Float determinism: double sums are order-dependent across engines, so
   query-level parity rounds to 6dp (same convention as every other
   floating aggregate in __spark_entry__).
+- ``anchor_texts`` is the web-corpus anchor-harvest: two
+  partial-aggregatable shuffles and a map-side-limited window — the
+  per-target top-k never materializes a popular page's full anchor set
+  on one task (WindowGroupLimit pushes ``rank <= k`` below the sort).
 """
 
 from __future__ import annotations
@@ -47,6 +51,45 @@ def degrees(
             F.coalesce("out_deg", F.lit(0)).cast("bigint").alias("out_deg"),
             F.coalesce("in_deg", F.lit(0)).cast("bigint").alias("in_deg"),
         )
+    )
+
+
+def anchor_texts(
+    edges: DataFrame,
+    k: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    anchor: str = "anchor",
+) -> DataFrame:
+    """Top-``k`` anchor texts per link target — the classic web-corpus
+    enrichment signal (anchor text describes the TARGET page; search
+    engines and LLM-corpus builders attach it as page metadata).
+
+    Input: one row per extracted link (src, dst, anchor).  Output: one
+    row per surviving (dst, anchor) with (dst, anchor, n_links, rnk),
+    ``rnk`` 1..k ordered by (count desc, anchor asc) — fully
+    deterministic tie-break.
+
+    Plan shape: count per (dst, anchor) is a partial-aggregatable
+    hash agg (map-side combine absorbs the duplicate-anchor mass that
+    dominates real link graphs — most links to a page carry its title);
+    the per-dst top-k is a rank window that Spark ≥3.5 executes as
+    WindowGroupLimit (per-partition partial top-k BEFORE the shuffle),
+    so a page with 10^7 distinct anchors never collects them on one
+    task.  Same discipline as operators/politeness.py's budget rank.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        edges.groupBy(F.col(dst).alias("dst"), F.col(anchor).alias("anchor"))
+        .agg(F.count("*").alias("n_links"))
+    )
+    w = Window.partitionBy("dst").orderBy(
+        F.col("n_links").desc(), F.col("anchor")
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
     )
 
 
