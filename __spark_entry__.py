@@ -838,6 +838,70 @@ _ORACLE_B2: dict[str, str] = {
         ORDER BY staleness DESC, urlkey
         LIMIT 50
     """,
+    "url_canon_params": """
+        WITH u AS (
+          SELECT doc_id,
+            'https://www.' || source || '.leg.br/norma/'
+              || CAST(doc_id AS VARCHAR)
+              || CASE doc_id % 4
+                   WHEN 0 THEN '?utm_source=news&b=2&a=1'
+                   WHEN 1 THEN '?gclid=' || CAST(doc_id AS VARCHAR)
+                   WHEN 2 THEN '?b=' || CAST(doc_id AS VARCHAR)
+                               || '&a=1&fbclid=z'
+                   ELSE '' END AS url
+          FROM documents),
+        p AS (
+          SELECT doc_id, url,
+                 regexp_extract(url, '^([^?]*)', 1) AS head
+          FROM u),
+        k AS (
+          SELECT doc_id, url, head,
+            list_sort(list_filter(
+              string_split(substring(url, length(head) + 2), '&'),
+              x -> x <> '' AND NOT regexp_matches(x,
+                '^(utm_[^=]*|gclid|fbclid|msclkid|dclid|mc_cid|mc_eid|'
+                || 'igshid|_ga|yclid|ref|ref_src|spm|s_kwcid)(=|$)')))
+              AS kept
+          FROM p)
+        SELECT doc_id, url,
+               CASE WHEN length(url) = length(head) THEN url
+                    WHEN len(kept) = 0 THEN head
+                    ELSE head || '?' || array_to_string(kept, '&')
+               END AS canon_url
+        FROM k
+    """,
+    "boilerplate_strip": r"""
+        WITH h AS (
+          SELECT doc_id,
+            '<div class="nav"><a href="/">Portal da Legislacao'
+            || ' Brasileira</a> <a href="/n">Normas em vigor</a></div><p>'
+            || text || ' <a href="/v">veja tambem</a></p><div>curto</div>'
+            || '<footer><a href="/p">Politica de privacidade</a>'
+            || ' <a href="/t">Termos de uso do portal</a> reservados'
+            || '</footer>' AS html
+          FROM documents),
+        s AS (
+          SELECT doc_id,
+            list_filter(
+              list_transform(
+                regexp_split_to_array(html,
+                  '</?(?:div|p|section|article|nav|footer|header|table|'
+                  || 'tr|td|ul|ol|li|h[1-6]|br)[^>]*>'),
+                x -> {'t': trim(regexp_replace(regexp_replace(x,
+                            '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')),
+                      'l': coalesce(list_sum(list_transform(
+                            regexp_extract_all(x,
+                              '<a[^>]*>([^<]*)</a>', 1),
+                            y -> length(y))), 0)}),
+              b -> length(b.t) >= 30
+                   AND CAST(b.l AS DOUBLE) <= 0.5 * length(b.t)) AS kept
+          FROM h)
+        SELECT doc_id,
+               array_to_string(list_transform(kept, b -> b.t), ' ')
+                 AS main_text,
+               CAST(len(kept) AS BIGINT) AS kept_blocks
+        FROM s
+    """,
     "anchor_topk": """
         WITH e AS (
           SELECT 'h' || CAST((doc_id * 7 + 3) % 31 AS VARCHAR) AS dst,
@@ -1982,6 +2046,62 @@ def q_anchor_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anchor_texts(e, k=3)
 
 
+def q_url_canon_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-param canonicalization (functions/urls.normalize_query):
+    tracking params stripped, survivors sorted, '?' dropped when none
+    survive — four URL shapes per doc_id cover all branches."""
+    from legislation_scraper_spark.functions.urls import normalize_query
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    base = F.concat(
+        F.lit("https://www."), F.col("source"), F.lit(".leg.br/norma/"),
+        did.cast("string"),
+    )
+    url = F.concat(
+        base,
+        F.when(did % 4 == 0, F.lit("?utm_source=news&b=2&a=1"))
+        .when(did % 4 == 1, F.concat(F.lit("?gclid="), did.cast("string")))
+        .when(
+            did % 4 == 2,
+            F.concat(F.lit("?b="), did.cast("string"), F.lit("&a=1&fbclid=z")),
+        )
+        .otherwise(F.lit("")),
+    )
+    return d.select(
+        "doc_id",
+        url.alias("url"),
+        normalize_query(url).alias("canon_url"),
+    )
+
+
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-density boilerplate removal (operators/boilerplate.
+    strip_boilerplate): link-dense nav/footer blocks and short blocks
+    drop; prose (with inline links under the density cap) survives."""
+    from legislation_scraper_spark.operators.boilerplate import (
+        strip_boilerplate,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(
+            '<div class="nav"><a href="/">Portal da Legislacao'
+            ' Brasileira</a> <a href="/n">Normas em vigor</a></div><p>'
+        ),
+        F.col("text"),
+        F.lit(' <a href="/v">veja tambem</a></p><div>curto</div>'),
+        F.lit(
+            '<footer><a href="/p">Politica de privacidade</a>'
+            ' <a href="/t">Termos de uso do portal</a> reservados'
+            "</footer>"
+        ),
+    )
+    return strip_boilerplate(
+        d.select("doc_id", html.alias("html"))
+    ).select("doc_id", "main_text", "kept_blocks")
+
+
 def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC source (sources/warc.py): frame each document as a
     Content-Length-delimited WARC response record, concatenate per
@@ -2249,6 +2369,8 @@ _Q_B2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "change_rates": q_change_rates,
     "revisit_topk": q_revisit_topk,
     "anchor_topk": q_anchor_topk,
+    "url_canon_params": q_url_canon_params,
+    "boilerplate_strip": q_boilerplate_strip,
     "datatables_pages": q_datatables_pages,
     "warc_roundtrip": q_warc_roundtrip,
     "sitemap_parse": q_sitemap_parse,

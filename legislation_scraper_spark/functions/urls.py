@@ -40,6 +40,44 @@ def canonicalize_url(url: Column) -> Column:
     return u
 
 
+#: query params that never change page identity (analytics/click IDs);
+#: stripping them is the single highest-yield URL-dedup normalization
+#: on real web crawls (the same URL arrives once per ad campaign
+#: otherwise).  Matched against the full ``name=`` prefix.
+TRACKING_PARAM_RE = (
+    r"^(utm_[^=]*|gclid|fbclid|msclkid|dclid|mc_cid|mc_eid|igshid|"
+    r"_ga|yclid|ref|ref_src|spm|s_kwcid)(=|$)"
+)
+
+
+def normalize_query(url: Column) -> Column:
+    """Query-string normalization as a pure codegen chain: drop
+    tracking params (``TRACKING_PARAM_RE``), sort the survivors so
+    param order never splits the seen-set key, rebuild ``?a=1&b=2`` (or
+    nothing when no params survive).  Fragments must already be gone
+    (``canonicalize_url`` drops them first).
+
+    In-row only — ``split``/``filter``/``array_sort``/``array_join``
+    higher-order expressions, no shuffle, no Python.
+    """
+    head = F.regexp_extract(url, r"^([^?]*)", 1)
+    qs = F.substring(url, F.length(head) + F.lit(2), F.lit(2_000_000))
+    kept = F.array_sort(
+        F.filter(
+            F.split(qs, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    return F.when(F.length(url) == F.length(head), url).otherwise(
+        F.concat(
+            head,
+            F.when(F.size(kept) == 0, F.lit("")).otherwise(
+                F.concat(F.lit("?"), F.array_join(kept, "&"))
+            ),
+        )
+    )
+
+
 def url_host(url: Column) -> Column:
     """Host (politeness partition key), lowercased, port stripped."""
     return F.lower(F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1))
