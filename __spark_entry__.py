@@ -838,6 +838,26 @@ _ORACLE_B2: dict[str, str] = {
         ORDER BY staleness DESC, urlkey
         LIMIT 50
     """,
+    "robots_delays": """
+        WITH c AS (
+          SELECT source AS host, COUNT(*) % 3 AS m
+          FROM documents GROUP BY source)
+        SELECT host,
+               CAST(CASE WHEN m = 2 THEN 10000 ELSE 2500 END AS BIGINT)
+                 AS crawl_delay_ms
+        FROM c WHERE m <> 0
+    """,
+    "robots_sitemaps": """
+        WITH c AS (
+          SELECT source AS host, COUNT(*) % 2 AS m
+          FROM documents GROUP BY source)
+        SELECT host, 'https://' || host || '.leg.br/sitemap.xml'
+                 AS sitemap_url
+        FROM c
+        UNION ALL
+        SELECT host, 'https://' || host || '.leg.br/sitemap-news.xml'
+        FROM c WHERE m = 1
+    """,
     "url_canon_params": """
         WITH u AS (
           SELECT doc_id,
@@ -2214,6 +2234,67 @@ def q_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_robots(body)
 
 
+def q_robots_delays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-delay budgets from robots.txt text (sources/sitemap.
+    crawl_delays): exact-agent group beats '*', fractional seconds,
+    non-numeric values dropped, hosts without a delay line absent."""
+    from legislation_scraper_spark.sources.sitemap import (
+        crawl_delays,
+        parse_robots,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    m = (
+        d.groupBy("source")
+        .agg((F.count("*") % 3).alias("m"))
+        .select(
+            F.col("source").alias("host"),
+            F.concat(
+                F.lit("User-agent: *\nDisallow: /x\n"),
+                F.when(
+                    F.col("m") != 0, F.lit("Crawl-delay: 2.5\n")
+                ).otherwise(F.lit("")),
+                F.lit("\nUser-agent: legisbot\nDisallow: /y\n"),
+                F.when(
+                    F.col("m") == 2, F.lit("Crawl-delay: 10\n")
+                ).otherwise(F.lit("Crawl-delay: soon\n")),
+            ).alias("body"),
+        )
+    )
+    rules = parse_robots(m, directives=None)
+    return crawl_delays(rules, agent="legisbot")
+
+
+def q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap discovery from robots.txt (sources/sitemap.
+    sitemap_locs): group-independent directives, comment stripping,
+    URL keeps its scheme ':'."""
+    from legislation_scraper_spark.sources.sitemap import sitemap_locs
+
+    d = _t(spark, sf_dir, "documents")
+    m = (
+        d.groupBy("source")
+        .agg((F.count("*") % 2).alias("m"))
+        .select(
+            F.col("source").alias("host"),
+            F.concat(
+                F.lit("User-agent: *\nDisallow: /x\n"
+                      "Sitemap: https://"),
+                F.col("source"),
+                F.lit(".leg.br/sitemap.xml  # primary\n"),
+                F.when(
+                    F.col("m") == 1,
+                    F.concat(
+                        F.lit("sitemap: https://"), F.col("source"),
+                        F.lit(".leg.br/sitemap-news.xml\n"),
+                    ),
+                ).otherwise(F.lit("# sitemap: commented out\n")),
+            ).alias("body"),
+        )
+    )
+    return sitemap_locs(m)
+
+
 def _cdx_lines(spark: SparkSession, sf_dir: str, captures: int = 2):
     """Synthesize CDXJ index lines from `documents` (2 captures per
     doc; ~1/13 non-200; ~1/17 malformed JSON)."""
@@ -2371,6 +2452,8 @@ _Q_B2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anchor_topk": q_anchor_topk,
     "url_canon_params": q_url_canon_params,
     "boilerplate_strip": q_boilerplate_strip,
+    "robots_delays": q_robots_delays,
+    "robots_sitemaps": q_robots_sitemaps,
     "datatables_pages": q_datatables_pages,
     "warc_roundtrip": q_warc_roundtrip,
     "sitemap_parse": q_sitemap_parse,

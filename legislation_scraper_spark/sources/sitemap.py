@@ -48,7 +48,9 @@ def parse_sitemap_index(xml: Column) -> Column:
 
 
 def parse_robots(df: DataFrame, host_col: str = "host",
-                 body_col: str = "body") -> DataFrame:
+                 body_col: str = "body",
+                 directives: tuple[str, ...] | None = (
+                     "allow", "disallow")) -> DataFrame:
     """robots.txt text → (host, agent, directive, path) rule rows.
 
     Line-based split + regexp column algebra (RFC 9309 §2.1 syntax:
@@ -56,6 +58,11 @@ def parse_robots(df: DataFrame, host_col: str = "host",
     most recent ``User-agent`` run).  The group association is an
     in-row fold over the line array — zero shuffle, same discipline as
     curation.repetition_scores.
+
+    ``directives`` filters the emitted rows (default: the path rules).
+    Pass ``None`` for everything the fold captures, including
+    group-scoped ``crawl-delay`` lines (value carried in ``path``;
+    feed those to ``crawl_delays`` for the politeness budget).
     """
     lines = F.split(F.col(body_col), "\n")
     # fold: (current agents array, emitted rules array); a Disallow/
@@ -80,7 +87,9 @@ def parse_robots(df: DataFrame, host_col: str = "host",
         value = F.trim(F.regexp_replace(line, r"^[^:]*:", ""))
         is_ua = has_colon & (field == F.lit("user-agent"))
         is_rule = (
-            has_colon & field.isin("allow", "disallow") & (value != "")
+            has_colon
+            & field.isin("allow", "disallow", "crawl-delay")
+            & (value != "")
         )
         new_agents = (
             F.when(is_ua & acc["ua_run"], F.array_union(
@@ -109,9 +118,67 @@ def parse_robots(df: DataFrame, host_col: str = "host",
         )
 
     rules = F.aggregate(lines, init, step, lambda acc: acc["rules"])
-    return (
+    out = (
         df.select(F.col(host_col).alias("host"), F.explode(rules).alias("r"))
         .select("host", "r.agent", "r.directive", "r.path")
+    )
+    if directives is not None:
+        out = out.filter(F.col("directive").isin(*directives))
+    return out
+
+
+def crawl_delays(rules: DataFrame, agent: str = "*") -> DataFrame:
+    """Per-host crawl-delay budget from parsed robots rules (rows with
+    ``directive = 'crawl-delay'``, i.e. ``parse_robots(...,
+    directives=None)`` output): exact-agent group beats the ``*``
+    group; several applicable lines keep the LARGEST delay (the polite
+    reading); non-numeric values are ignored (``try_cast``).  Returns
+    (host, crawl_delay_ms) — hosts with no delay line are absent
+    (callers fall back to their default budget).  One
+    partial-aggregatable groupBy, min-struct pick — no window."""
+    d = rules.filter(
+        (F.col("directive") == "crawl-delay")
+        & F.col("agent").isin(agent.lower(), "*")
+    ).withColumn("delay_ms", F.expr("try_cast(path as double) * 1000"))
+    d = d.filter(F.col("delay_ms").isNotNull())
+    best = F.min(
+        F.struct(
+            F.when(F.col("agent") == agent.lower(), F.lit(0))
+            .otherwise(F.lit(1))
+            .alias("p"),
+            (-F.col("delay_ms")).alias("nd"),
+        )
+    )
+    return (
+        d.groupBy("host")
+        .agg(best.alias("b"))
+        .select(
+            "host", (-F.col("b.nd")).cast("bigint").alias("crawl_delay_ms")
+        )
+    )
+
+
+def sitemap_locs(df: DataFrame, host_col: str = "host",
+                 body_col: str = "body") -> DataFrame:
+    """``Sitemap:`` directives from robots.txt bodies → one (host,
+    sitemap_url) row each.  Per RFC 9309 §2.2.4 / sitemaps.org these
+    are group-INDEPENDENT, so no fold is needed — a line-wise
+    transform+filter (the value keeps its own ``:`` from the URL
+    scheme; only the first field separator splits)."""
+    no_comment = lambda l: F.regexp_replace(l, "#.*$", "")  # noqa: E731
+    vals = F.transform(
+        F.split(F.col(body_col), "\n"),
+        lambda l: F.when(
+            F.lower(F.trim(F.substring_index(no_comment(l), ":", 1)))
+            == "sitemap",
+            F.trim(F.regexp_replace(no_comment(l), r"^[^:]*:", "")),
+        ),
+    )
+    return df.select(
+        F.col(host_col).alias("host"),
+        F.explode(
+            F.filter(vals, lambda v: v.isNotNull() & (v != ""))
+        ).alias("sitemap_url"),
     )
 
 

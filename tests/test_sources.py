@@ -296,3 +296,56 @@ def test_surt_key_matches_python_twin_on_adversarial_urls(spark):
         r["k"] for r in df.select(surt_key(F.col("url")).alias("k")).collect()
     ]
     assert got == [surt_py(u) for u in urls]
+
+
+def test_crawl_delays_precedence_and_parsing(spark):
+    body = (
+        "User-agent: *\nCrawl-delay: 2.5\nDisallow: /x\n\n"
+        "User-agent: legisbot\nDisallow: /y\nCrawl-delay: 10\n"
+        "Crawl-delay: 4\n"
+    )
+    from legislation_scraper_spark.sources.sitemap import (
+        crawl_delays,
+        parse_robots,
+    )
+
+    df = spark.createDataFrame(
+        [("h1", body),
+         ("h2", "User-agent: *\nCrawl-delay: 1\n"),
+         ("h3", "User-agent: *\nCrawl-delay: fast\n"),   # non-numeric
+         ("h4", "User-agent: *\nDisallow: /\n")],         # no delay line
+        "host string, body string",
+    )
+    rules = parse_robots(df, directives=None)
+    # default parse_robots output excludes crawl-delay rows (contract
+    # unchanged for existing callers)
+    assert all(
+        r["directive"] in ("allow", "disallow")
+        for r in parse_robots(df).collect()
+    )
+    got = {
+        r["host"]: r["crawl_delay_ms"]
+        for r in crawl_delays(rules, agent="legisbot").collect()
+    }
+    # exact agent group (max of its two lines) beats '*'; h3/h4 absent
+    assert got == {"h1": 10000, "h2": 1000}
+    got_star = {
+        r["host"]: r["crawl_delay_ms"]
+        for r in crawl_delays(rules, agent="otherbot").collect()
+    }
+    assert got_star == {"h1": 2500, "h2": 1000}
+
+
+def test_sitemap_locs_comment_and_scheme(spark):
+    from legislation_scraper_spark.sources.sitemap import sitemap_locs
+
+    body = (
+        "User-agent: *\nDisallow: /x\n"
+        "Sitemap: https://h1.org/a.xml  # primary\n"
+        "sitemap: https://h1.org/b.xml\n"
+        "# Sitemap: https://h1.org/commented.xml\n"
+        "Sitemap:\n"  # empty value ignored
+    )
+    df = spark.createDataFrame([("h1", body)], "host string, body string")
+    got = sorted(r["sitemap_url"] for r in sitemap_locs(df).collect())
+    assert got == ["https://h1.org/a.xml", "https://h1.org/b.xml"]
