@@ -838,6 +838,32 @@ _ORACLE_B2: dict[str, str] = {
         ORDER BY staleness DESC, urlkey
         LIMIT 50
     """,
+    "registered_domains": """
+        WITH h AS (
+          SELECT doc_id,
+            CASE doc_id % 4
+              WHEN 0 THEN source || '.leg.br'
+              WHEN 1 THEN 'www.' || source || '.gov.br'
+              WHEN 2 THEN 'a.b.' || source || '.com'
+              ELSE source || '.br' END AS host
+          FROM documents),
+        x AS (
+          SELECT doc_id, host, string_split(host, '.') AS l,
+                 len(string_split(host, '.')) AS n,
+                 CASE WHEN array_to_string(string_split(host, '.')[-2:],
+                        '.') IN ('com.br','gov.br','leg.br','jus.br',
+                                 'mp.br','org.br','net.br','edu.br',
+                                 'co.uk','org.uk','gov.uk','ac.uk',
+                                 'com.au','gov.au','org.au','co.jp',
+                                 'or.jp','go.jp')
+                      THEN 3 ELSE 2 END AS need
+          FROM h)
+        SELECT doc_id, host,
+               CASE WHEN n <= need THEN host
+                    ELSE array_to_string(l[(n - need + 1):n], '.') END
+                 AS domain
+        FROM x
+    """,
     "robots_delays": """
         WITH c AS (
           SELECT source AS host, COUNT(*) % 3 AS m
@@ -2122,6 +2148,33 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "main_text", "kept_blocks")
 
 
+def q_registered_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pay-level-domain extraction (functions/urls.registered_domain):
+    PSL-subset tail match, one-label-past-suffix, host-at-depth
+    identity — four host shapes per doc cover the branches."""
+    from legislation_scraper_spark.functions.urls import registered_domain
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    host = (
+        F.when(did % 4 == 0, F.concat(F.col("source"), F.lit(".leg.br")))
+        .when(
+            did % 4 == 1,
+            F.concat(F.lit("www."), F.col("source"), F.lit(".gov.br")),
+        )
+        .when(
+            did % 4 == 2,
+            F.concat(F.lit("a.b."), F.col("source"), F.lit(".com")),
+        )
+        .otherwise(F.concat(F.col("source"), F.lit(".br")))
+    )
+    return d.select(
+        "doc_id",
+        host.alias("host"),
+        registered_domain(host).alias("domain"),
+    )
+
+
 def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC source (sources/warc.py): frame each document as a
     Content-Length-delimited WARC response record, concatenate per
@@ -2454,6 +2507,7 @@ _Q_B2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_strip": q_boilerplate_strip,
     "robots_delays": q_robots_delays,
     "robots_sitemaps": q_robots_sitemaps,
+    "registered_domains": q_registered_domains,
     "datatables_pages": q_datatables_pages,
     "warc_roundtrip": q_warc_roundtrip,
     "sitemap_parse": q_sitemap_parse,

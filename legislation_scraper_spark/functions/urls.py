@@ -83,6 +83,42 @@ def url_host(url: Column) -> Column:
     return F.lower(F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1))
 
 
+#: embedded two-label public-suffix subset (publicsuffix.org shape;
+#: the full PSL is a data file this container doesn't carry — the
+#: subset covers the crawl's jurisdictions and the operator takes the
+#: list as a parameter so a deployment ships the real PSL).  Brazilian
+#: government/legislative registries are the load-bearing entries:
+#: every *.leg.br house is a DIFFERENT registrant, so politeness
+#: grouped by naive domain would fuse them.
+PUBLIC_SUFFIXES_2 = (
+    "com.br", "gov.br", "leg.br", "jus.br", "mp.br", "org.br",
+    "net.br", "edu.br", "co.uk", "org.uk", "gov.uk", "ac.uk",
+    "com.au", "gov.au", "org.au", "co.jp", "or.jp", "go.jp",
+)
+
+
+def registered_domain(
+    host: Column, suffixes2: tuple[str, ...] = PUBLIC_SUFFIXES_2
+) -> Column:
+    """Pay-level (registered) domain of a hostname — the politeness /
+    rate-limit grouping key: one label more than the longest matching
+    public suffix.  ``portal.camara.leg.br`` → ``camara.leg.br``;
+    ``www.planalto.gov.br`` → ``planalto.gov.br``; ``a.b.c.com`` →
+    ``c.com``.  A host at or below suffix depth returns itself.
+
+    Pure codegen: label split, tail-slice membership against the
+    literal suffix set, conditional re-join — no UDF, no lookup join
+    (the suffix set is a compile-time literal, not a broadcast)."""
+    h = F.lower(host)
+    ls = F.split(h, r"\.")
+    n = F.size(ls)
+    last2 = F.array_join(F.slice(ls, -2, 2), ".")
+    need = F.when(last2.isin(*suffixes2), F.lit(3)).otherwise(F.lit(2))
+    return F.when(n <= need, h).otherwise(
+        F.array_join(F.slice(ls, -need, need), ".")
+    )
+
+
 def url_hash(url: Column) -> Column:
     """64-bit seen-set key over the canonical URL."""
     return F.xxhash64(canonicalize_url(url))

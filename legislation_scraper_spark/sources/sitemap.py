@@ -255,3 +255,47 @@ def robots_allows(
     return candidates.join(verdict, [host_col, url_col], "left").fillna(
         True, subset=["allowed"]
     )
+
+
+def robots_policy_table(
+    bodies: DataFrame,
+    agent: str = "*",
+    default_delay_ms: int = 1000,
+    max_parallel: int = 4,
+    host_col: str = "host",
+    body_col: str = "body",
+) -> DataFrame:
+    """Raw robots.txt bodies → the crawl engine's policy table
+    ``(host, allow, crawl_delay_ms, max_parallel)`` (the schema
+    ``plans/crawl.CrawlEngine`` consumes — synth.py:462 shapes the
+    same table directly for tests).
+
+    ``allow`` is the root-path verdict for ``agent`` (a host whose
+    robots disallows ``/`` is skipped wholesale — the engine's
+    per-host gate; finer per-URL rules stay available via
+    ``robots_allows`` downstream).  ``crawl_delay_ms`` falls back to
+    ``default_delay_ms`` when no numeric Crawl-delay line applies;
+    ``max_parallel`` is an engine config knob (robots.txt has no such
+    field), broadcast as a literal."""
+    rules = parse_robots(
+        bodies, host_col=host_col, body_col=body_col, directives=None
+    )
+    hosts = bodies.select(F.col(host_col).alias("host")).distinct()
+    root = hosts.withColumn("path", F.lit("/"))
+    verdict = robots_allows(
+        root,
+        rules.filter(F.col("directive").isin("allow", "disallow")),
+        agent=agent,
+    ).select("host", "allowed")
+    delays = crawl_delays(rules, agent=agent)
+    return (
+        verdict.join(delays, "host", "left")
+        .select(
+            "host",
+            F.col("allowed").alias("allow"),
+            F.coalesce(
+                F.col("crawl_delay_ms"), F.lit(int(default_delay_ms))
+            ).alias("crawl_delay_ms"),
+            F.lit(int(max_parallel)).alias("max_parallel"),
+        )
+    )

@@ -220,3 +220,58 @@ def test_incremental_cuckoo_filter_state_equivalent(spark, tmp_path):
         inc.compact_filters()
         assert inc.filters_table.read().count() <= 8
         assert unseen(inc) == expect, f"kps={kps} post-compact"
+
+
+def test_registered_domain_psl_subset(spark):
+    from legislation_scraper_spark.functions.urls import registered_domain
+
+    cases = {
+        "portal.camara.leg.br": "camara.leg.br",
+        "www.planalto.gov.br": "planalto.gov.br",
+        "a.b.c.com": "c.com",
+        "x.br": "x.br",          # 'br' alone is a 1-label suffix
+        "leg.br": "leg.br",      # host AT suffix depth returns itself
+        "WWW.Senado.LEG.BR": "senado.leg.br",  # case-folded
+        "localhost": "localhost",
+        "deep.sub.tree.gov.uk": "tree.gov.uk",
+    }
+    df = spark.createDataFrame([(h,) for h in cases], "host string")
+    got = {
+        r["host"]: r["d"]
+        for r in df.select(
+            "host", registered_domain(F.col("host")).alias("d")
+        ).collect()
+    }
+    assert got == cases
+
+
+def test_robots_policy_table_feeds_engine_schema(spark):
+    from legislation_scraper_spark.sources.sitemap import (
+        robots_policy_table,
+    )
+
+    bodies = spark.createDataFrame(
+        [
+            ("open.org", "User-agent: *\nDisallow: /admin\n"),
+            ("slow.org", "User-agent: *\nDisallow: /x\nCrawl-delay: 3\n"),
+            ("closed.org", "User-agent: *\nDisallow: /\n"),
+            ("empty.org", ""),
+        ],
+        "host string, body string",
+    )
+    rows = {
+        r["host"]: r
+        for r in robots_policy_table(
+            bodies, agent="*", default_delay_ms=500, max_parallel=2
+        ).collect()
+    }
+    tbl = robots_policy_table(bodies)
+    assert [f.name for f in tbl.schema.fields] == [
+        "host", "allow", "crawl_delay_ms", "max_parallel"
+    ]
+    assert rows["open.org"]["allow"] is True
+    assert rows["closed.org"]["allow"] is False
+    assert rows["empty.org"]["allow"] is True      # no rules -> allowed
+    assert rows["slow.org"]["crawl_delay_ms"] == 3000
+    assert rows["open.org"]["crawl_delay_ms"] == 500   # default fallback
+    assert all(r["max_parallel"] == 2 for r in rows.values())
