@@ -87,6 +87,11 @@ HEADLINE_EXT = [
     "warc_roundtrip",
     "pack_sequences",
     "datatables_scan",
+    # round-3 additions
+    "unigram_logprob",
+    "cdx_latest",
+    "change_rates",
+    "boilerplate_strip",
 ]
 
 
