@@ -838,6 +838,34 @@ _ORACLE_B2: dict[str, str] = {
         ORDER BY staleness DESC, urlkey
         LIMIT 50
     """,
+    "dataset_split": """
+        SELECT doc_id,
+               CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || '#s0'),
+                         1, 6) < 'fae147' THEN 'train'
+                    WHEN substring(md5(CAST(doc_id AS VARCHAR) || '#s0'),
+                         1, 6) < 'fd70a3' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    """,
+    "mixture_sample": """
+        WITH s AS (
+          SELECT source,
+                 CAST(SUM(octet_length(encode(text))) AS DOUBLE) AS sz
+          FROM documents GROUP BY source),
+        t AS (SELECT SUM(POWER(sz, 0.7)) AS z FROM s),
+        w AS (SELECT source, CAST(sz AS BIGINT) AS size,
+                     ROUND(POWER(sz, 0.7) / z, 6) AS weight
+              FROM s, t),
+        r AS (SELECT source,
+                     LEAST(1.0, 60000.0 * weight / size) AS kr
+              FROM w)
+        SELECT d.doc_id, d.source, ROUND(kr, 6) AS keep_rate
+        FROM documents d JOIN r USING (source)
+        WHERE kr >= 1.0
+           OR substring(md5(CAST(doc_id AS VARCHAR) || '#mix0'), 1, 6)
+              < lpad(lower(to_hex(CAST(floor(kr * 16777216.0)
+                                       AS BIGINT))), 6, '0')
+    """,
     "registered_domains": """
         WITH h AS (
           SELECT doc_id,
@@ -2148,6 +2176,33 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "main_text", "kept_blocks")
 
 
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (operators/curation.
+    hash_split): seeded md5 bucket vs cumulative hex thresholds —
+    content-stable, rebuild-proof splits."""
+    from legislation_scraper_spark.operators.curation import hash_split
+
+    return hash_split(_t(spark, sf_dir, "documents").select("doc_id"))
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-mix-driven deterministic sampling (operators/
+    curation.mixture_sample): per-source keep rate from the alpha=0.7
+    weights under a 60 kB token budget, row keep by seeded md5 draw."""
+    from legislation_scraper_spark.operators.curation import (
+        mixture_sample,
+        mixture_weights,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.octet_length("text").alias("n_tokens")
+    )
+    w = mixture_weights(d, group_col="source", alpha=0.7)
+    return mixture_sample(
+        d.select("doc_id", "source"), w, budget_tokens=60000
+    ).select("doc_id", "source", "keep_rate")
+
+
 def q_registered_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pay-level-domain extraction (functions/urls.registered_domain):
     PSL-subset tail match, one-label-past-suffix, host-at-depth
@@ -2508,6 +2563,8 @@ _Q_B2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "robots_delays": q_robots_delays,
     "robots_sitemaps": q_robots_sitemaps,
     "registered_domains": q_registered_domains,
+    "dataset_split": q_dataset_split,
+    "mixture_sample": q_mixture_sample,
     "datatables_pages": q_datatables_pages,
     "warc_roundtrip": q_warc_roundtrip,
     "sitemap_parse": q_sitemap_parse,

@@ -243,6 +243,98 @@ def mixture_weights(
     )
 
 
+def _md5_frac6(key, seed: str):
+    """First 6 hex chars of md5(key#seed) — a uniform draw over 16^6
+    buckets that is identical in Spark and DuckDB (md5 is the one hash
+    both engines share), compared LEXICOGRAPHICALLY against hex
+    thresholds so no hex→int conversion is needed."""
+    return F.substring(
+        F.md5(F.concat(key.cast("string"), F.lit("#" + seed))), 1, 6
+    )
+
+
+def _hex6(frac: float) -> str:
+    """Hex threshold for a cumulative fraction (lowercase, 6 digits)."""
+    return format(min(int(frac * 16**6), 16**6 - 1), "06x")
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: str = "s0",
+    fractions: tuple[tuple[str, float], ...] = (
+        ("train", 0.98),
+        ("val", 0.01),
+        ("test", 0.01),
+    ),
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content-stable hash.
+
+    The property that matters at pipeline scale: a document's split
+    depends only on (id, seed) — re-running over a regrown corpus
+    never migrates an old document across splits (random splits leak
+    eval data on every rebuild).  Assignment is a seeded md5 bucket
+    against cumulative hex thresholds — pure codegen, no shuffle, no
+    sampling pass.
+    """
+    ch = _md5_frac6(F.col(id_col), seed)
+    cum = 0.0
+    expr = None
+    for name, frac in fractions[:-1]:
+        cum += frac
+        cond = ch < F.lit(_hex6(cum))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = fractions[-1][0]
+    split = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn("split", split)
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: DataFrame,
+    budget_tokens: float,
+    group_col: str = "source",
+    weight_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    seed: str = "mix0",
+) -> DataFrame:
+    """Deterministic sampler that makes ``mixture_weights`` actionable:
+    group g keeps rate_g = min(1, budget·weight_g / size_g) of its rows
+    (so the expected kept token mass follows the temperature mix), each
+    row kept iff its seeded md5 draw falls under the group's hex
+    threshold — reproducible row-level selection, no RNG state.
+
+    ``weights`` is the (group, size, weight, ...) frame from
+    ``mixture_weights`` — its 6dp-ROUNDED weight is used on purpose:
+    both engines derive the threshold from the same rounded inputs, so
+    the discrete keep/drop cutoff cannot flip on last-ulp differences
+    (the repo's floating-aggregate convention).
+
+    Scale: the weights dim is one row per group — broadcast join; the
+    keep decision is in-row codegen.  No shuffle of the corpus.
+    """
+    rate = F.least(
+        F.lit(1.0),
+        F.lit(float(budget_tokens)) * F.col("weight") / F.col("size"),
+    )
+    dim = weights.select(
+        F.col(group_col), rate.alias("keep_rate")
+    )
+    thr = F.lpad(
+        F.lower(F.hex((F.col("keep_rate") * F.lit(float(16**6)))
+                      .cast("bigint"))),
+        6, "0",
+    )
+    return (
+        df.join(F.broadcast(dim), group_col)
+        .filter(
+            (F.col("keep_rate") >= 1.0)
+            | (_md5_frac6(F.col(id_col), seed) < thr)
+        )
+        .withColumn("keep_rate", F.round("keep_rate", 6))
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     seq_len: int,

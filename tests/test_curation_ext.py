@@ -191,3 +191,82 @@ def test_unigram_logprob_scores_orders_quality(spark):
     vocab = 3 + 4
     floor = round(math.log10(1.0 / (total + vocab)), 6)
     assert abs(got[100][1] - floor) < 1e-6
+
+
+def test_hash_split_stable_and_proportional(spark):
+    from legislation_scraper_spark.operators.curation import hash_split
+
+    df = spark.range(0, 20000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in hash_split(df).collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(df).collect()}
+    assert a == b  # deterministic
+    n = len(a)
+    frac = {s: sum(1 for v in a.values() if v == s) / n for s in set(a.values())}
+    assert abs(frac["train"] - 0.98) < 0.01
+    assert abs(frac["val"] - 0.01) < 0.005
+    assert abs(frac["test"] - 0.01) < 0.005
+    # a different seed reshuffles membership but keeps proportions
+    c = {r["doc_id"]: r["split"]
+         for r in hash_split(df, seed="other").collect()}
+    assert c != a
+    # growing the corpus never migrates an existing id (rebuild-proof)
+    grown = spark.range(0, 40000).withColumnRenamed("id", "doc_id")
+    g = {r["doc_id"]: r["split"] for r in hash_split(grown).collect()}
+    assert all(g[k] == v for k, v in a.items())
+
+
+def test_hash_split_no_shuffle(spark):
+    from legislation_scraper_spark.operators.curation import hash_split
+    from tests.test_plans import _explain
+
+    df = spark.range(0, 10).withColumnRenamed("id", "doc_id")
+    assert "Exchange" not in _explain(hash_split(df))
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    from legislation_scraper_spark.operators.curation import (
+        mixture_sample,
+        mixture_weights,
+    )
+
+    rows = [(i, "big", 100) for i in range(3000)] + [
+        (10000 + i, "small", 100) for i in range(300)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, n_tokens int"
+    )
+    w = mixture_weights(df, group_col="source", alpha=0.7)
+    out = mixture_sample(
+        df.select("doc_id", "source"), w, budget_tokens=60000
+    )
+    got = out.collect()
+    assert got == mixture_sample(
+        df.select("doc_id", "source"), w, budget_tokens=60000
+    ).collect()  # deterministic, no RNG state
+    by_src = {}
+    rates = {}
+    for r in got:
+        by_src[r["source"]] = by_src.get(r["source"], 0) + 1
+        rates[r["source"]] = r["keep_rate"]
+    # alpha<1 up-weights the small source: its keep rate must exceed
+    # the big source's
+    assert rates["small"] > rates["big"]
+    assert all(0 < v <= 1 for v in rates.values())
+    # kept counts track rate*n within binomial noise
+    assert abs(by_src["big"] / 3000 - rates["big"]) < 0.05
+    assert abs(by_src["small"] / 300 - rates["small"]) < 0.10
+
+
+def test_mixture_sample_broadcasts_weights(spark):
+    from legislation_scraper_spark.operators.curation import (
+        mixture_sample,
+        mixture_weights,
+    )
+    from tests.test_plans import _explain
+
+    df = spark.createDataFrame(
+        [(1, "a", 10)], "doc_id long, source string, n_tokens int"
+    )
+    w = mixture_weights(df, group_col="source")
+    plan = _explain(mixture_sample(df.select("doc_id", "source"), w, 100))
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
