@@ -1277,6 +1277,29 @@ _ORACLE_B2: dict[str, str] = {
                md5(text) AS payload_md5
         FROM documents
     """,
+    "wet_export": """
+        SELECT source,
+               'http://' || source || '/doc/' || CAST(doc_id AS VARCHAR)
+                 AS target_uri,
+               'conversion' AS record_type,
+               CAST(octet_length(encode(text)) AS BIGINT)
+                 AS content_length,
+               md5(text) AS payload_md5,
+               md5('WARC/1.0' || chr(13) || chr(10)
+                   || 'WARC-Type: conversion' || chr(13) || chr(10)
+                   || 'WARC-Target-URI: http://' || source || '/doc/'
+                   || CAST(doc_id AS VARCHAR) || chr(13) || chr(10)
+                   || 'WARC-Date: 2024-01-01T00:00:00Z'
+                   || chr(13) || chr(10)
+                   || 'Content-Type: text/plain' || chr(13) || chr(10)
+                   || 'Content-Length: '
+                   || CAST(octet_length(encode(text)) AS VARCHAR)
+                   || chr(13) || chr(10) || chr(13) || chr(10)
+                   || text
+                   || chr(13) || chr(10) || chr(13) || chr(10))
+                 AS rec_md5
+        FROM documents
+    """,
     "sitemap_parse": """
         SELECT source,
                'http://' || source || '/doc/' || CAST(doc_id AS VARCHAR)
@@ -2265,6 +2288,45 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("source", "target_uri", "content_length", "payload_md5")
 
 
+def q_wet_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET export (sources/warc.py wet_record): frame each document's
+    text as a Common-Crawl WET ``conversion`` record with a pure-JVM
+    column expression, then prove BOTH directions — ``rec_md5`` hashes
+    the emitted record bytes (header included) against the oracle's
+    independently concatenated string, and the concatenated per-source
+    stream roundtrips through the REAL parser kernel
+    (parse_warc_column), recovering uri / octet length / payload md5."""
+    from legislation_scraper_spark.sources.warc import (
+        parse_warc_column,
+        wet_record,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    uri = F.concat(
+        F.lit("http://"), F.col("source"), F.lit("/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    rec = wet_record(uri, F.col("text"))
+    docs = d.select(
+        "source", uri.alias("target_uri"), rec.alias("rec"),
+        F.md5(rec).alias("rec_md5"),
+    )
+    streams = docs.groupBy("source").agg(
+        F.aggregate(
+            F.collect_list("rec"),
+            F.unhex(F.lit("")),
+            lambda a, x: F.concat(a, x),
+        ).alias("warc")
+    )
+    parsed = parse_warc_column(streams, bytes_col="warc", id_col="source")
+    return parsed.join(
+        docs.select("target_uri", "rec_md5"), "target_uri"
+    ).select(
+        "source", "target_uri", "record_type", "content_length",
+        "payload_md5", "rec_md5",
+    )
+
+
 def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap source (sources/sitemap.py): synthesize one urlset XML
     per source (lastmod/priority optional per doc), parse JVM-side with
@@ -2567,6 +2629,7 @@ _Q_B2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_sample": q_mixture_sample,
     "datatables_pages": q_datatables_pages,
     "warc_roundtrip": q_warc_roundtrip,
+    "wet_export": q_wet_export,
     "sitemap_parse": q_sitemap_parse,
     "robots_rules": q_robots_rules,
     "jsf_partial_scan": q_jsf_partial_scan,

@@ -37,6 +37,7 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 WARC_SCHEMA = (
     "path string, record_type string, target_uri string, "
@@ -141,6 +142,32 @@ def read_warc(
             yield pd.DataFrame(out)
 
     return files.select("path", "content").mapInPandas(run, WARC_SCHEMA)
+
+
+def wet_record(uri, text):
+    """One WET ``conversion`` record (the Common Crawl text sibling of
+    WARC: same ISO 28500 framing, payload = extracted plain text) as a
+    pure JVM column expression — the export side of the format family
+    (``read_warc``/``parse_warc_column`` is the ingest side; CDX the
+    planning tier).
+
+    ``Content-Length`` is the OCTET length of the utf-8 payload (the
+    framing invariant binary parsers rely on), not the character count.
+    Concatenate per output file and the bytes are a valid .wet stream.
+    """
+    header = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: "),
+        uri,
+        F.lit("\r\nWARC-Date: 2024-01-01T00:00:00Z"
+              "\r\nContent-Type: text/plain\r\nContent-Length: "),
+        F.octet_length(text).cast("string"),
+        F.lit("\r\n\r\n"),
+    )
+    return F.concat(
+        header.cast("binary"),
+        F.encode(text, "utf-8"),
+        F.lit("\r\n\r\n").cast("binary"),
+    )
 
 
 def build_warc_bytes(records: list[tuple[str, str, bytes]]) -> bytes:

@@ -197,6 +197,40 @@ def test_robots_wildcard_and_anchor_rules(spark):
     }
 
 
+def test_wet_record_octet_framing_roundtrips(spark):
+    # Multi-byte text: octet length (framing) must differ from the
+    # character count, and the REAL parser kernel must recover the
+    # exact utf-8 payload from the emitted bytes.
+    from pyspark.sql import functions as F
+
+    from legislation_scraper_spark.sources.warc import wet_record
+
+    texts = ["ação nº 12/2024 — artigo 5º", "plain ascii", "ß∂ƒ©"]
+    df = spark.createDataFrame(
+        [(f"http://h/{i}", t) for i, t in enumerate(texts)],
+        "uri string, text string",
+    )
+    rows = df.select(
+        "uri", "text",
+        wet_record(F.col("uri"), F.col("text")).alias("rec"),
+    ).collect()
+    assert any(
+        len(r.text.encode()) != len(r.text) for r in rows
+    )  # the invariant is actually exercised
+    stream = b"".join(bytes(r.rec) for r in rows)
+    recs = list(parse_warc_stream(stream))
+    assert [r["payload"].decode() for r in recs] == texts
+    assert [r["headers"]["warc-target-uri"] for r in recs] == [
+        r.uri for r in rows
+    ]
+    assert all(
+        r["headers"]["warc-type"] == "conversion" for r in recs
+    )
+    assert [int(r["headers"]["content-length"]) for r in recs] == [
+        len(t.encode()) for t in texts
+    ]
+
+
 def test_warc_negative_content_length_rejected():
     bad = (b"WARC/1.0\r\nWARC-Type: response\r\n"
            b"Content-Length: -33\r\n\r\npayload")
