@@ -1300,6 +1300,20 @@ _ORACLE_B2: dict[str, str] = {
                  AS rec_md5
         FROM documents
     """,
+    "http_parse": """
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN 404
+                    WHEN doc_id % 7 = 3 THEN 301
+                    ELSE 200 END AS status_code,
+               CASE WHEN doc_id % 7 = 0 THEN 'Not Found'
+                    WHEN doc_id % 7 = 3 THEN 'Moved Permanently'
+                    ELSE 'OK' END AS reason,
+               'text/html; charset=utf-8' AS content_type,
+               'b=' || source AS set_cookie,
+               3 AS n_headers,
+               md5(text) AS body_md5
+        FROM documents
+    """,
     "sitemap_parse": """
         SELECT source,
                'http://' || source || '/doc/' || CAST(doc_id AS VARCHAR)
@@ -2327,6 +2341,44 @@ def q_wet_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_http_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTP-response parsing (sources/http.py): synthesize the raw
+    HTTP/1.1 message a WARC response record carries (status by doc_id
+    residue, duplicate Set-Cookie headers, utf-8 body), parse with the
+    pure-JVM latin-1-bijection operator, and surface status / reason /
+    keep-last header semantics / byte-exact body md5 — all of which the
+    oracle recomputes directly from `documents`."""
+    from legislation_scraper_spark.sources.http import parse_http_response
+
+    d = _t(spark, sf_dir, "documents")
+    mod = F.col("doc_id") % 7
+    status_line = (
+        F.when(mod == 0, F.lit("HTTP/1.1 404 Not Found"))
+        .when(mod == 3, F.lit("HTTP/1.1 301 Moved Permanently"))
+        .otherwise(F.lit("HTTP/1.1 200 OK"))
+    )
+    msg = F.concat(
+        status_line,
+        F.lit("\r\nContent-Type: text/html; charset=utf-8"),
+        F.lit("\r\nSet-Cookie: a="), F.col("doc_id").cast("string"),
+        F.lit("\r\nX-Doc: "), F.col("doc_id").cast("string"),
+        F.lit("\r\nSet-Cookie: b="), F.col("source"),
+        F.lit("\r\n\r\n"), F.col("text"),
+    )
+    parsed = parse_http_response(
+        d.select("doc_id", F.encode(msg, "utf-8").alias("payload"))
+    )
+    return parsed.select(
+        "doc_id",
+        F.col("http_status").alias("status_code"),
+        F.col("http_reason").alias("reason"),
+        F.element_at("http_headers", "content-type").alias("content_type"),
+        F.element_at("http_headers", "set-cookie").alias("set_cookie"),
+        F.size("http_headers").alias("n_headers"),
+        F.md5("http_body").alias("body_md5"),
+    )
+
+
 def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap source (sources/sitemap.py): synthesize one urlset XML
     per source (lastmod/priority optional per doc), parse JVM-side with
@@ -2630,6 +2682,7 @@ _Q_B2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "datatables_pages": q_datatables_pages,
     "warc_roundtrip": q_warc_roundtrip,
     "wet_export": q_wet_export,
+    "http_parse": q_http_parse,
     "sitemap_parse": q_sitemap_parse,
     "robots_rules": q_robots_rules,
     "jsf_partial_scan": q_jsf_partial_scan,
