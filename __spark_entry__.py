@@ -1314,6 +1314,18 @@ _ORACLE_B2: dict[str, str] = {
                md5(text) AS body_md5
         FROM documents
     """,
+    "charset_decode": """
+        SELECT doc_id,
+               CASE WHEN doc_id % 4 = 0 THEN 'utf-16le'
+                    ELSE 'utf-8' END AS charset,
+               CASE doc_id % 4 WHEN 0 THEN 'bom' WHEN 1 THEN 'meta'
+                    WHEN 2 THEN 'header' ELSE 'default'
+               END AS charset_src,
+               md5(CASE WHEN doc_id % 4 = 1
+                        THEN '<meta charset="utf-8">' || text
+                        ELSE text END) AS decoded_md5
+        FROM documents
+    """,
     "sitemap_parse": """
         SELECT source,
                'http://' || source || '/doc/' || CAST(doc_id AS VARCHAR)
@@ -2379,6 +2391,43 @@ def q_http_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset sniff + per-row decode (sources/http.py): each document
+    becomes html bytes under one of four detection regimes — UTF-16LE
+    BOM, <meta charset>, Content-Type header, bare default — then the
+    WHATWG-precedence sniffer picks the charset and decode_html
+    recovers the text (md5-proven; the BOM case only roundtrips if the
+    decoder strips U+FEFF and honors the 2-bytes-per-char framing)."""
+    from legislation_scraper_spark.sources.http import (
+        decode_html,
+        sniff_charset,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    mod = F.col("doc_id") % 4
+    content = F.concat(
+        F.when(mod == 1, F.lit('<meta charset="utf-8">')).otherwise(""),
+        F.col("text"),
+    )
+    body = F.when(
+        mod == 0,
+        F.concat(
+            F.lit(bytes([0xFF, 0xFE])), F.encode(content, "UTF-16LE")
+        ),
+    ).otherwise(F.encode(content, "utf-8"))
+    ct = F.when(mod == 2, F.lit("text/html; charset=UTF-8"))
+    src_df = d.select("doc_id", body.alias("body"), ct.alias("ct"))
+    cs, src = sniff_charset(F.col("body"), F.col("ct"))
+    return src_df.select(
+        "doc_id",
+        cs.alias("charset"),
+        src.alias("charset_src"),
+        F.md5(F.encode(decode_html(F.col("body"), cs), "utf-8")).alias(
+            "decoded_md5"
+        ),
+    )
+
+
 def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap source (sources/sitemap.py): synthesize one urlset XML
     per source (lastmod/priority optional per doc), parse JVM-side with
@@ -2683,6 +2732,7 @@ _Q_B2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "warc_roundtrip": q_warc_roundtrip,
     "wet_export": q_wet_export,
     "http_parse": q_http_parse,
+    "charset_decode": q_charset_decode,
     "sitemap_parse": q_sitemap_parse,
     "robots_rules": q_robots_rules,
     "jsf_partial_scan": q_jsf_partial_scan,

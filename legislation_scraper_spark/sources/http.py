@@ -108,3 +108,94 @@ def parse_http_response(
         )
         out = out.withColumn(f"{prefix}body", body)
     return out
+
+
+# --- charset sniffing + decode -------------------------------------------
+#
+# WHATWG-style precedence: byte-order mark > Content-Type charset
+# parameter > <meta charset> in the first 2 KiB > utf-8 (the HTML5
+# default).  All sniffing happens on the latin-1 view of the bytes, so
+# it is byte-offset-exact and stays in codegen.
+
+_BOM8 = "ï»¿"        # EF BB BF as latin-1 chars
+_BOM16LE = "ÿþ"
+_BOM16BE = "þÿ"
+_CS_RE = r"(?i)charset\s*=\s*[\"']?([a-zA-Z0-9_\-]+)"
+
+
+def _norm_charset(cs: Column) -> Column:
+    """Collapse charset aliases onto the JVM decoder set.  cp1252 maps
+    to iso-8859-1 — identical except 0x80-0x9F, the standard engine
+    approximation (Spark's decode() only ships the six RFC charsets)."""
+    c = F.lower(cs)
+    return (
+        F.when(c.isin("utf8", "utf-8"), "utf-8")
+        .when(
+            c.isin(
+                "latin1", "latin-1", "iso8859-1", "iso-8859-1",
+                "windows-1252", "cp1252", "l1",
+            ),
+            "iso-8859-1",
+        )
+        .when(c.isin("us-ascii", "ascii"), "us-ascii")
+        .when(c.isin("utf-16le", "utf16le"), "utf-16le")
+        .when(c.isin("utf-16be", "utf16be"), "utf-16be")
+        .when(c.isin("utf-16", "utf16"), "utf-16")
+        .otherwise("utf-8")  # unknown label → HTML5 default
+    )
+
+
+def sniff_charset(
+    body: Column, content_type: Column | None = None
+) -> tuple[Column, Column]:
+    """Return ``(charset, source)`` columns for an HTML ``binary``
+    body: charset is a normalized decoder name, source is one of
+    ``bom`` / ``header`` / ``meta`` / ``default`` (precedence proof)."""
+    lat = F.decode(body, "ISO-8859-1")
+    head = F.substring(lat, 1, 2048)
+    hdr_cs = (
+        F.regexp_extract(content_type, _CS_RE, 1)
+        if content_type is not None
+        else F.lit("")
+    )
+    meta_cs = F.regexp_extract(
+        head, r"(?i)<meta[^>]{0,512}?" + _CS_RE, 1
+    )
+    charset = (
+        F.when(lat.startswith(_BOM8), "utf-8")
+        .when(lat.startswith(_BOM16LE), "utf-16le")
+        .when(lat.startswith(_BOM16BE), "utf-16be")
+        .when(hdr_cs != "", _norm_charset(hdr_cs))
+        .when(meta_cs != "", _norm_charset(meta_cs))
+        .otherwise("utf-8")
+    )
+    source = (
+        F.when(
+            lat.startswith(_BOM8)
+            | lat.startswith(_BOM16LE)
+            | lat.startswith(_BOM16BE),
+            "bom",
+        )
+        .when(hdr_cs != "", "header")
+        .when(meta_cs != "", "meta")
+        .otherwise("default")
+    )
+    return charset, source
+
+
+def decode_html(body: Column, charset: Column) -> Column:
+    """Decode ``binary`` HTML to string under a PER-ROW charset.
+
+    ``decode()`` takes a literal charset, so the column-dependent
+    dispatch is a CASE over the supported decoders — still one codegen
+    expression, no Python.  A leading U+FEFF (decoded BOM) is stripped,
+    matching every browser."""
+    decoded = (
+        F.when(charset == "utf-16le", F.decode(body, "UTF-16LE"))
+        .when(charset == "utf-16be", F.decode(body, "UTF-16BE"))
+        .when(charset == "utf-16", F.decode(body, "UTF-16"))
+        .when(charset == "iso-8859-1", F.decode(body, "ISO-8859-1"))
+        .when(charset == "us-ascii", F.decode(body, "US-ASCII"))
+        .otherwise(F.decode(body, "UTF-8"))
+    )
+    return F.regexp_replace(decoded, "^\\uFEFF", "")

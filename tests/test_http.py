@@ -76,3 +76,51 @@ def test_passthrough_and_plan_is_shuffle_free(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_charset_precedence_bom_header_meta_default(spark):
+    from legislation_scraper_spark.sources.http import (
+        decode_html,
+        sniff_charset,
+    )
+
+    txt = "ação — nº 5º"
+    rows = [
+        # BOM beats header AND meta
+        (b"\xff\xfe" + txt.encode("utf-16-le"),
+         "text/html; charset=iso-8859-1", "utf-16le", "bom"),
+        (b"\xef\xbb\xbf" + txt.encode("utf-8"), None, "utf-8", "bom"),
+        # header beats meta
+        (('<meta charset="utf-16le">' + txt).encode("utf-8"),
+         'text/html; charset="UTF-8"', "utf-8", "header"),
+        # meta, with alias normalization
+        (("<meta http-equiv=Content-Type content=\"text/html; "
+          "charset=utf8\">" + txt).encode("utf-8"), None, "utf-8", "meta"),
+        # nothing → HTML5 default
+        (txt.encode("utf-8"), None, "utf-8", "default"),
+    ]
+    df = spark.createDataFrame(
+        [(b, ct) for b, ct, _, _ in rows], "body binary, ct string"
+    )
+    cs, src = sniff_charset(F.col("body"), F.col("ct"))
+    got = df.select(
+        cs.alias("cs"), src.alias("src"),
+        decode_html(F.col("body"), cs).alias("txt"),
+    ).collect()
+    for r, (_, _, want_cs, want_src) in zip(got, rows):
+        assert (r.cs, r.src) == (want_cs, want_src)
+    # every branch decodes back to the original text, BOM stripped,
+    # except the meta/header rows whose content includes their tag
+    assert got[0].txt == txt and got[1].txt == txt and got[4].txt == txt
+    assert got[2].txt.endswith(txt) and got[3].txt.endswith(txt)
+
+
+def test_charset_unknown_label_falls_back_to_utf8(spark):
+    from legislation_scraper_spark.sources.http import sniff_charset
+
+    df = spark.createDataFrame(
+        [(b"x", "text/html; charset=ks_c_5601-1987")], "body binary, ct string"
+    )
+    cs, src = sniff_charset(F.col("body"), F.col("ct"))
+    r = df.select(cs.alias("cs"), src.alias("src")).collect()[0]
+    assert r.cs == "utf-8" and r.src == "header"
