@@ -1326,6 +1326,54 @@ _ORACLE_B2: dict[str, str] = {
                         ELSE text END) AS decoded_md5
         FROM documents
     """,
+    "hll_tokens": """
+        WITH toks AS (
+          SELECT u.t || '-' || CAST(doc_id AS VARCHAR) AS tok
+          FROM documents,
+               unnest(string_split_regex(text, '\\s+')) AS u(t)
+          WHERE u.t <> ''
+        ),
+        regs AS (
+          SELECT
+            (strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 256
+            + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(md5(tok), 3, 1)) - 1)
+              AS bucket,
+            (length(substr(md5(tok), 4, 13))
+             - length(ltrim(substr(md5(tok), 4, 13), '0'))) * 4
+            + CASE substr(ltrim(substr(md5(tok), 4, 13), '0'), 1, 1)
+                WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+                WHEN '7' THEN 1 ELSE 0 END
+            + 1 AS rank
+          FROM toks
+        ),
+        mx AS (SELECT bucket, max(rank) AS mr FROM regs GROUP BY bucket),
+        agg AS (
+          SELECT count(*) AS nb,
+                 sum(CAST(pow(2, 50 - least(mr, 50)) AS BIGINT)) AS su
+          FROM mx
+        ),
+        fin AS (
+          SELECT (SELECT count(DISTINCT tok) FROM toks) AS n_exact,
+                 4096 AS m,
+                 CAST(4096 - nb AS BIGINT) AS v_empty,
+                 CAST(su + CAST(4096 - nb AS BIGINT)
+                    * CAST(pow(2, 50) AS BIGINT) AS BIGINT) AS s_fixed
+          FROM agg
+        )
+        SELECT n_exact, m, v_empty, s_fixed,
+               round(
+                 CASE WHEN 0.7213 / (1 + 1.079 / 4096) * 4096 * 4096
+                           * pow(2, 50) / CAST(s_fixed AS DOUBLE)
+                           < 2.5 * 4096
+                       AND v_empty > 0
+                      THEN 4096.0 * ln(4096.0 / CAST(v_empty AS DOUBLE))
+                      ELSE 0.7213 / (1 + 1.079 / 4096) * 4096 * 4096
+                           * pow(2, 50) / CAST(s_fixed AS DOUBLE)
+                 END, 2) AS est
+        FROM fin
+    """,
     "sitemap_parse": """
         SELECT source,
                'http://' || source || '/doc/' || CAST(doc_id AS VARCHAR)
@@ -2428,6 +2476,34 @@ def q_charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog vocabulary cardinality (operators/sketches.py): the
+    md5-bit register construction is engine-neutral, so the oracle
+    replays the EXACT register state (bucket = 3 hex chars, rank =
+    leading-zero hex fold, harmonic sum in fixed-point BIGINT) and the
+    estimate — a sketch whose internals are oracle-checked, not just
+    its ballpark.  Input = whitespace tokens of `documents.text`."""
+    from legislation_scraper_spark.operators.sketches import (
+        hll_cardinality,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id", F.explode(F.split("text", r"\s+")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        # synth vocab is tiny; key on (token, doc) so the cardinality
+        # grows with sf and BOTH estimator branches get exercised
+        # (linear counting at sf0.001, raw HLL at sf0.01)
+        .select(
+            F.concat_ws("-", "tok", F.col("doc_id").cast("string"))
+            .alias("tok")
+        )
+    )
+    return hll_cardinality(toks, "tok")
+
+
 def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap source (sources/sitemap.py): synthesize one urlset XML
     per source (lastmod/priority optional per doc), parse JVM-side with
@@ -2733,6 +2809,7 @@ _Q_B2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wet_export": q_wet_export,
     "http_parse": q_http_parse,
     "charset_decode": q_charset_decode,
+    "hll_tokens": q_hll_tokens,
     "sitemap_parse": q_sitemap_parse,
     "robots_rules": q_robots_rules,
     "jsf_partial_scan": q_jsf_partial_scan,

@@ -1,0 +1,114 @@
+"""Cardinality sketches — HyperLogLog with cross-engine-deterministic
+bit extraction.
+
+A 10^10-URL frontier needs distinct counts (seen URLs, vocab size,
+host fan-out) without a count-distinct shuffle of the full key set.
+Spark ships `approx_count_distinct`, but its register layout is
+engine-private — no independent system can check it.  This HLL is
+built from md5 (which every engine computes identically), so DuckDB
+can replay the EXACT register state and estimate, making the sketch
+oracle-checkable, not just plausible:
+
+- **hash** = hex md5 of the key.  Bucket = first 3 hex chars (p = 12,
+  m = 4096 registers).  Rank window = next 13 hex chars (52 bits).
+- **rank** (leading-zero count + 1) is computed on the HEX STRING:
+  each leading '0' char is 4 zero bits; the first non-zero hex digit
+  adds 0-3 more by its high bits.  Pure string algebra — identical in
+  any engine, no 64-bit unsigned arithmetic anywhere.
+- **harmonic sum in fixed point**: sum over registers of
+  2^(50 - min(rank, 50)) as BIGINT (≤ 4096·2^50 < 2^63 — exact), so
+  the aggregate is integer-exact and order-independent; floats appear
+  only in the final one-division estimate.  This is what makes the
+  estimate bit-reproducible across engines — a double harmonic sum
+  would be summation-order-dependent.
+- **small-range correction** (Flajolet et al. 2007 §4): linear
+  counting m·ln(m/V) when the raw estimate < 2.5m and V empty
+  registers remain.
+
+Scale shape: one map-side-combinable groupBy(bucket) over ≤ m rows per
+partition, then a 4096-row final agg.  The shuffle moves O(m) rows no
+matter the input size — the whole point of a sketch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+P_BITS = 12
+M = 1 << P_BITS          # 4096 registers
+RANK_CAP = 50            # fixed-point exponent cap: 4096·2^50 < 2^63
+WINDOW = 13              # hex chars of rank window (52 bits)
+ALPHA_M = 0.7213 / (1.0 + 1.079 / M)
+
+
+def hll_register(col: Column) -> tuple[Column, Column]:
+    """(bucket, rank) register coordinates for one key."""
+    h = F.md5(col.cast("string"))
+    bucket = F.conv(F.substring(h, 1, 3), 16, 10).cast("int")
+    w = F.substring(h, 4, WINDOW)
+    trimmed = F.regexp_replace(w, "^0+", "")
+    lz = F.length(w) - F.length(trimmed)
+    first = F.substring(trimmed, 1, 1)
+    extra = (
+        F.when(first == "1", 3)
+        .when(first.isin("2", "3"), 2)
+        .when(first.isin("4", "5", "6", "7"), 1)
+        .when(first == "", 0)  # all-zero window; lz already = 4*WINDOW
+        .otherwise(0)
+    )
+    rank = lz * 4 + extra + 1
+    return bucket, rank
+
+
+def hll_cardinality(df: DataFrame, col: str) -> DataFrame:
+    """One-row DataFrame: exact distinct count (for reference),
+    register-state integers, and the HLL estimate.
+
+    Columns: ``n_exact`` bigint, ``m`` int, ``v_empty`` bigint (empty
+    registers), ``s_fixed`` bigint (fixed-point harmonic sum), ``est``
+    double rounded to 2dp (corrected estimate actually used).
+    """
+    bucket, rank = hll_register(F.col(col))
+    regs = (
+        df.select(bucket.alias("bucket"), rank.alias("rank"))
+        .groupBy("bucket")
+        .agg(F.max("rank").alias("mr"))
+    )
+    # 2^(50-mr) as bigint: exact — pow of two up to 2^50 is an exact
+    # double, and the cast truncates nothing
+    term = F.pow(
+        F.lit(2.0),
+        (F.lit(RANK_CAP) - F.least(F.col("mr"), F.lit(RANK_CAP)))
+        .cast("double"),
+    ).cast("bigint")
+    agg = regs.agg(
+        F.count("*").alias("n_buckets"),
+        F.sum(term).alias("s_used"),
+    )
+    exact = df.agg(F.count_distinct(F.col(col)).alias("n_exact"))
+    out = agg.crossJoin(exact).select(
+        "n_exact",
+        F.lit(M).alias("m"),
+        (F.lit(M) - F.col("n_buckets")).cast("bigint").alias("v_empty"),
+        (
+            F.col("s_used")
+            + (F.lit(M) - F.col("n_buckets")).cast("bigint")
+            * F.lit(1 << RANK_CAP)
+        ).alias("s_fixed"),
+        "n_buckets",
+    )
+    raw = (
+        F.lit(ALPHA_M * M * M)
+        * F.pow(F.lit(2.0), F.lit(RANK_CAP))
+        / F.col("s_fixed").cast("double")
+    )
+    v = F.col("v_empty").cast("double")
+    corrected = F.when(
+        (raw < 2.5 * M) & (F.col("v_empty") > 0),
+        F.lit(float(M)) * F.log(F.lit(float(M)) / v),
+    ).otherwise(raw)
+    return out.select(
+        "n_exact", "m", "v_empty", "s_fixed",
+        F.round(corrected, 2).alias("est"),
+    )
