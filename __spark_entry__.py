@@ -1374,6 +1374,33 @@ _ORACLE_B2: dict[str, str] = {
                  END, 2) AS est
         FROM fin
     """,
+    "classifier_scores": """
+        WITH toks AS (
+          SELECT doc_id, u.t AS tok
+          FROM documents,
+               unnest(string_split_regex(text, '\\s+')) AS u(t)
+          WHERE u.t <> ''
+        ),
+        sc AS (
+          SELECT doc_id,
+                 CAST(count(*) AS INT) AS n_toks,
+                 CAST(sum(
+                   (((strpos('0123456789abcdef', substr(md5(tok), 1, 1))
+                      - 1) * 16
+                     + strpos('0123456789abcdef', substr(md5(tok), 2, 1))
+                      - 1) * 2654435761) % 1001 - 500
+                 ) AS BIGINT) AS score_int
+          FROM toks GROUP BY doc_id
+        ),
+        p AS (
+          SELECT doc_id, n_toks, score_int,
+                 round(1.0 / (1.0 + exp(-(CAST(score_int AS DOUBLE)
+                       / (500.0 * CAST(n_toks AS DOUBLE))))), 4) AS prob
+          FROM sc
+        )
+        SELECT doc_id, n_toks, score_int, prob, prob >= 0.5 AS label
+        FROM p
+    """,
     "sitemap_parse": """
         SELECT source,
                'http://' || source || '/doc/' || CAST(doc_id AS VARCHAR)
@@ -2504,6 +2531,22 @@ def q_hll_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_cardinality(toks, "tok")
 
 
+def q_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear-classifier inference
+    (operators/classifier.py): md5 hashing-trick buckets, literal-array
+    model, exact integer logit numerator folded in-row — the oracle
+    re-derives the weights arithmetically and replays scoring
+    bit-for-bit on the integers (sigmoid compared at 4dp)."""
+    from legislation_scraper_spark.operators.classifier import (
+        classifier_scores,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return classifier_scores(d.select("doc_id", "text")).select(
+        "doc_id", "n_toks", "score_int", "prob", "label"
+    )
+
+
 def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap source (sources/sitemap.py): synthesize one urlset XML
     per source (lastmod/priority optional per doc), parse JVM-side with
@@ -2810,6 +2853,7 @@ _Q_B2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "http_parse": q_http_parse,
     "charset_decode": q_charset_decode,
     "hll_tokens": q_hll_tokens,
+    "classifier_scores": q_classifier_scores,
     "sitemap_parse": q_sitemap_parse,
     "robots_rules": q_robots_rules,
     "jsf_partial_scan": q_jsf_partial_scan,
