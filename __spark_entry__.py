@@ -1401,6 +1401,14 @@ _ORACLE_B2: dict[str, str] = {
         SELECT doc_id, n_toks, score_int, prob, prob >= 0.5 AS label
         FROM p
     """,
+    "host_lang_rollup": """
+        SELECT source, lang,
+               CAST(GROUPING(source, lang) AS BIGINT) AS gid,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS chars
+        FROM documents
+        GROUP BY ROLLUP (source, lang)
+    """,
     "sitemap_parse": """
         SELECT source,
                'http://' || source || '/doc/' || CAST(doc_id AS VARCHAR)
@@ -2547,6 +2555,23 @@ def q_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_host_lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level crawl reporting via ROLLUP (source, lang) — per-host
+    per-language doc counts with host subtotals and a grand total in
+    ONE pass (Expand + single hash agg, no union of three groupBys);
+    grouping_id disambiguates the levels."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.rollup("source", "lang")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("chars"),
+        )
+        .select("source", "lang", "gid", "n_docs", "chars")
+    )
+
+
 def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap source (sources/sitemap.py): synthesize one urlset XML
     per source (lastmod/priority optional per doc), parse JVM-side with
@@ -2854,6 +2879,7 @@ _Q_B2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "charset_decode": q_charset_decode,
     "hll_tokens": q_hll_tokens,
     "classifier_scores": q_classifier_scores,
+    "host_lang_rollup": q_host_lang_rollup,
     "sitemap_parse": q_sitemap_parse,
     "robots_rules": q_robots_rules,
     "jsf_partial_scan": q_jsf_partial_scan,
