@@ -1409,6 +1409,44 @@ _ORACLE_B2: dict[str, str] = {
         FROM documents
         GROUP BY ROLLUP (source, lang)
     """,
+    "cc_pipeline": """
+        WITH staged AS (
+          SELECT source,
+                 'http://' || source || '/doc/' || CAST(doc_id AS VARCHAR)
+                   AS target_uri,
+                 200 AS status,
+                 CASE WHEN doc_id % 2 = 0 THEN 'utf-16le'
+                      ELSE 'utf-8' END AS charset,
+                 CASE WHEN doc_id % 2 = 0 THEN 'bom'
+                      ELSE 'meta' END AS charset_src,
+                 CASE WHEN doc_id % 2 = 1
+                      THEN '<meta charset="utf-8">' || text
+                      ELSE text END AS content
+          FROM documents
+        ),
+        toks AS (
+          SELECT target_uri, u.t AS tok
+          FROM staged,
+               unnest(string_split_regex(content, '\\s+')) AS u(t)
+          WHERE u.t <> ''
+        ),
+        sc AS (
+          SELECT target_uri,
+                 CAST(count(*) AS INT) AS n_toks,
+                 CAST(sum(
+                   (((strpos('0123456789abcdef', substr(md5(tok), 1, 1))
+                      - 1) * 16
+                     + strpos('0123456789abcdef', substr(md5(tok), 2, 1))
+                      - 1) * 2654435761) % 1001 - 500
+                 ) AS BIGINT) AS score_int
+          FROM toks GROUP BY target_uri
+        )
+        SELECT s.source, s.target_uri, s.status, s.charset,
+               s.charset_src, md5(s.content) AS text_md5, sc.n_toks,
+               round(1.0 / (1.0 + exp(-(CAST(sc.score_int AS DOUBLE)
+                     / (500.0 * CAST(sc.n_toks AS DOUBLE))))), 4) AS prob
+        FROM staged s JOIN sc USING (target_uri)
+    """,
     "sitemap_parse": """
         SELECT source,
                'http://' || source || '/doc/' || CAST(doc_id AS VARCHAR)
@@ -2572,6 +2610,83 @@ def q_host_lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship archive-to-dataset composition: WARC stream →
+    parse_warc_column → parse_http_response → sniff_charset/decode_html
+    → classifier_scores, each stage the REAL operator, chained in one
+    plan.  Documents are framed as WARC response records whose payload
+    is a raw HTTP message whose body is html bytes under one of two
+    charset regimes (UTF-16LE BOM / <meta> utf-8).  The oracle
+    recomputes every stage's observable directly from `documents` —
+    end-to-end byte fidelity, not stage-local claims."""
+    from legislation_scraper_spark.operators.classifier import (
+        classifier_scores,
+    )
+    from legislation_scraper_spark.sources.http import (
+        decode_html,
+        parse_http_response,
+        sniff_charset,
+    )
+    from legislation_scraper_spark.sources.warc import parse_warc_column
+
+    d = _t(spark, sf_dir, "documents")
+    mod = F.col("doc_id") % 2
+    content = F.concat(
+        F.when(mod == 1, F.lit('<meta charset="utf-8">')).otherwise(""),
+        F.col("text"),
+    )
+    body = F.when(
+        mod == 0,
+        F.concat(
+            F.lit(bytes([0xFF, 0xFE])), F.encode(content, "UTF-16LE")
+        ),
+    ).otherwise(F.encode(content, "utf-8"))
+    http_head = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nX-Doc: "),
+        F.col("doc_id").cast("string"),
+        F.lit("\r\n\r\n"),
+    )
+    http_payload = F.concat(F.encode(http_head, "utf-8"), body)
+    warc_head = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://"),
+        F.col("source"), F.lit("/doc/"), F.col("doc_id").cast("string"),
+        F.lit("\r\nContent-Length: "),
+        F.octet_length(http_payload).cast("string"),
+        F.lit("\r\n\r\n"),
+    )
+    rec = F.concat(
+        warc_head.cast("binary"), http_payload,
+        F.lit("\r\n\r\n").cast("binary"),
+    )
+    streams = (
+        d.select("source", rec.alias("rec"))
+        .groupBy("source")
+        .agg(
+            F.aggregate(
+                F.collect_list("rec"),
+                F.unhex(F.lit("")),
+                lambda a, x: F.concat(a, x),
+            ).alias("warc")
+        )
+    )
+    recs = parse_warc_column(streams, bytes_col="warc", id_col="source")
+    http = parse_http_response(recs)
+    cs, cs_src = sniff_charset(
+        F.col("http_body"), F.element_at("http_headers", "content-type")
+    )
+    staged = http.select(
+        "source", "target_uri",
+        F.col("http_status").alias("status"),
+        cs.alias("charset"), cs_src.alias("charset_src"),
+        decode_html(F.col("http_body"), cs).alias("text"),
+    )
+    return classifier_scores(staged).select(
+        "source", "target_uri", "status", "charset", "charset_src",
+        F.md5(F.encode("text", "utf-8")).alias("text_md5"),
+        "n_toks", "prob",
+    )
+
+
 def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap source (sources/sitemap.py): synthesize one urlset XML
     per source (lastmod/priority optional per doc), parse JVM-side with
@@ -2880,6 +2995,7 @@ _Q_B2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_tokens": q_hll_tokens,
     "classifier_scores": q_classifier_scores,
     "host_lang_rollup": q_host_lang_rollup,
+    "cc_pipeline": q_cc_pipeline,
     "sitemap_parse": q_sitemap_parse,
     "robots_rules": q_robots_rules,
     "jsf_partial_scan": q_jsf_partial_scan,

@@ -92,6 +92,9 @@ HEADLINE_EXT = [
     "cdx_latest",
     "change_rates",
     "boilerplate_strip",
+    "cc_pipeline",
+    "hll_tokens",
+    "classifier_scores",
 ]
 
 
