@@ -1447,6 +1447,17 @@ _ORACLE_B2: dict[str, str] = {
                      / (500.0 * CAST(sc.n_toks AS DOUBLE))))), 4) AS prob
         FROM staged s JOIN sc USING (target_uri)
     """,
+    "length_quantiles": """
+        SELECT source,
+               count(*) AS n_docs,
+               round(quantile_cont(n_chars, 0.5), 6) AS p50,
+               round(quantile_cont(n_chars, 0.9), 6) AS p90,
+               round(quantile_cont(n_chars, 0.99), 6) AS p99,
+               min(n_chars) AS min_chars,
+               max(n_chars) AS max_chars
+        FROM documents
+        GROUP BY source
+    """,
     "sitemap_parse": """
         SELECT source,
                'http://' || source || '/doc/' || CAST(doc_id AS VARCHAR)
@@ -2687,6 +2698,29 @@ def q_cc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length distribution: exact interpolated
+    percentiles (p50/p90/p99) via `percentile` — the single-pass
+    sort-based exact aggregate (NOT approx_percentile, whose sketch is
+    engine-private) — matching DuckDB's quantile_cont semantics.
+    Values rounded to 6dp per the repo's float-aggregate convention."""
+    d = _t(spark, sf_dir, "documents")
+    pct = F.percentile("n_chars", F.array(
+        F.lit(0.5), F.lit(0.9), F.lit(0.99)
+    ))
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(pct[0], 6).alias("p50"),
+            F.round(pct[1], 6).alias("p90"),
+            F.round(pct[2], 6).alias("p99"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
 def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap source (sources/sitemap.py): synthesize one urlset XML
     per source (lastmod/priority optional per doc), parse JVM-side with
@@ -2996,6 +3030,7 @@ _Q_B2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "classifier_scores": q_classifier_scores,
     "host_lang_rollup": q_host_lang_rollup,
     "cc_pipeline": q_cc_pipeline,
+    "length_quantiles": q_length_quantiles,
     "sitemap_parse": q_sitemap_parse,
     "robots_rules": q_robots_rules,
     "jsf_partial_scan": q_jsf_partial_scan,
