@@ -1725,6 +1725,36 @@ _ORACLE_B2: dict[str, str] = {
                FROM nodes LEFT JOIN c2 ON node = c2.dst)
         SELECT node, ROUND(rank, 6) AS rank FROM r2
     """,
+    "hits_hosts": """
+        WITH e AS (
+          SELECT 'h' || CAST(doc_id % 31 AS VARCHAR) AS src,
+                 'h' || CAST((doc_id * 7 + 3) % 31 AS VARCHAR) AS dst
+          FROM documents
+          WHERE doc_id % 31 <> (doc_id * 7 + 3) % 31),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        a1r AS (SELECT e.dst AS node, SUM(1.0) AS a
+                FROM e JOIN nodes s0 ON e.src = s0.node GROUP BY e.dst),
+        a1 AS (SELECT n.node,
+                      COALESCE(a, 0.0) / (SELECT SUM(a) FROM a1r) AS auth
+               FROM nodes n LEFT JOIN a1r USING (node)),
+        h1r AS (SELECT e.src AS node, SUM(a1.auth) AS h
+                FROM e JOIN a1 ON e.dst = a1.node GROUP BY e.src),
+        h1 AS (SELECT n.node,
+                      COALESCE(h, 0.0) / (SELECT SUM(h) FROM h1r) AS hub
+               FROM nodes n LEFT JOIN h1r USING (node)),
+        a2r AS (SELECT e.dst AS node, SUM(h1.hub) AS a
+                FROM e JOIN h1 ON e.src = h1.node GROUP BY e.dst),
+        a2 AS (SELECT n.node,
+                      COALESCE(a, 0.0) / (SELECT SUM(a) FROM a2r) AS auth
+               FROM nodes n LEFT JOIN a2r USING (node)),
+        h2r AS (SELECT e.src AS node, SUM(a2.auth) AS h
+                FROM e JOIN a2 ON e.dst = a2.node GROUP BY e.src),
+        h2 AS (SELECT n.node,
+                      COALESCE(h, 0.0) / (SELECT SUM(h) FROM h2r) AS hub
+               FROM nodes n LEFT JOIN h2r USING (node))
+        SELECT a2.node, ROUND(a2.auth, 6) AS auth, ROUND(h2.hub, 6) AS hub
+        FROM a2 JOIN h2 ON a2.node = h2.node
+    """,
     "ficha_enrichment": """
         WITH t AS (
           SELECT doc_id, j
@@ -2225,6 +2255,20 @@ def q_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ranks = pagerank(_edge_synth(spark, sf_dir), iters=2, damping=0.85)
     return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def q_hits_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two HITS iterations over the host graph (operators/graph.hits,
+    L1-normalized half-steps; oracle = the same two iterations as
+    chained SQL CTEs, rounded to 6dp)."""
+    from legislation_scraper_spark.operators.graph import hits
+
+    s = hits(_edge_synth(spark, sf_dir), iters=2)
+    return s.select(
+        "node",
+        F.round("auth", 6).alias("auth"),
+        F.round("hub", 6).alias("hub"),
+    )
 
 
 def _capture_history(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3047,6 +3091,7 @@ _Q_B2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_dedup": q_chunk_dedup,
     "host_degree": q_host_degree,
     "pagerank_hosts": q_pagerank_hosts,
+    "hits_hosts": q_hits_hosts,
     "ficha_enrichment": q_ficha_enrichment,
     "pii_scrub": q_pii_scrub,
     "contamination_screen": q_contamination_screen,

@@ -95,6 +95,7 @@ HEADLINE_EXT = [
     "cc_pipeline",
     "hll_tokens",
     "classifier_scores",
+    "hits_hosts",
 ]
 
 

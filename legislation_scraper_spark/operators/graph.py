@@ -146,3 +146,89 @@ def pagerank(
         if checkpoint:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg hubs-and-authorities) over a
+    directed edge list; returns ``(node, auth, hub)``.
+
+    The crawl uses both halves: authority scores rank *targets* for
+    frontier priority (complementing PageRank's random-surfer view),
+    hub scores flag link-farm *sources* whose outlinks should be
+    down-weighted — the classic spam signal PageRank alone misses.
+
+    Semantics: synchronous iterations from the all-ones hub vector;
+    each iteration is auth(v) = Σ hub(u) over in-edges then
+    hub(u) = Σ auth(v) over out-edges, each half L1-normalized (sum of
+    scores = 1) so fixed-iteration results are comparable across graph
+    sizes.  Nodes missing a side score 0 on it.
+
+    Plan shape (mirrors ``pagerank``): each half-iteration is ONE
+    (node, contribution) aggregation shuffle plus a join back to the
+    node list; the L1 normalizer is a 1-row aggregate crossJoin'd as a
+    BroadcastNestedLoopJoin (1 row × N — no driver collect, same
+    discipline as curation.mixture_weights).  Edges and nodes are
+    localCheckpoint-ed once; scores re-checkpoint per iteration to cut
+    lineage growth.  Float parity: query level rounds to 6dp (repo
+    convention for order-dependent double sums).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    if checkpoint:
+        e = e.localCheckpoint(eager=False)
+        nodes = nodes.localCheckpoint(eager=False)
+    scores = nodes.select(
+        "node", F.lit(1.0).alias("auth"), F.lit(1.0).alias("hub")
+    )
+    for _ in range(iters):
+        a_raw = (
+            e.join(
+                scores.select(F.col("node").alias("src"), "hub"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("a"))
+        )
+        if checkpoint:
+            # a_raw/h_raw are each consumed twice (normalizer agg + the
+            # join back to nodes); checkpointing materializes the
+            # half-iteration's shuffle once instead of twice
+            a_raw = a_raw.localCheckpoint(eager=False)
+        auth = (
+            nodes.join(a_raw, "node", "left")
+            .crossJoin(F.broadcast(a_raw.agg(F.sum("a").alias("ta"))))
+            .select(
+                "node",
+                (F.coalesce("a", F.lit(0.0)) / F.col("ta")).alias("auth"),
+            )
+        )
+        h_raw = (
+            e.join(
+                auth.select(F.col("node").alias("dst"), "auth"), "dst"
+            )
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth").alias("h"))
+        )
+        if checkpoint:
+            h_raw = h_raw.localCheckpoint(eager=False)
+        hub = (
+            nodes.join(h_raw, "node", "left")
+            .crossJoin(F.broadcast(h_raw.agg(F.sum("h").alias("th"))))
+            .select(
+                "node",
+                (F.coalesce("h", F.lit(0.0)) / F.col("th")).alias("hub"),
+            )
+        )
+        scores = auth.join(hub, "node")
+        if checkpoint:
+            scores = scores.localCheckpoint(eager=False)
+    return scores.select("node", "auth", "hub")

@@ -145,6 +145,47 @@ def test_pagerank_empty_edges(spark):
     assert degrees(empty).collect() == []
 
 
+def _py_hits(edges, iters=2):
+    nodes = sorted({s for s, _ in edges} | {t for _, t in edges})
+    auth = {v: 1.0 for v in nodes}
+    hub = {v: 1.0 for v in nodes}
+    for _ in range(iters):
+        a = defaultdict(float)
+        for s, t in edges:
+            a[t] += hub[s]
+        ta = sum(a.values())
+        auth = {v: a.get(v, 0.0) / ta for v in nodes}
+        h = defaultdict(float)
+        for s, t in edges:
+            h[s] += auth[t]
+        th = sum(h.values())
+        hub = {v: h.get(v, 0.0) / th for v in nodes}
+    return auth, hub
+
+
+def test_hits_matches_straight_line(spark):
+    from legislation_scraper_spark.operators.graph import hits
+
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("a", "b")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["node"]: (round(r["auth"], 9), round(r["hub"], 9))
+        for r in hits(df, iters=2).collect()
+    }
+    ea, eh = _py_hits(edges)
+    assert got == {v: (round(ea[v], 9), round(eh[v], 9)) for v in ea}
+    # L1 normalization: each score vector sums to 1
+    assert abs(sum(a for a, _ in got.values()) - 1.0) < 1e-9
+    assert abs(sum(h for _, h in got.values()) - 1.0) < 1e-9
+
+
+def test_hits_empty_edges(spark):
+    from legislation_scraper_spark.operators.graph import hits
+
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert hits(empty, iters=2).collect() == []
+
+
 def test_salted_index_equals_one_phase(spark):
     from legislation_scraper_spark.operators.index import (
         inverted_index,
