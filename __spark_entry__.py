@@ -1683,6 +1683,36 @@ _ORACLE_B2: dict[str, str] = {
                  AS BIGINT) AS n_kept
         FROM ch JOIN s USING (h) GROUP BY doc_id
     """,
+    "dup_span_coverage": r"""
+        WITH w AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\s+'),
+                             x -> x <> '') AS ws
+          FROM documents),
+        g AS (
+          SELECT doc_id, i AS pos, len(ws) AS n_tokens,
+                 md5(array_to_string(ws[(i+1):(i+8)], ' ')) AS h
+          FROM w, UNNEST(generate_series(0, len(ws) - 8)) AS u(i)
+          WHERE len(ws) >= 8),
+        d AS (SELECT h FROM g GROUP BY h
+              HAVING COUNT(DISTINCT doc_id) >= 2),
+        p AS (SELECT g.doc_id, g.pos, g.n_tokens
+              FROM g JOIN d USING (h)),
+        c AS (SELECT doc_id, pos, n_tokens,
+                     LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS prev
+              FROM p)
+        SELECT doc_id,
+               CAST(MAX(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS dup_grams,
+               CAST(SUM(CASE WHEN prev IS NULL THEN 8
+                             ELSE LEAST(8, pos - prev) END) AS BIGINT)
+                 AS covered_tokens,
+               ROUND(CAST(SUM(CASE WHEN prev IS NULL THEN 8
+                                   ELSE LEAST(8, pos - prev) END)
+                       AS DOUBLE) / MAX(n_tokens), 6) AS dup_frac
+        FROM c GROUP BY doc_id
+    """,
     "host_degree": """
         WITH e AS (
           SELECT 'h' || CAST(doc_id % 31 AS VARCHAR) AS src,
@@ -2224,6 +2254,20 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return chunk_dedup(d, chunk_words=10).withColumnRenamed("id", "doc_id")
+
+
+def q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc repeated-span coverage (operators/curation.
+    dup_span_coverage, ExactSubstr-style; oracle = same gram hashing +
+    LAG-window interval union in SQL)."""
+    from legislation_scraper_spark.operators.curation import (
+        dup_span_coverage,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return dup_span_coverage(d, gram_words=8).withColumnRenamed(
+        "id", "doc_id"
+    )
 
 
 def _edge_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3089,6 +3133,7 @@ _Q_B2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "inverted_index_salted": q_inverted_index_salted,
     "repetition_scores": q_repetition_scores,
     "chunk_dedup": q_chunk_dedup,
+    "dup_span_coverage": q_dup_span_coverage,
     "host_degree": q_host_degree,
     "pagerank_hosts": q_pagerank_hosts,
     "hits_hosts": q_hits_hosts,

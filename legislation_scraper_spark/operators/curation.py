@@ -467,3 +467,96 @@ def unigram_logprob_scores(
             ).alias("mean_logprob"),
         )
     )
+
+
+def dup_span_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_words: int = 8,
+) -> DataFrame:
+    """Cross-document repeated-span coverage — the ExactSubstr dedup
+    signal (Lee et al. 2022, *Deduplicating Training Data Makes
+    Language Models Better*) reduced to per-doc interval-union counts.
+
+    A ``gram_words``-word rolling window is "duplicated" when the same
+    word sequence occurs in ≥2 DISTINCT documents (within-doc
+    repetition is ``repetition_scores``' job).  Per doc the output is
+    ``(id, n_tokens, dup_grams, covered_tokens, dup_frac)`` where
+    ``covered_tokens`` is the exact union length of all duplicated
+    ``[pos, pos+k)`` spans — the fraction of the document a
+    remove-duplicate-spans pass would cut.
+
+    Scale shape (three bounded shuffles, no windows, no Python):
+    1. gram hashes (16-byte md5, not text) aggregate per hash with a
+       two-phase distinct-doc count — partial-aggregatable;
+    2. the occurrence rows equi-join the duplicated-hash set on the
+       hash — both sides shuffle on a uniform 16-byte key, and a
+       boilerplate gram shared by 10^8 docs stays safe: the dup side
+       is ONE row per hash, so AQE skew-split replicates it under the
+       fat probe partition;
+    3. per-doc positions collect and fold IN-ROW (sort_array +
+       ``F.aggregate`` running ``cov += min(k, pos - prev)``) — the
+       interval union costs zero extra shuffle and no per-doc window.
+    Positions are bounded by document length, so the collected array
+    is the same order of magnitude as the document itself.
+    """
+    k = gram_words
+    w = words(F.col(text_col))
+    n = F.size(w)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.struct(
+                i.cast("int").alias("pos"),
+                F.md5(F.array_join(F.slice(w, i + 1, k), " ")).alias("h"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,h:string>>"))
+    g = (
+        df.select(
+            F.col(id_col).alias("id"),
+            n.alias("n_tokens"),
+            F.explode(grams).alias("gr"),
+        )
+        .select(
+            "id", "n_tokens",
+            F.col("gr.pos").alias("pos"), F.col("gr.h").alias("h"),
+        )
+    )
+    dup = (
+        g.groupBy("h")
+        .agg(F.count_distinct("id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    return (
+        g.join(dup, "h")
+        .groupBy("id")
+        .agg(
+            F.max("n_tokens").cast("bigint").alias("n_tokens"),
+            F.count("*").cast("bigint").alias("dup_grams"),
+            F.sort_array(F.collect_list("pos")).alias("ps"),
+        )
+        .select(
+            "id", "n_tokens", "dup_grams",
+            F.aggregate(
+                "ps",
+                F.struct(
+                    F.lit(0).cast("long").alias("cov"),
+                    F.lit(-k).cast("int").alias("last"),
+                ),
+                lambda acc, p: F.struct(
+                    (acc["cov"] + F.least(F.lit(k), p - acc["last"]))
+                    .alias("cov"),
+                    p.alias("last"),
+                ),
+                lambda acc: acc["cov"],
+            ).alias("covered_tokens"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(F.col("covered_tokens") / F.col("n_tokens"), 6),
+        )
+    )

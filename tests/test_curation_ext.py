@@ -145,6 +145,44 @@ def test_pagerank_empty_edges(spark):
     assert degrees(empty).collect() == []
 
 
+def test_dup_span_coverage_interval_union(spark):
+    from legislation_scraper_spark.operators.curation import (
+        dup_span_coverage,
+    )
+
+    shared = "a b c d"  # one shared 4-gram
+    rows = [
+        # docs 0/1 share the gram at pos 0 → covered = 4 of 6 tokens
+        (0, shared + " x y"),
+        (1, shared + " p q"),
+        # doc 2: two occurrences of the shared gram at pos 0 and 5 —
+        # disjoint spans union to 8 of 9 tokens
+        (2, shared + " z " + shared),
+        # doc 3: grams "a b a b", "b a b c", "a b c d", "b c d e" —
+        # only pos 2 matches docs 0/1, one span covering 4 of 7 tokens
+        (3, "a b a b c d e"),
+        # doc 4: within-doc-only repetition — its gram never appears in
+        # another doc, so it must NOT be counted
+        (4, "r s t u r s t u"),
+        # doc 5: shorter than the gram window → no rows
+        (5, "a b c"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["id"]: (
+            r["n_tokens"], r["dup_grams"], r["covered_tokens"],
+            r["dup_frac"],
+        )
+        for r in dup_span_coverage(df, gram_words=4).collect()
+    }
+    assert got[0] == (6, 1, 4, round(4 / 6, 6))
+    assert got[1] == (6, 1, 4, round(4 / 6, 6))
+    assert got[2] == (9, 2, 8, round(8 / 9, 6))
+    assert got[3] == (7, 1, 4, round(4 / 7, 6))
+    assert 4 not in got          # within-doc repetition ignored
+    assert 5 not in got          # too short for one gram
+
+
 def _py_hits(edges, iters=2):
     nodes = sorted({s for s, _ in edges} | {t for _, t in edges})
     auth = {v: 1.0 for v in nodes}
