@@ -1713,6 +1713,25 @@ _ORACLE_B2: dict[str, str] = {
                        AS DOUBLE) / MAX(n_tokens), 6) AS dup_frac
         FROM c GROUP BY doc_id
     """,
+    "host_overlap": r"""
+        WITH w AS (
+          SELECT source, list_filter(string_split_regex(trim(text), '\s+'),
+                                     x -> x <> '') AS ws
+          FROM documents),
+        g AS (
+          SELECT DISTINCT source AS host,
+                 md5(array_to_string(ws[(i+1):(i+8)], ' ')) AS h
+          FROM w, UNNEST(generate_series(0, len(ws) - 8)) AS u(i)
+          WHERE len(ws) >= 8),
+        b AS (SELECT h FROM g GROUP BY h
+              HAVING COUNT(*) >= 2 AND COUNT(*) <= 100),
+        p AS (SELECT g1.host AS host_a, g2.host AS host_b
+              FROM g g1 JOIN g g2 ON g1.h = g2.h
+                        JOIN b ON g1.h = b.h
+              WHERE g1.host < g2.host)
+        SELECT host_a, host_b, CAST(COUNT(*) AS BIGINT) AS shared
+        FROM p GROUP BY host_a, host_b
+    """,
     "host_degree": """
         WITH e AS (
           SELECT 'h' || CAST(doc_id % 31 AS VARCHAR) AS src,
@@ -2268,6 +2287,18 @@ def q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_span_coverage(d, gram_words=8).withColumnRenamed(
         "id", "doc_id"
     )
+
+
+def q_host_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror/shared-template host pairs at 8-gram granularity
+    (operators/dedup.host_overlap_pairs; oracle = the same distinct
+    (gram, host) self-join with the identical degenerate-key cap)."""
+    from legislation_scraper_spark.operators.dedup import (
+        host_overlap_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return host_overlap_pairs(d, gram_words=8, max_hosts=100)
 
 
 def _edge_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3134,6 +3165,7 @@ _Q_B2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_scores": q_repetition_scores,
     "chunk_dedup": q_chunk_dedup,
     "dup_span_coverage": q_dup_span_coverage,
+    "host_overlap": q_host_overlap,
     "host_degree": q_host_degree,
     "pagerank_hosts": q_pagerank_hosts,
     "hits_hosts": q_hits_hosts,

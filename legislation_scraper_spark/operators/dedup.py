@@ -524,3 +524,65 @@ def embedding_cosine_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("a_id", "b_id", "cosine")
     )
+
+
+def host_overlap_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    host_col: str = "source",
+    gram_words: int | None = 8,
+    max_hosts: int = 100,
+) -> DataFrame:
+    """Host pairs serving identical content — mirror / shared-template
+    detection for the crawl planner (mirrored hosts waste fetch budget;
+    a detected pair lets the scheduler crawl one and sample the other).
+
+    Granularity: with ``gram_words=None`` the unit is the whole-page
+    fingerprint (strict mirrors, ``doc_fingerprints`` convention);
+    with ``gram_words=k`` it is the rolling k-word gram (shared
+    boilerplate/templates — how real mirrors usually surface, since
+    mirrored pages differ in ads/timestamps).  Output:
+    ``(host_a, host_b, shared)`` with host_a < host_b, ``shared`` =
+    distinct common fingerprints.
+
+    Plan shape (all join-free, the minhash_lsh_pairs discipline):
+    distinct (hash, host) → one exchange; collect_set(host) per hash
+    with the ``max_hosts`` degenerate-key cap (an empty-page hash
+    shared by every host of the web must not expand to |hosts|²
+    pairs); in-array ``pair_expansion``; count per pair — the final
+    shuffle moves only (host_a, host_b) keys, bounded by |hosts|².
+    """
+    if gram_words is None:
+        key = F.md5(
+            F.lower(
+                F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+            )
+        )
+        occ = df.select(key.alias("h"), F.col(host_col).alias("host"))
+    else:
+        k = gram_words
+        w = T.words(F.col(text_col))
+        n = F.size(w)
+        grams = F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(0), n - k),
+                lambda i: F.md5(F.array_join(F.slice(w, i + 1, k), " ")),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        occ = df.select(
+            F.explode(grams).alias("h"), F.col(host_col).alias("host")
+        )
+    grouped = (
+        occ.distinct()
+        .groupBy("h")
+        .agg(F.array_sort(F.collect_set("host")).alias("hosts"))
+        .filter((F.size("hosts") >= 2) & (F.size("hosts") <= max_hosts))
+    )
+    return (
+        grouped.select(F.explode(pair_expansion(F.col("hosts"))).alias("p"))
+        .groupBy(
+            F.col("p.a_id").alias("host_a"), F.col("p.b_id").alias("host_b")
+        )
+        .agg(F.count("*").cast("bigint").alias("shared"))
+    )

@@ -183,6 +183,41 @@ def test_dup_span_coverage_interval_union(spark):
     assert 5 not in got          # too short for one gram
 
 
+def test_host_overlap_pairs_modes_and_cap(spark):
+    from legislation_scraper_spark.operators.dedup import (
+        host_overlap_pairs,
+    )
+
+    rows = [
+        (0, "h1", "the quick brown fox jumps"),
+        (1, "h2", "the quick brown fox jumps"),   # full mirror of doc 0
+        (2, "h3", "the quick brown fox sleeps"),  # shares a 4-gram only
+        (3, "h4", "totally different text here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    # whole-doc mode: only the strict mirror pair survives
+    full = {
+        (r["host_a"], r["host_b"]): r["shared"]
+        for r in host_overlap_pairs(df, gram_words=None).collect()
+    }
+    assert full == {("h1", "h2"): 1}
+    # gram mode: h3 joins via the shared "the quick brown fox" 4-gram
+    gram = {
+        (r["host_a"], r["host_b"]): r["shared"]
+        for r in host_overlap_pairs(df, gram_words=4).collect()
+    }
+    assert gram[("h1", "h2")] == 2          # both rolling 4-grams match
+    assert gram[("h1", "h3")] == 1 and gram[("h2", "h3")] == 1
+    assert not any("h4" in p for p in gram)
+    # degenerate-key cap: "the quick brown fox" spans 3 hosts and is
+    # dropped at max_hosts=2; only the 2-host gram pair survives
+    capped = {
+        (r["host_a"], r["host_b"]): r["shared"]
+        for r in host_overlap_pairs(df, gram_words=4, max_hosts=2).collect()
+    }
+    assert capped == {("h1", "h2"): 1}
+
+
 def _py_hits(edges, iters=2):
     nodes = sorted({s for s, _ in edges} | {t for _, t in edges})
     auth = {v: 1.0 for v in nodes}
