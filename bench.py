@@ -96,6 +96,8 @@ HEADLINE_EXT = [
     "hll_tokens",
     "classifier_scores",
     "hits_hosts",
+    "dup_span_coverage",
+    "host_overlap",
 ]
 
 

@@ -488,10 +488,14 @@ def dup_span_coverage(
     remove-duplicate-spans pass would cut.
 
     Scale shape (three bounded shuffles, no windows, no Python):
-    1. gram hashes (16-byte md5, not text) aggregate per hash with a
-       two-phase distinct-doc count — partial-aggregatable;
+    1. gram hashes (8-byte xxhash64, not text — the hash never
+       surfaces in output, so it only has to be collision-free, not
+       engine-neutral; the oracle's md5 yields identical COUNTS)
+       aggregate per hash; "≥2 distinct docs" is decided by
+       ``min(id) != max(id)`` — two plain partial-aggregatable
+       extrema instead of a two-phase distinct count;
     2. the occurrence rows equi-join the duplicated-hash set on the
-       hash — both sides shuffle on a uniform 16-byte key, and a
+       hash — both sides shuffle on a uniform 8-byte key, and a
        boilerplate gram shared by 10^8 docs stays safe: the dup side
        is ONE row per hash, so AQE skew-split replicates it under the
        fat probe partition;
@@ -510,10 +514,11 @@ def dup_span_coverage(
             F.sequence(F.lit(0), n - k),
             lambda i: F.struct(
                 i.cast("int").alias("pos"),
-                F.md5(F.array_join(F.slice(w, i + 1, k), " ")).alias("h"),
+                F.xxhash64(F.array_join(F.slice(w, i + 1, k), " "))
+                .alias("h"),
             ),
         ),
-    ).otherwise(F.array().cast("array<struct<pos:int,h:string>>"))
+    ).otherwise(F.array().cast("array<struct<pos:int,h:bigint>>"))
     g = (
         df.select(
             F.col(id_col).alias("id"),
@@ -527,8 +532,8 @@ def dup_span_coverage(
     )
     dup = (
         g.groupBy("h")
-        .agg(F.count_distinct("id").alias("nd"))
-        .filter(F.col("nd") >= 2)
+        .agg(F.min("id").alias("lo"), F.max("id").alias("hi"))
+        .filter(F.col("lo") != F.col("hi"))
         .select("h")
     )
     return (
