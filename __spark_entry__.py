@@ -825,6 +825,72 @@ _CAPS_SQL = """
 
 
 _ORACLE_B2: dict[str, str] = {
+    "redirect_resolve": r"""
+        WITH RECURSIVE e AS (
+          SELECT 'u' || CAST(doc_id AS VARCHAR) AS src,
+                 'u' || CAST(CASE WHEN doc_id % 500 = 377 THEN doc_id + 1
+                                  ELSE doc_id - 1 END AS VARCHAR) AS dst
+          FROM documents WHERE doc_id % 16 <> 0),
+        walk AS (
+          SELECT src, dst AS cur, 1 AS hops FROM e
+          UNION ALL
+          SELECT w.src, e.dst, w.hops + 1
+          FROM walk w JOIN e ON w.cur = e.src
+          WHERE w.hops < 32),
+        last AS (
+          SELECT src, cur, hops,
+                 ROW_NUMBER() OVER (PARTITION BY src
+                                    ORDER BY hops DESC) AS rn
+          FROM walk)
+        SELECT l.src, l.cur AS final_url, CAST(l.hops AS INT) AS hops,
+               (t.src IS NULL) AS resolved
+        FROM last l
+        LEFT JOIN (SELECT DISTINCT src FROM e) t ON l.cur = t.src
+        WHERE l.rn = 1
+    """,
+    "bm25_topk": r"""
+        WITH w AS (
+          SELECT doc_id AS id,
+                 list_filter(string_split_regex(trim(text), '\s+'),
+                             x -> x <> '') AS ws
+          FROM documents),
+        t AS (
+          SELECT id, CAST(len(ws) AS DOUBLE) AS dl,
+                 CAST(len(list_filter(ws, x -> x = 'spark'))
+                   AS DOUBLE) AS tf0,
+                 CAST(len(list_filter(ws, x -> x = 'merge'))
+                   AS DOUBLE) AS tf1,
+                 CAST(len(list_filter(ws, x -> x = 'window'))
+                   AS DOUBLE) AS tf2,
+                 CAST(len(list_filter(ws, x -> x = 'quantum'))
+                   AS DOUBLE) AS tf3
+          FROM w),
+        s AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl,
+                 CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)
+                   AS DOUBLE) AS df0,
+                 CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)
+                   AS DOUBLE) AS df1,
+                 CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)
+                   AS DOUBLE) AS df2,
+                 CAST(SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END)
+                   AS DOUBLE) AS df3
+          FROM t)
+        SELECT id, score FROM (
+          SELECT id, ROUND(
+              ln(1 + (n_docs - df0 + 0.5) / (df0 + 0.5))
+                * (tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+            + ln(1 + (n_docs - df1 + 0.5) / (df1 + 0.5))
+                * (tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+            + ln(1 + (n_docs - df2 + 0.5) / (df2 + 0.5))
+                * (tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+            + ln(1 + (n_docs - df3 + 0.5) / (df3 + 0.5))
+                * (tf3 * 2.2 / (tf3 + 1.2 * (0.25 + 0.75 * dl / avgdl))),
+            6) AS score
+          FROM t, s)
+        WHERE score > 0
+        ORDER BY score DESC, id LIMIT 10
+    """,
     "change_rates": _CAPS_SQL
     + """
         SELECT urlkey, n_captures, n_changes, span_secs,
@@ -2346,6 +2412,53 @@ def q_hits_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _redirect_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic redirect edges from doc ids (both engines build
+    the identical functional set): u{k} → u{k-1} for k % 16 != 0 —
+    descending chains of ≤15 hops terminating at multiples of 16 —
+    except k % 500 == 377 redirects FORWARD to u{k+1}, creating a
+    377↔378 two-cycle every 500 ids (plus rho-shaped tails feeding
+    it), so terminals, plain chains, loops, and loop-tails are all
+    exercised."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    return d.filter(did % 16 != 0).select(
+        F.concat(F.lit("u"), did.cast("string")).alias("src"),
+        F.concat(
+            F.lit("u"),
+            F.when(did % 500 == 377, did + 1)
+            .otherwise(did - 1)
+            .cast("string"),
+        ).alias("dst"),
+    )
+
+
+def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTP 3xx chain resolution to terminal URLs by pointer doubling
+    (operators/redirects.resolve_redirects, O(log max_hops) self-joins;
+    oracle = step-capped sequential walk as a recursive CTE — both land
+    on the same node after exactly max_hops steps for loop rows)."""
+    from legislation_scraper_spark.operators.redirects import (
+        resolve_redirects,
+    )
+
+    return resolve_redirects(_redirect_synth(spark, sf_dir), max_hops=32)
+
+
+_BM25_TERMS = ["spark", "merge", "window", "quantum"]
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 over the corpus for a fixed 4-term query, one
+    term absent from the vocabulary (operators/index.bm25_topk —
+    in-row tf, ONE 1-row stats aggregate, TakeOrderedAndProject top-k;
+    oracle = the same arithmetic in SQL, 6dp-rounded, id tie-break)."""
+    from legislation_scraper_spark.operators.index import bm25_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_topk(d, _BM25_TERMS, k=10)
+
+
 def _capture_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 6-capture history per urlkey from `documents`:
     capture i occurs at base + i*interval (interval 1..5 days by doc);
@@ -3126,6 +3239,8 @@ def q_viewstate_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q_B2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "datatables_scan": q_datatables_scan,
+    "redirect_resolve": q_redirect_resolve,
+    "bm25_topk": q_bm25_topk,
     "viewstate_scan": q_viewstate_scan,
     "cdx_parse": q_cdx_parse,
     "cdx_latest": q_cdx_latest,

@@ -98,6 +98,8 @@ HEADLINE_EXT = [
     "hits_hosts",
     "dup_span_coverage",
     "host_overlap",
+    "redirect_resolve",
+    "bm25_topk",
 ]
 
 

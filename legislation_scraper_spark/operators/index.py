@@ -143,3 +143,83 @@ def inverted_index_salted(
         "term", "df_count", "postings",
         F.md5(F.concat_ws(",", F.col("postings"))).alias("postings_md5"),
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 top-``k`` documents for a small literal query — the
+    retrieval query the inverted index exists to serve, here answered
+    straight off the corpus in ONE pass.
+
+    Okapi BM25 with ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))``; terms
+    absent from the corpus get the maximal idf but contribute 0 (their
+    tf is 0 everywhere).
+
+    Plan shape (the point of this operator — NO per-term shuffle):
+    1. per-document term frequencies are computed IN ROW
+       (``size(filter(ws, w == term))`` per query term) — query terms
+       are a small literal set, so no explode and no (term, doc)
+       exchange exists at all;
+    2. the corpus statistics BM25 needs (N, avgdl, per-term document
+       frequencies) reduce to ONE global aggregation row — partial
+       aggregation does the heavy lifting map-side and the single row
+       broadcast-joins back (`crossJoin` of a 1-row frame);
+    3. scores are pure codegen arithmetic per row, and the final
+       top-``k`` is ``orderBy(...).limit(k)`` — Spark executes it as
+       TakeOrderedAndProject (per-partition partial top-k, no global
+       sort).
+
+    Scores are rounded to 6dp and tie-broken on ``id`` so the ranking
+    is engine-deterministic (double sums are order-dependent).
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        words(F.col(text_col)).alias("ws"),
+    ).withColumn("dl", F.size("ws").cast("double"))
+    def _tf(term: str):  # noqa: ANN202 — one-arg lambda: a 2-arg
+        # lambda would be called as (element, index) by F.filter
+        return F.size(F.filter(F.col("ws"), lambda w: w == F.lit(term)))
+
+    tf = base.select(
+        "id",
+        "dl",
+        *[
+            _tf(t).cast("double").alias(f"tf_{i}")
+            for i, t in enumerate(query_terms)
+        ],
+    )
+    stats = tf.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("double")).alias(f"df_{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    scored = tf.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(query_terms)):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df_{i}") + 0.5)
+            / (F.col(f"df_{i}") + 0.5)
+        )
+        t = F.col(f"tf_{i}")
+        part = idf * (
+            t * (k1 + 1.0)
+            / (t + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+        )
+        score = part if score is None else score + part
+    return (
+        scored.select("id", F.round(score, 6).alias("score"))
+        .filter(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), F.col("id"))
+        .limit(k)
+    )
