@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import word_shingles, words
+from ..functions.text import let, word_shingles, words
 
 # pattern, replacement-tag pairs; ORDER MATTERS (CPF before phone —
 # a CPF's digit shape must not be half-eaten by the phone pattern)
@@ -506,24 +506,43 @@ def dup_span_coverage(
     is the same order of magnitude as the document itself.
     """
     k = gram_words
-    w = words(F.col(text_col))
-    n = F.size(w)
-    grams = F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(0), n - k),
-            lambda i: F.struct(
-                i.cast("int").alias("pos"),
-                F.xxhash64(F.array_join(F.slice(w, i + 1, k), " "))
-                .alias("h"),
+
+    def _grams(th):
+        # gram hash = xxhash64 over the k token hashes (integer tuple,
+        # not a re-joined string): each token is hashed ONCE per doc
+        # and each gram hashes k fixed-width bigints — same equality
+        # classes as hashing the joined text, ~4x less work
+        n = F.size(th)
+        return F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(0), n - k),
+                lambda i: F.struct(
+                    i.cast("int").alias("pos"),
+                    F.xxhash64(
+                        *[F.element_at(th, i + j) for j in range(1, k + 1)]
+                    ).alias("h"),
+                ),
             ),
+        ).otherwise(F.array().cast("array<struct<pos:int,h:bigint>>"))
+
+    # let-bind tokens AND their hash array: Spark does no CSE inside
+    # lambda bodies, so unbound they would re-evaluate per gram
+    packed = let(
+        words(F.col(text_col)),
+        lambda ws: F.struct(
+            F.size(ws).alias("n"),
+            let(
+                F.transform(ws, lambda t: F.xxhash64(t)), _grams
+            ).alias("grams"),
         ),
-    ).otherwise(F.array().cast("array<struct<pos:int,h:bigint>>"))
+    )
     g = (
-        df.select(
-            F.col(id_col).alias("id"),
-            n.alias("n_tokens"),
-            F.explode(grams).alias("gr"),
+        df.select(F.col(id_col).alias("id"), packed.alias("p"))
+        .select(
+            "id",
+            F.col("p.n").alias("n_tokens"),
+            F.explode("p.grams").alias("gr"),
         )
         .select(
             "id", "n_tokens",

@@ -561,15 +561,28 @@ def host_overlap_pairs(
         occ = df.select(key.alias("h"), F.col(host_col).alias("host"))
     else:
         k = gram_words
-        w = T.words(F.col(text_col))
-        n = F.size(w)
-        grams = F.when(
-            n >= k,
-            F.transform(
-                F.sequence(F.lit(0), n - k),
-                lambda i: F.md5(F.array_join(F.slice(w, i + 1, k), " ")),
+        # token hashes bound once per doc (no CSE inside lambdas), gram
+        # key = xxhash64 over the k-tuple of token hashes — identical
+        # equality classes to hashing the joined gram text, no string
+        # rebuild per gram (same discipline as dup_span_coverage)
+        grams = T.let(
+            T.words(F.col(text_col)),
+            lambda ws: T.let(
+                F.transform(ws, lambda t: F.xxhash64(t)),
+                lambda th: F.when(
+                    F.size(th) >= k,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(th) - k),
+                        lambda i: F.xxhash64(
+                            *[
+                                F.element_at(th, i + j)
+                                for j in range(1, k + 1)
+                            ]
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<bigint>")),
             ),
-        ).otherwise(F.array().cast("array<string>"))
+        )
         occ = df.select(
             F.explode(grams).alias("h"), F.col(host_col).alias("host")
         )
