@@ -848,6 +848,26 @@ _ORACLE_B2: dict[str, str] = {
         LEFT JOIN (SELECT DISTINCT src FROM e) t ON l.cur = t.src
         WHERE l.rn = 1
     """,
+    "session_windows": r"""
+        WITH x AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN LAG(ts) OVER w IS NULL
+                        OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS ns
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (
+          SELECT user_id, ts,
+                 SUM(ns) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+          FROM x)
+        SELECT user_id AS key,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM s GROUP BY user_id, sid
+    """,
     "bm25_topk": r"""
         WITH w AS (
           SELECT doc_id AS id,
@@ -2445,6 +2465,23 @@ def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resolve_redirects(_redirect_synth(spark, sf_dir), max_hops=32)
 
 
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization with the NATIVE session_window operator
+    (streaming/session_stream.sessionize — Catalyst SessionWindow
+    assigns+merges inside ONE aggregation; the lag-window formulation
+    q_sessionize_gap stays as the classic twin).  Session end = last
+    event + gap (Spark's convention, mirrored in the oracle);
+    boundary rule: a gap of EXACTLY 30min still MERGES (Spark treats
+    the window end inclusively); only a strictly larger gap starts a
+    new session."""
+    from legislation_scraper_spark.streaming.session_stream import (
+        sessionize,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return sessionize(e, key_col="user_id", ts_col="ts", gap="30 minutes")
+
+
 _BM25_TERMS = ["spark", "merge", "window", "quantum"]
 
 
@@ -3241,6 +3278,7 @@ _Q_B2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "datatables_scan": q_datatables_scan,
     "redirect_resolve": q_redirect_resolve,
     "bm25_topk": q_bm25_topk,
+    "session_windows": q_session_windows,
     "viewstate_scan": q_viewstate_scan,
     "cdx_parse": q_cdx_parse,
     "cdx_latest": q_cdx_latest,

@@ -100,6 +100,7 @@ HEADLINE_EXT = [
     "host_overlap",
     "redirect_resolve",
     "bm25_topk",
+    "session_windows",
 ]
 
 
