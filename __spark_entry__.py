@@ -848,6 +848,46 @@ _ORACLE_B2: dict[str, str] = {
         LEFT JOIN (SELECT DISTINCT src FROM e) t ON l.cur = t.src
         WHERE l.rn = 1
     """,
+    "cms_tokens": r"""
+        WITH toks AS (
+          SELECT u.t AS tok
+          FROM documents,
+               unnest(string_split_regex(text, '\s+')) AS u(t)
+          WHERE u.t <> ''),
+        rows_ AS (SELECT unnest([0, 1, 2, 3]) AS r),
+        pairs AS (
+          SELECT r,
+            ((strpos('0123456789abcdef',
+                     substr(md5(tok), 1 + 3 * r, 1)) - 1) * 256
+           + (strpos('0123456789abcdef',
+                     substr(md5(tok), 2 + 3 * r, 1)) - 1) * 16
+           + (strpos('0123456789abcdef',
+                     substr(md5(tok), 3 + 3 * r, 1)) - 1)) % 1024 AS b
+          FROM toks, rows_),
+        regs AS (SELECT r, b, CAST(COUNT(*) AS BIGINT) AS c
+                 FROM pairs GROUP BY r, b),
+        probes AS (SELECT unnest(
+            ['spark', 'merge', 'window', 'quantum', 'data']) AS key),
+        pcells AS (
+          SELECT key, r,
+            ((strpos('0123456789abcdef',
+                     substr(md5(key), 1 + 3 * r, 1)) - 1) * 256
+           + (strpos('0123456789abcdef',
+                     substr(md5(key), 2 + 3 * r, 1)) - 1) * 16
+           + (strpos('0123456789abcdef',
+                     substr(md5(key), 3 + 3 * r, 1)) - 1)) % 1024 AS b
+          FROM probes, rows_),
+        est AS (SELECT key, CAST(MIN(COALESCE(c, 0)) AS BIGINT) AS est
+                FROM pcells LEFT JOIN regs USING (r, b) GROUP BY key),
+        exact AS (SELECT tok AS key, CAST(COUNT(*) AS BIGINT) AS n_exact
+                  FROM toks
+                  WHERE tok IN ('spark', 'merge', 'window', 'quantum',
+                                'data')
+                  GROUP BY tok)
+        SELECT e.key, CAST(COALESCE(x.n_exact, 0) AS BIGINT) AS n_exact,
+               e.est
+        FROM est e LEFT JOIN exact x USING (key)
+    """,
     "session_windows": r"""
         WITH x AS (
           SELECT user_id, ts, event_id,
@@ -2857,6 +2897,25 @@ def q_hll_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_cardinality(toks, "tok")
 
 
+_CMS_PROBES = ["spark", "merge", "window", "quantum", "data"]
+
+
+def q_cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency estimates for 5 probe tokens (one absent)
+    over the corpus token stream (operators/sketches.cms_counts): like
+    the HLL, the md5-digit register construction is engine-neutral, so
+    the oracle replays the EXACT d×w register state and min-estimate —
+    and the CMS over-count guarantee (est ≥ n_exact) is visible in the
+    checked values."""
+    from legislation_scraper_spark.operators.sketches import cms_counts
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split("text", r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return cms_counts(toks, "tok", _CMS_PROBES)
+
+
 def q_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed-feature linear-classifier inference
     (operators/classifier.py): md5 hashing-trick buckets, literal-array
@@ -3299,6 +3358,7 @@ _Q_B2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "http_parse": q_http_parse,
     "charset_decode": q_charset_decode,
     "hll_tokens": q_hll_tokens,
+    "cms_tokens": q_cms_tokens,
     "classifier_scores": q_classifier_scores,
     "host_lang_rollup": q_host_lang_rollup,
     "cc_pipeline": q_cc_pipeline,

@@ -101,6 +101,7 @@ HEADLINE_EXT = [
     "redirect_resolve",
     "bm25_topk",
     "session_windows",
+    "cms_tokens",
 ]
 
 

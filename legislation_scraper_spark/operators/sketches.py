@@ -112,3 +112,90 @@ def hll_cardinality(df: DataFrame, col: str) -> DataFrame:
         "n_exact", "m", "v_empty", "s_fixed",
         F.round(corrected, 2).alias("est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch — frequency estimation with the same cross-engine
+# register discipline as the HLL above.
+# ---------------------------------------------------------------------------
+
+CMS_D = 4                # hash rows
+CMS_W = 1024             # buckets per row
+
+
+def cms_buckets(col: Column, d: int = CMS_D, w: int = CMS_W) -> list[Column]:
+    """Row-i bucket = (3 hex chars of md5 starting at 1+3i) mod w —
+    d independent-enough hash rows, every engine computes them
+    identically (md5 + substring + base-16 digits)."""
+    h = F.md5(col.cast("string"))
+    return [
+        (F.conv(F.substring(h, 1 + 3 * i, 3), 16, 10).cast("int") % w)
+        for i in range(d)
+    ]
+
+
+def cms_counts(
+    df: DataFrame,
+    col: str,
+    probes: list[str],
+    d: int = CMS_D,
+    w: int = CMS_W,
+) -> DataFrame:
+    """Count-Min frequency estimates for ``probes`` over ``df[col]``.
+
+    Output: one row per probe — ``(key, n_exact, est)`` with the CMS
+    guarantee ``est >= n_exact`` (collisions only ever ADD).
+
+    Scale shape: the register build explodes each occurrence into its
+    ``d`` (row, bucket) cells, but the groupBy's map-side partial
+    aggregation caps every partition's exchange contribution at
+    ``d x w`` rows — the shuffle is O(d·w), input-size-independent,
+    the same property as the HLL.  The probe-side estimate joins the
+    ≤ d·w register rows (broadcast) against the literal probe set and
+    takes ``min`` per key — no second pass over the data.
+    """
+    c = F.col(col)
+    cells = F.array(
+        *[
+            F.struct(F.lit(i).alias("r"), b.alias("b"))
+            for i, b in enumerate(cms_buckets(c, d, w))
+        ]
+    )
+    regs = (
+        df.select(F.explode(cells).alias("rb"))
+        .groupBy(F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    spark = df.sparkSession
+    pr = spark.createDataFrame([(p,) for p in probes], "key string")
+    pr_cells = pr.select(
+        "key",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("r"), b.alias("b"))
+                    for i, b in enumerate(
+                        cms_buckets(F.col("key"), d, w)
+                    )
+                ]
+            )
+        ).alias("rb"),
+    ).select("key", F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+    est = (
+        pr_cells.join(F.broadcast(regs), ["r", "b"], "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce("c", F.lit(0))).cast("bigint").alias("est"))
+    )
+    exact = (
+        df.filter(c.isin(probes))
+        .groupBy(c.alias("key"))
+        .agg(F.count("*").cast("bigint").alias("n_exact"))
+    )
+    return (
+        est.join(F.broadcast(exact), "key", "left")
+        .select(
+            "key",
+            F.coalesce("n_exact", F.lit(0)).cast("bigint").alias("n_exact"),
+            "est",
+        )
+    )

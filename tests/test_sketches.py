@@ -54,3 +54,61 @@ def test_duplicates_do_not_move_the_estimate(spark):
     a = hll_cardinality(base, "k").collect()[0]
     b = hll_cardinality(dup, "k").collect()[0]
     assert (a.s_fixed, a.v_empty, a.est) == (b.s_fixed, b.v_empty, b.est)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+
+def _py_cms_bucket(key: str, r: int, w: int = 1024) -> int:
+    import hashlib
+
+    h = hashlib.md5(key.encode()).hexdigest()
+    return int(h[3 * r:3 * r + 3], 16) % w
+
+
+def test_cms_matches_python_twin_and_overcounts(spark):
+    from collections import Counter
+
+    from legislation_scraper_spark.operators.sketches import cms_counts
+
+    items = (
+        ["alpha"] * 50 + ["beta"] * 7 + ["gamma"] * 1
+        + [f"noise-{i}" for i in range(3000)]
+    )
+    df = spark.createDataFrame([(x,) for x in items], "k string")
+    probes = ["alpha", "beta", "gamma", "absent"]
+    got = {r["key"]: (r["n_exact"], r["est"])
+           for r in cms_counts(df, "k", probes).collect()}
+    assert set(got) == set(probes)
+
+    # python twin: replay the registers exactly
+    regs: Counter = Counter()
+    for x in items:
+        for r in range(4):
+            regs[(r, _py_cms_bucket(x, r))] += 1
+    for p in probes:
+        exact = items.count(p)
+        est = min(regs.get((r, _py_cms_bucket(p, r)), 0) for r in range(4))
+        assert got[p] == (exact, est), p
+        # CMS guarantee: never undercounts
+        assert got[p][1] >= got[p][0], p
+
+
+def test_cms_register_shuffle_is_bounded(spark):
+    # the register build must aggregate map-side: the exchange carries
+    # (r, b) partial counts, never raw occurrences
+    from legislation_scraper_spark.operators.sketches import cms_counts
+
+    df = spark.range(5000).select(
+        F.concat(F.lit("k"), (F.col("id") % 17)).alias("k")
+    )
+    out = cms_counts(df, "k", ["k1", "k2"])
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    # partial HashAggregate below the exchange on the register build
+    assert "HashAggregate" in plan
+    # probe-side joins are broadcast (registers are <= d*w rows)
+    assert "SortMergeJoin" not in plan
