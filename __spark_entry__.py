@@ -848,6 +848,29 @@ _ORACLE_B2: dict[str, str] = {
         LEFT JOIN (SELECT DISTINCT src FROM e) t ON l.cur = t.src
         WHERE l.rn = 1
     """,
+    "hist_quantiles": r"""
+        WITH v AS (
+          SELECT CAST(len(list_filter(
+                   string_split_regex(trim(text), '\s+'),
+                   x -> x <> '')) AS DOUBLE) AS val
+          FROM documents),
+        h AS (
+          SELECT LEAST(1023, GREATEST(0,
+                   CAST(FLOOR(val / 4.0) AS INT))) AS bin,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM v GROUP BY 1),
+        cum AS (
+          SELECT bin, SUM(c) OVER (ORDER BY bin
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+          FROM h),
+        nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM h),
+        qs AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q)
+        SELECT q, nn.n AS n, CAST(MIN(bin) AS INT) AS bin,
+               CAST(ROUND((MIN(bin) + 1) * 4.0, 6) AS DOUBLE) AS est
+        FROM qs, nn, cum
+        WHERE cum >= CEIL(q * nn.n)
+        GROUP BY q, nn.n
+    """,
     "cms_tokens": r"""
         WITH toks AS (
           SELECT u.t AS tok
@@ -2897,6 +2920,29 @@ def q_hll_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_cardinality(toks, "tok")
 
 
+def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch quantiles of document token length
+    (operators/sketches.hist_quantiles): approx_percentile's sketch is
+    engine-private, so the sketch tier uses fixed integer binning the
+    oracle replays exactly — bin counts, cumulative walk, and the
+    right-edge estimates are all value-checked.  Exact per-source
+    quantiles live in `length_quantiles`; this is the O(bins)-shuffle
+    companion for 100 TB scans."""
+    from legislation_scraper_spark.operators.sketches import (
+        hist_quantiles,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    lens = d.select(
+        F.size(
+            F.filter(
+                F.split(F.trim("text"), r"\s+"), lambda x: x != F.lit("")
+            )
+        ).alias("n_tokens")
+    )
+    return hist_quantiles(lens, "n_tokens", lo=0.0, hi=4096.0, bins=1024)
+
+
 _CMS_PROBES = ["spark", "merge", "window", "quantum", "data"]
 
 
@@ -3359,6 +3405,7 @@ _Q_B2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "charset_decode": q_charset_decode,
     "hll_tokens": q_hll_tokens,
     "cms_tokens": q_cms_tokens,
+    "hist_quantiles": q_hist_quantiles,
     "classifier_scores": q_classifier_scores,
     "host_lang_rollup": q_host_lang_rollup,
     "cc_pipeline": q_cc_pipeline,

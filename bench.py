@@ -102,6 +102,7 @@ HEADLINE_EXT = [
     "bm25_topk",
     "session_windows",
     "cms_tokens",
+    "hist_quantiles",
 ]
 
 

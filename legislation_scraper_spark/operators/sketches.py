@@ -199,3 +199,73 @@ def cms_counts(
             "est",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bin histogram quantiles — the quantile member of the sketch
+# family (HLL = distinct, CMS = frequency, histogram = quantiles).
+# ---------------------------------------------------------------------------
+
+
+def hist_quantiles(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    bins: int = 1024,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Approximate quantiles from a fixed-bin histogram.
+
+    ``approx_percentile``'s sketch is engine-private; this histogram is
+    plain integer binning, so an independent engine replays the EXACT
+    bin counts and estimates.  Output: one row per requested quantile —
+    ``(q, n, bin, est)`` where ``bin`` is the smallest bin whose
+    cumulative count reaches ``ceil(q*n)`` and ``est`` its right edge.
+
+    Scale shape: the only data-sized operation is the bin groupBy,
+    whose map-side partial aggregation caps the exchange at ``bins``
+    rows per partition; the cumulative window and the quantile probe
+    run over ≤ ``bins`` rows (the documented bounded-frame exception
+    to the no-global-window rule).  Estimate error is bounded by one
+    bin width — callers pick (lo, hi, bins) from schema knowledge.
+    """
+    from pyspark.sql import Window
+
+    step = (hi - lo) / bins
+    v = F.col(col).cast("double")
+    b = F.least(
+        F.lit(bins - 1),
+        F.greatest(
+            F.lit(0), F.floor((v - F.lit(lo)) / F.lit(step)).cast("int")
+        ),
+    )
+    h = df.select(b.alias("bin")).groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = h.withColumn("cum", F.sum("c").over(w)).crossJoin(
+        F.broadcast(h.agg(F.sum("c").cast("bigint").alias("n")))
+    )
+    spark = df.sparkSession
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    hit = qdf.join(
+        F.broadcast(cum),
+        F.col("cum") >= F.ceil(F.col("q") * F.col("n")),
+        "left",
+    )
+    return (
+        hit.groupBy("q")
+        .agg(
+            F.max("n").alias("n"),
+            F.min("bin").alias("bin"),
+        )
+        .select(
+            "q",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+            "bin",
+            F.round(
+                F.lit(lo) + (F.col("bin") + 1) * F.lit(step), 6
+            ).alias("est"),
+        )
+    )

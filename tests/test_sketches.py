@@ -112,3 +112,40 @@ def test_cms_register_shuffle_is_bounded(spark):
     assert "HashAggregate" in plan
     # probe-side joins are broadcast (registers are <= d*w rows)
     assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantiles
+# ---------------------------------------------------------------------------
+
+
+def test_hist_quantiles_within_one_bin_of_exact(spark):
+    import numpy as np
+
+    from legislation_scraper_spark.operators.sketches import hist_quantiles
+
+    vals = [float(i % 997) for i in range(10000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    rows = {r["q"]: r for r in
+            hist_quantiles(df, "v", lo=0.0, hi=1000.0, bins=500).collect()}
+    arr = np.sort(np.array(vals))
+    for q, r in rows.items():
+        exact = arr[min(len(arr) - 1, int(np.ceil(q * len(arr))) - 1)]
+        assert r["n"] == len(vals)
+        # estimate = right bin edge -> within one bin width above exact
+        assert 0 <= r["est"] - exact <= 2.0, (q, r["est"], exact)
+
+
+def test_hist_quantiles_clamps_out_of_range(spark):
+    from legislation_scraper_spark.operators.sketches import hist_quantiles
+
+    df = spark.createDataFrame(
+        [(-50.0,), (0.0,), (5.0,), (999.0,), (10_000.0,)], "v double"
+    )
+    rows = {r["q"]: r for r in
+            hist_quantiles(df, "v", lo=0.0, hi=100.0, bins=100,
+                           qs=(0.01, 0.99)).collect()}
+    # out-of-range values land in the edge bins, never drop
+    assert all(r["n"] == 5 for r in rows.values())
+    assert rows[0.01]["bin"] == 0
+    assert rows[0.99]["bin"] == 99
