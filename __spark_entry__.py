@@ -1953,6 +1953,134 @@ _ORACLE_B2: dict[str, str] = {
         SELECT a2.node, ROUND(a2.auth, 6) AS auth, ROUND(h2.hub, 6) AS hub
         FROM a2 JOIN h2 ON a2.node = h2.node
     """,
+    "trustrank_hosts": """
+        WITH e AS (
+          SELECT 'h' || CAST(doc_id % 31 AS VARCHAR) AS src,
+                 'h' || CAST((doc_id * 7 + 3) % 31 AS VARCHAR) AS dst
+          FROM documents
+          WHERE doc_id % 31 <> (doc_id * 7 + 3) % 31),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        seeds AS (SELECT node FROM nodes
+                  WHERE node IN ('h0', 'h7', 'h14', 'h21', 'h28')),
+        ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM seeds),
+        tn AS (SELECT node,
+                      CASE WHEN node IN (SELECT node FROM seeds)
+                           THEN 1.0 / (SELECT n FROM ns)
+                           ELSE 0.0 END AS tele
+               FROM nodes),
+        od AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS od FROM e
+               GROUP BY src),
+        r0 AS (SELECT node, tele AS rank FROM tn),
+        c1 AS (SELECT e.dst, SUM(r0.rank / od.od) AS c
+               FROM e JOIN r0 ON e.src = r0.node
+                      JOIN od ON e.src = od.src
+               GROUP BY e.dst),
+        r1 AS (SELECT tn.node,
+                      (1.0 - 0.85) * tn.tele + 0.85 * COALESCE(c, 0.0)
+                        AS rank
+               FROM tn LEFT JOIN c1 ON tn.node = c1.dst),
+        c2 AS (SELECT e.dst, SUM(r1.rank / od.od) AS c
+               FROM e JOIN r1 ON e.src = r1.node
+                      JOIN od ON e.src = od.src
+               GROUP BY e.dst),
+        r2 AS (SELECT tn.node,
+                      (1.0 - 0.85) * tn.tele + 0.85 * COALESCE(c, 0.0)
+                        AS rank
+               FROM tn LEFT JOIN c2 ON tn.node = c2.dst)
+        SELECT node, ROUND(rank, 6) AS rank FROM r2
+    """,
+    "url_templates": """
+        WITH caps AS (SELECT UNNEST(generate_series(0, 1)) AS cap),
+        pages AS (
+          SELECT 'https://www.' || source || '.leg.br/norma/'
+                   || CAST(doc_id AS VARCHAR) || '?lang=pt&sid='
+                   || CAST(doc_id % 97 AS VARCHAR) AS url,
+                 text AS content
+          FROM documents
+          UNION ALL
+          SELECT 'https://www.' || source || '.leg.br/agenda/'
+                   || CAST(2000 + doc_id % 25 AS VARCHAR) || '/'
+                   || CAST(cap AS VARCHAR) || '?view=month' AS url,
+                 'calendario ' || source AS content
+          FROM documents, caps WHERE doc_id % 7 = 0),
+        parts AS (
+          SELECT content,
+                 lower(regexp_extract(url,
+                   '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS host,
+                 regexp_replace(url,
+                   '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '') AS pq
+          FROM pages),
+        split AS (
+          SELECT host, content,
+                 CASE WHEN strpos(pq, '?') > 0
+                      THEN substr(pq, 1, strpos(pq, '?') - 1)
+                      ELSE pq END AS path,
+                 CASE WHEN strpos(pq, '?') > 0
+                      THEN substr(pq, strpos(pq, '?') + 1)
+                      ELSE '' END AS q
+          FROM parts),
+        tmpl AS (
+          SELECT host, content,
+                 regexp_replace(regexp_replace(path,
+                     '[0-9a-f]{8,}', '~H', 'g'),
+                   '[0-9]+', '~N', 'g')
+                 || '?' ||
+                 CASE WHEN q = '' THEN ''
+                      ELSE array_to_string(list_sort(list_transform(
+                             string_split(q, '&'),
+                             x -> string_split(x, '=')[1])), ',')
+                 END AS template
+          FROM split)
+        SELECT host, template,
+               CAST(COUNT(*) AS BIGINT) AS n_urls,
+               CAST(COUNT(DISTINCT content) AS BIGINT) AS n_contents,
+               ROUND(CAST(COUNT(*) AS DOUBLE)
+                     / COUNT(DISTINCT content), 6) AS trap_score
+        FROM tmpl GROUP BY host, template
+    """,
+    "scope_filter": """
+        WITH cands0 AS (
+          SELECT 'https://www.' || source || '.leg.br/norma/'
+                   || CAST(doc_id AS VARCHAR) AS url
+          FROM documents
+          UNION ALL
+          SELECT 'https://www.' || source || '.leg.br/busca?q='
+                   || CAST(doc_id AS VARCHAR) AS url
+          FROM documents WHERE doc_id % 3 = 0
+          UNION ALL
+          SELECT 'https://www.portal' || CAST(doc_id % 4 AS VARCHAR)
+                   || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url
+          FROM documents WHERE doc_id % 11 = 0),
+        surted AS (
+          SELECT url,
+                 regexp_replace(regexp_replace(lower(url),
+                   '^[a-z][a-z0-9+.-]*://', ''), '^www\\d*\\.', '') AS nw
+          FROM cands0),
+        keyed AS (
+          SELECT url,
+                 array_to_string(list_reverse(string_split(
+                   string_split(nw, '/')[1], '.')), ',')
+                 || ')' ||
+                 CASE WHEN strpos(nw, '/') = 0 THEN '/'
+                      ELSE substr(nw, strpos(nw, '/')) END AS surt
+          FROM surted),
+        rules(p, a) AS (VALUES
+          ('br,leg,', true),
+          ('br,leg,src1', false),
+          ('br,leg,src1)/norma', true),
+          ('br,leg,src12)', true)),
+        m AS (
+          SELECT k.url, k.surt, r.a,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY k.url
+                   ORDER BY length(r.p) DESC, r.a ASC) AS rn
+          FROM keyed k JOIN rules r ON starts_with(k.surt, r.p))
+        SELECT k.url, k.surt,
+               COALESCE(b.a, false) AS allowed
+        FROM keyed k
+        LEFT JOIN (SELECT url, a FROM m WHERE rn = 1) b
+          ON k.url = b.url
+    """,
     "ficha_enrichment": """
         WITH t AS (
           SELECT doc_id, j
@@ -2492,6 +2620,123 @@ def q_hits_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node",
         F.round("auth", 6).alias("auth"),
         F.round("hub", 6).alias("hub"),
+    )
+
+
+def q_trustrank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two TrustRank iterations over the host graph with the
+    legislative seed set h0/h7/h14/h21/h28 (operators/graph.trustrank:
+    teleport personalized to seeds — the spam-demotion rank the
+    reference's hardcoded source list implies; oracle = the same two
+    iterations as chained SQL CTEs, rounded to 6dp)."""
+    from legislation_scraper_spark.operators.graph import trustrank
+
+    seeds = spark.createDataFrame(
+        [("h0",), ("h7",), ("h14",), ("h21",), ("h28",)], "node string"
+    )
+    r = trustrank(_edge_synth(spark, sf_dir), seeds, iters=2, damping=0.85)
+    return r.select("node", F.round("rank", 6).alias("rank"))
+
+
+def _trap_world(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic page world with a crawler trap: every document is
+    a real /norma/{id} page with its own text, and every 7th document
+    mints TWO /agenda/{year}/{cap} calendar URLs that all share one
+    content per source — the many-URLs-few-contents signature
+    operators/traps.py exists to catch."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    base = F.concat(F.lit("https://www."), F.col("source"), F.lit(".leg.br"))
+    norma = d.select(
+        F.concat(
+            base,
+            F.lit("/norma/"),
+            did.cast("string"),
+            F.lit("?lang=pt&sid="),
+            (did % 97).cast("string"),
+        ).alias("url"),
+        F.col("text").alias("content"),
+    )
+    agenda = (
+        d.filter(did % 7 == 0)
+        .select(
+            "source",
+            did.alias("doc_id"),
+            F.explode(F.array(F.lit(0), F.lit(1))).alias("cap"),
+        )
+        .select(
+            F.concat(
+                base,
+                F.lit("/agenda/"),
+                (F.col("doc_id") % 25 + 2000).cast("string"),
+                F.lit("/"),
+                F.col("cap").cast("string"),
+                F.lit("?view=month"),
+            ).alias("url"),
+            F.concat(F.lit("calendario "), F.col("source")).alias("content"),
+        )
+    )
+    return norma.unionByName(agenda)
+
+
+def q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawler-trap detection: per-(host, structural URL template)
+    URL-vs-distinct-content counts (operators/traps.template_stats over
+    functions/urls.url_template).  The /agenda calendar templates score
+    trap_score = n_urls (one shared content); /norma scores ~1."""
+    from legislation_scraper_spark.operators.traps import template_stats
+
+    return template_stats(
+        _trap_world(spark, sf_dir), url_col="url", content_col="content"
+    )
+
+
+def q_scope_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heritrix-style SURT-prefix crawl scoping
+    (sources/cdx.scope_filter): longest matching prefix wins, length
+    ties resolve to deny, unmatched URLs get the default (deny).  The
+    rule set exercises the paren-less host-prefix subtlety —
+    ``br,leg,src1`` covers src1 AND src10..src19, then
+    ``br,leg,src1)/norma`` re-allows one path subtree of src1 only and
+    ``br,leg,src12)`` re-allows one completion host entirely."""
+    from legislation_scraper_spark.sources.cdx import scope_filter
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    base = F.concat(F.lit("https://www."), F.col("source"), F.lit(".leg.br"))
+    cands = (
+        d.select(
+            F.concat(base, F.lit("/norma/"), did.cast("string")).alias("url")
+        )
+        .unionByName(
+            d.filter(did % 3 == 0).select(
+                F.concat(
+                    base, F.lit("/busca?q="), did.cast("string")
+                ).alias("url")
+            )
+        )
+        .unionByName(
+            d.filter(did % 11 == 0).select(
+                F.concat(
+                    F.lit("https://www.portal"),
+                    (did % 4).cast("string"),
+                    F.lit(".example.com/p/"),
+                    did.cast("string"),
+                ).alias("url")
+            )
+        )
+    )
+    rules = spark.createDataFrame(
+        [
+            ("br,leg,", True),
+            ("br,leg,src1", False),
+            ("br,leg,src1)/norma", True),
+            ("br,leg,src12)", True),
+        ],
+        "surt_prefix string, allow boolean",
+    )
+    return scope_filter(cands, rules, default_allow=False).select(
+        "url", "surt", "allowed"
     )
 
 
@@ -3429,6 +3674,9 @@ _Q_B2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_degree": q_host_degree,
     "pagerank_hosts": q_pagerank_hosts,
     "hits_hosts": q_hits_hosts,
+    "trustrank_hosts": q_trustrank_hosts,
+    "url_templates": q_url_templates,
+    "scope_filter": q_scope_filter,
     "ficha_enrichment": q_ficha_enrichment,
     "pii_scrub": q_pii_scrub,
     "contamination_screen": q_contamination_screen,

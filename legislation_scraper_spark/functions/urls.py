@@ -175,3 +175,42 @@ def url_features(url: Column) -> list[Column]:
         n_params.cast("int").alias("n_params"),
         spam.alias("spam_score"),
     ]
+
+
+def url_template(url: Column) -> Column:
+    """Structural URL template — the crawler-trap / page-type grouping
+    key: path with digit runs → ``~N`` and ≥8-char hex runs → ``~H``,
+    then ``?`` plus the SORTED query parameter names (values dropped).
+
+    ``/norma/12345?sid=9&lang=pt`` → ``/norma/~N?lang,sid``.  Calendar
+    traps, session-id explosions, and faceted-search grids all collapse
+    to one template each, so per-template URL counts vs distinct
+    contents expose them (operators/traps.py).  The reference never
+    needs this — its 23 scrapers enumerate known-finite search pages —
+    but an open frontier does.
+
+    Pure codegen; the hex pass runs BEFORE the digit pass so a hex run
+    is not first shredded by its embedded digits.  Regex subset chosen
+    to mean the same thing in Java (Spark) and RE2 (DuckDB oracle).
+    """
+    pq = F.regexp_replace(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
+    path = F.substring_index(pq, "?", 1)
+    query = F.when(
+        F.instr(pq, "?") > 0,
+        F.substring(pq, F.instr(pq, "?") + 1, F.lit(1 << 30)),
+    ).otherwise(F.lit(""))
+    norm = F.regexp_replace(
+        F.regexp_replace(path, "[0-9a-f]{8,}", "~H"), "[0-9]+", "~N"
+    )
+    keys = F.when(query == "", F.lit("")).otherwise(
+        F.array_join(
+            F.array_sort(
+                F.transform(
+                    F.split(query, "&"),
+                    lambda kv: F.substring_index(kv, "=", 1),
+                )
+            ),
+            ",",
+        )
+    )
+    return F.concat(norm, F.lit("?"), keys)

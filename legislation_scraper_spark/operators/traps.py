@@ -1,0 +1,99 @@
+"""Crawler-trap detection: per-(host, template) URL-vs-content ratios.
+
+An open 10^10-URL frontier dies on traps the reference's fixed scrapers
+never meet (its 23 site classes each walk a known-finite search listing,
+e.g. /root/reference/src/scraper/base/scraper.py enumerating result
+pages by count): calendar grids that mint a URL per day forever,
+session-id echoes, faceted-search cross-products.  The classic signal
+(Heritrix's path-repetition + content-digest heuristics) is structural:
+a URL *template* that accumulates many URLs but few distinct contents
+is a trap; a template with ~1 content per URL is a real page type.
+
+``template_stats`` groups fetched pages by
+(host, functions.urls.url_template) and scores
+
+    trap_score = n_urls / n_contents
+
+with contents counted as distinct ``xxhash64`` fingerprints (64-bit
+collisions are negligible against a >2 threshold).  Downstream, the
+frontier joins candidate URLs to high-score templates (broadcast — the
+flagged-template set is tiny) and demotes or caps them.
+
+Plan shape / scale:
+- ONE shuffle, on (host, template): both ``count`` and
+  ``count(DISTINCT hash)`` partial-aggregate map-side (Spark plans the
+  distinct as a two-phase aggregate over the same key — no extra
+  exchange of the raw pages, and page BODIES never shuffle at all
+  since the hash is computed in the scan stage).
+- Template cardinality ≈ page-type count (10^5–10^6 at web scale),
+  orders of magnitude below URL count, so the result is frontier
+  metadata, not data.
+- Skew: a mega-template (one host's trap with 10^8 URLs) is exactly
+  what partial aggregation absorbs — per-partition (key, count,
+  distinct-sketch) partials are O(templates per partition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.urls import url_host, url_template
+
+
+def template_stats(
+    pages: DataFrame,
+    url_col: str = "url",
+    content_col: str = "text",
+    min_urls: int = 1,
+) -> DataFrame:
+    """(host, template, n_urls, n_contents, trap_score) per structural
+    URL template; ``trap_score`` ≈ 1 for real page types, ≫ 1 for
+    traps.  ``min_urls`` prunes the long tail of singleton templates
+    (a template seen once cannot be judged)."""
+    keyed = pages.select(
+        url_host(F.col(url_col)).alias("host"),
+        url_template(F.col(url_col)).alias("template"),
+        F.xxhash64(F.col(content_col)).alias("chash"),
+    )
+    return (
+        keyed.groupBy("host", "template")
+        .agg(
+            F.count("*").cast("bigint").alias("n_urls"),
+            F.count_distinct(F.col("chash")).cast("bigint").alias(
+                "n_contents"
+            ),
+        )
+        .filter(F.col("n_urls") >= min_urls)
+        .withColumn(
+            "trap_score",
+            F.round(
+                F.col("n_urls").cast("double") / F.col("n_contents"), 6
+            ),
+        )
+    )
+
+
+def flag_trap_urls(
+    candidates: DataFrame,
+    stats: DataFrame,
+    threshold: float = 4.0,
+    url_col: str = "url",
+) -> DataFrame:
+    """Annotate frontier candidates with ``is_trap`` by joining their
+    (host, template) key to flagged templates.  The flagged set is
+    broadcast — it is bounded by the count of TEMPLATES over the
+    threshold, not by URL volume — so candidates never shuffle."""
+    flagged = (
+        stats.filter(F.col("trap_score") >= threshold)
+        .select("host", "template")
+        .withColumn("is_trap", F.lit(True))
+    )
+    keyed = candidates.withColumn(
+        "host", url_host(F.col(url_col))
+    ).withColumn("template", url_template(F.col(url_col)))
+    return (
+        keyed.join(F.broadcast(flagged), ["host", "template"], "left")
+        .withColumn("is_trap", F.coalesce("is_trap", F.lit(False)))
+        .drop("template")
+    )

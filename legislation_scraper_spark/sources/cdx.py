@@ -95,3 +95,65 @@ def latest_captures(parsed: DataFrame) -> DataFrame:
             "c.offset", "c.filename",
         )
     )
+
+
+def scope_filter(
+    candidates: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    default_allow: bool = False,
+) -> DataFrame:
+    """Heritrix-style crawl scoping by SURT prefix: each rule is
+    ``(surt_prefix, allow)``; the LONGEST prefix matching a candidate
+    URL's SURT key decides admission, equal-length conflicts resolve to
+    deny (conservative), and a URL matching no rule gets
+    ``default_allow``.
+
+    SURT prefixes make one rule cover a subtree naturally:
+    ``br,leg,`` scopes every *.leg.br host; ``br,leg,senado)`` scopes
+    one host; ``br,leg,senado)/norma`` scopes a path subtree.  A prefix
+    WITHOUT the ``)`` host terminator intentionally covers every host
+    label completion (``br,leg,src1`` matches src1 AND src10..src19) —
+    that is Heritrix SurtPrefixScope semantics, kept here.
+
+    Scale/plan: the rule table is crawl CONFIG (10^1–10^4 rows) — it is
+    aggregated to a single array row and crossJoin-broadcast
+    (BroadcastNestedLoopJoin of 1×N), then per-URL matching is an
+    in-row ``filter``/``array_max`` fold — candidates NEVER shuffle and
+    there is no per-rule join fan-out.  Tie-break is encoded in the
+    struct ordering: max over (prefix_length, deny_flag) picks the
+    longest match and, on length ties, deny.
+
+    Returns candidates + (surt, allowed).
+    """
+    rule_arr = rules.agg(
+        F.collect_list(
+            F.struct(
+                F.col("surt_prefix").alias("p"),
+                F.col("allow").alias("a"),
+            )
+        ).alias("_rules")
+    )
+    keyed = candidates.withColumn("surt", surt_key(F.col(url_col)))
+    matched = F.filter(
+        F.col("_rules"), lambda r: F.col("surt").startswith(r["p"])
+    )
+    best = F.array_max(
+        F.transform(
+            matched,
+            lambda r: F.struct(
+                F.length(r["p"]).alias("l"),
+                (~r["a"]).cast("int").alias("deny"),
+            ),
+        )
+    )
+    return (
+        keyed.crossJoin(F.broadcast(rule_arr))
+        .withColumn(
+            "allowed",
+            F.when(F.size(matched) == 0, F.lit(default_allow)).otherwise(
+                best["deny"] == 0
+            ),
+        )
+        .drop("_rules")
+    )

@@ -1,0 +1,180 @@
+"""Round-3 frontier-hygiene operators: TrustRank, crawler-trap
+templates, SURT-prefix scope rules."""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+from pyspark.sql import functions as F
+
+from legislation_scraper_spark.operators.graph import trustrank
+from legislation_scraper_spark.operators.traps import (
+    flag_trap_urls,
+    template_stats,
+)
+from legislation_scraper_spark.functions.urls import url_template
+from legislation_scraper_spark.sources.cdx import scope_filter
+
+
+def _py_trustrank(edges, seeds, iters=2, d=0.85):
+    nodes = sorted({s for s, _ in edges} | {t for _, t in edges})
+    od = Counter(s for s, _ in edges)
+    live = sorted(set(seeds) & set(nodes))
+    tele = {v: (1.0 / len(live) if v in live else 0.0) for v in nodes}
+    rank = dict(tele)
+    for _ in range(iters):
+        contrib = defaultdict(float)
+        for s, t in edges:
+            contrib[t] += rank[s] / od[s]
+        rank = {
+            v: (1 - d) * tele[v] + d * contrib.get(v, 0.0) for v in nodes
+        }
+    return rank
+
+
+def test_trustrank_matches_straight_line(spark):
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "a"),
+        ("spam1", "spam2"), ("spam2", "spam1"), ("c", "spam1"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    seeds = spark.createDataFrame([("a",), ("ghost",)], "node string")
+    tr = {
+        r["node"]: round(r["rank"], 9)
+        for r in trustrank(df, seeds, iters=3).collect()
+    }
+    expect = {
+        v: round(r, 9)
+        for v, r in _py_trustrank(edges, {"a", "ghost"}, iters=3).items()
+    }
+    assert tr == expect
+    # the disconnected spam cycle holds no trust beyond what c leaks in;
+    # spam2 (two hops from the nearest trusted page at iter 3) ranks
+    # strictly below every trusted-component node
+    assert tr["spam2"] < min(tr["a"], tr["b"], tr["c"])
+
+
+def test_trustrank_no_live_seeds_is_all_zero(spark):
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    seeds = spark.createDataFrame([("zz",)], "node string")
+    assert {
+        r["rank"] for r in trustrank(df, seeds, iters=2).collect()
+    } == {0.0}
+
+
+def test_url_template_examples(spark):
+    rows = spark.range(1).select(
+        url_template(
+            F.lit("https://www.x.leg.br/norma/12345?sid=9&lang=pt")
+        ).alias("a"),
+        url_template(F.lit("http://h.com/cal/2020/07")).alias("b"),
+        url_template(F.lit("https://h.com/s/deadbeefcafe1234/v")).alias(
+            "c"
+        ),
+        url_template(F.lit("https://h.com/")).alias("d"),
+    ).first()
+    assert rows["a"] == "/norma/~N?lang,sid"
+    assert rows["b"] == "/cal/~N/~N?"
+    # hex run collapses as one token, not shredded by its digits
+    assert rows["c"] == "/s/~H/v?"
+    assert rows["d"] == "/?"
+
+
+def test_template_stats_flags_calendar_trap(spark):
+    pages = spark.createDataFrame(
+        [
+            ("https://www.x.leg.br/norma/1?sid=5", "doc one"),
+            ("https://www.x.leg.br/norma/2?sid=9", "doc two"),
+            ("https://www.x.leg.br/cal/2020/1?view=month", "cal"),
+            ("https://www.x.leg.br/cal/2020/2?view=month", "cal"),
+            ("https://www.x.leg.br/cal/2021/1?view=month", "cal"),
+            ("https://www.x.leg.br/cal/2021/2?view=month", "cal"),
+        ],
+        "url string, text string",
+    )
+    st = {
+        r["template"]: (r["n_urls"], r["n_contents"], r["trap_score"])
+        for r in template_stats(pages).collect()
+    }
+    assert st["/cal/~N/~N?view"] == (4, 1, 4.0)
+    assert st["/norma/~N?sid"] == (2, 2, 1.0)
+    cand = spark.createDataFrame(
+        [
+            ("https://www.x.leg.br/cal/2022/3?view=month",),
+            ("https://www.x.leg.br/norma/3?sid=1",),
+        ],
+        "url string",
+    )
+    flags = {
+        r["url"]: r["is_trap"]
+        for r in flag_trap_urls(
+            cand, template_stats(pages), threshold=3.0
+        ).collect()
+    }
+    assert flags == {
+        "https://www.x.leg.br/cal/2022/3?view=month": True,
+        "https://www.x.leg.br/norma/3?sid=1": False,
+    }
+
+
+def test_scope_filter_longest_prefix_and_tiebreak(spark):
+    rules = spark.createDataFrame(
+        [
+            ("br,leg,", True),
+            ("br,leg,src1", False),
+            ("br,leg,src1)/norma", True),
+            ("br,leg,src12)", True),
+            # equal-length conflicting pair: deny must win the tie
+            ("br,leg,src5)/x", True),
+            ("br,leg,src5)/x", False),
+        ],
+        "surt_prefix string, allow boolean",
+    )
+    cands = spark.createDataFrame(
+        [
+            ("https://www.src1.leg.br/norma/5",),
+            ("https://www.src1.leg.br/busca?q=1",),
+            ("https://www.src10.leg.br/norma/5",),
+            ("https://www.src12.leg.br/busca",),
+            ("https://www.src2.leg.br/x",),
+            ("https://www.src5.leg.br/x/1",),
+            ("https://www.other.com/x",),
+        ],
+        "url string",
+    )
+    got = {
+        r["url"]: r["allowed"]
+        for r in scope_filter(cands, rules).collect()
+    }
+    assert got == {
+        "https://www.src1.leg.br/norma/5": True,
+        "https://www.src1.leg.br/busca?q=1": False,
+        # paren-less prefix covers host-label completions (Heritrix
+        # SurtPrefixScope semantics)
+        "https://www.src10.leg.br/norma/5": False,
+        "https://www.src12.leg.br/busca": True,
+        "https://www.src2.leg.br/x": True,
+        "https://www.src5.leg.br/x/1": False,
+        "https://www.other.com/x": False,
+    }
+
+
+def test_scope_filter_candidates_never_shuffle(spark):
+    rules = spark.createDataFrame(
+        [("br,leg,", True)], "surt_prefix string, allow boolean"
+    )
+    cands = spark.createDataFrame(
+        [("https://www.a.leg.br/x",)], "url string"
+    )
+    plan = (
+        scope_filter(cands, rules)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the rule table folds to one broadcast row; the candidate side has
+    # no Exchange (scan → project only) — the single non-broadcast
+    # Exchange in the plan is the rules side's 1-row collect_list agg
+    assert "BroadcastNestedLoopJoin" in plan
+    non_broadcast = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert non_broadcast == 1 and "Exchange SinglePartition" in plan
