@@ -2081,6 +2081,29 @@ _ORACLE_B2: dict[str, str] = {
         LEFT JOIN (SELECT url, a FROM m WHERE rn = 1) b
           ON k.url = b.url
     """,
+    "warc_revisits": """
+        WITH caps AS (SELECT UNNEST(generate_series(0, 2)) AS cap),
+        c AS (
+          SELECT 'https://www.' || source || '.leg.br/norma/'
+                   || CAST(doc_id AS VARCHAR) AS url,
+                 make_timestamp(2024, doc_id % 12 + 1, doc_id % 28 + 1,
+                                cap * 3, doc_id % 60, 0) AS ts,
+                 'sha1:' || md5(CAST(doc_id % 500 AS VARCHAR)) AS digest
+          FROM documents, caps
+          WHERE (doc_id + cap) % 4 <> 3),
+        f1 AS (SELECT digest, MIN(ts) AS fts FROM c GROUP BY digest),
+        f AS (SELECT c.digest, f1.fts, MIN(c.url) AS furl
+              FROM c JOIN f1 ON c.digest = f1.digest AND c.ts = f1.fts
+              GROUP BY c.digest, f1.fts)
+        SELECT c.url, c.ts, c.digest,
+               CASE WHEN c.ts = f.fts AND c.url = f.furl
+                    THEN 'response' ELSE 'revisit' END AS warc_type,
+               CASE WHEN c.ts = f.fts AND c.url = f.furl
+                    THEN NULL ELSE f.furl END AS refers_to_uri,
+               CASE WHEN c.ts = f.fts AND c.url = f.furl
+                    THEN NULL ELSE f.fts END AS refers_to_ts
+        FROM c JOIN f ON c.digest = f.digest
+    """,
     "ficha_enrichment": """
         WITH t AS (
           SELECT doc_id, j
@@ -2738,6 +2761,43 @@ def q_scope_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scope_filter(cands, rules, default_allow=False).select(
         "url", "surt", "allowed"
     )
+
+
+def q_warc_revisits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC revisit-record planning (sources/warc.plan_revisit_records):
+    per payload digest the first capture stays ``response``, later
+    captures become ``revisit`` pointing at the original — Common
+    Crawl's storage dedup.  Digests collide across URLs here (doc_id %
+    500 buckets), so originals are shared cross-site."""
+    from legislation_scraper_spark.sources.warc import plan_revisit_records
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    caps = d.select(
+        "source",
+        did.alias("doc_id"),
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("cap"),
+    ).filter((F.col("doc_id") + F.col("cap")) % 4 != 3)
+    captures = caps.select(
+        F.concat(
+            F.lit("https://www."),
+            F.col("source"),
+            F.lit(".leg.br/norma/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.make_timestamp(
+            F.lit(2024),
+            F.col("doc_id") % 12 + 1,
+            F.col("doc_id") % 28 + 1,
+            F.col("cap") * 3,
+            F.col("doc_id") % 60,
+            F.lit(0),
+        ).alias("ts"),
+        F.concat(
+            F.lit("sha1:"), F.md5((F.col("doc_id") % 500).cast("string"))
+        ).alias("digest"),
+    )
+    return plan_revisit_records(captures)
 
 
 def _redirect_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3677,6 +3737,7 @@ _Q_B2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trustrank_hosts": q_trustrank_hosts,
     "url_templates": q_url_templates,
     "scope_filter": q_scope_filter,
+    "warc_revisits": q_warc_revisits,
     "ficha_enrichment": q_ficha_enrichment,
     "pii_scrub": q_pii_scrub,
     "contamination_screen": q_contamination_screen,

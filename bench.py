@@ -103,6 +103,10 @@ HEADLINE_EXT = [
     "session_windows",
     "cms_tokens",
     "hist_quantiles",
+    "trustrank_hosts",
+    "url_templates",
+    "scope_filter",
+    "warc_revisits",
 ]
 
 

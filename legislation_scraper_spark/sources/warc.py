@@ -208,3 +208,58 @@ def parse_warc_column(
 
     schema = f"`{id_col}` string, " + WARC_SCHEMA.split(", ", 1)[1]
     return df.select(id_col, bytes_col).mapInPandas(run, schema)
+
+
+def plan_revisit_records(
+    captures: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Digest-based WARC storage dedup (WARC/1.1 §6.7.2 ``revisit``,
+    identical-payload-digest profile — the mechanism Common Crawl uses
+    to avoid re-storing unchanged payloads): within each payload
+    digest, the FIRST capture (min (ts, url), lexicographic tie-break)
+    stays a full ``response`` record; every later capture becomes a
+    ``revisit`` record that carries ``refers_to_uri``/``refers_to_ts``
+    of the original and stores NO payload.
+
+    Exact-duplicate capture rows (same digest, ts, AND url) all mark
+    ``response`` — they ARE the same record, and the rule stays a pure
+    per-row function of the (digest → original) map, which is what the
+    SQL oracle replays.  Returns the input columns +
+    (warc_type, refers_to_uri, refers_to_ts).
+
+    Plan shape / scale: the original-per-digest map is ONE
+    partial-aggregatable ``min(struct(ts, url))`` shuffle carrying a
+    small struct per digest — never payloads; the join back is an
+    equi-join on the digest where the build side has exactly one row
+    per key, so a mega-duplicated payload (10^6 captures of one
+    boilerplate page) skews only the probe side, which AQE splits.
+    """
+    o = (
+        captures.groupBy(digest_col)
+        .agg(
+            F.min(
+                F.struct(
+                    F.col(ts_col).alias("ts"), F.col(url_col).alias("url")
+                )
+            ).alias("_o")
+        )
+    )
+    joined = captures.join(o, digest_col)
+    is_orig = (F.col(ts_col) == F.col("_o.ts")) & (
+        F.col(url_col) == F.col("_o.url")
+    )
+    return joined.select(
+        *captures.columns,
+        F.when(is_orig, F.lit("response"))
+        .otherwise(F.lit("revisit"))
+        .alias("warc_type"),
+        F.when(is_orig, F.lit(None).cast("string"))
+        .otherwise(F.col("_o.url"))
+        .alias("refers_to_uri"),
+        F.when(is_orig, F.lit(None).cast("timestamp"))
+        .otherwise(F.col("_o.ts"))
+        .alias("refers_to_ts"),
+    )

@@ -383,3 +383,44 @@ def test_sitemap_locs_comment_and_scheme(spark):
     df = spark.createDataFrame([("h1", body)], "host string, body string")
     got = sorted(r["sitemap_url"] for r in sitemap_locs(df).collect())
     assert got == ["https://h1.org/a.xml", "https://h1.org/b.xml"]
+
+
+def test_revisit_records_digest_dedup(spark):
+    from datetime import datetime
+
+    from legislation_scraper_spark.sources.warc import plan_revisit_records
+
+    t = datetime(2024, 1, 1, 0, 0, 0)
+    t2 = datetime(2024, 1, 2, 0, 0, 0)
+    rows = [
+        # digest A: original at t on site a; later captures revisit it
+        ("https://a.com/x", t, "A"),
+        ("https://b.com/mirror", t2, "A"),
+        ("https://a.com/x", t2, "A"),
+        # ts tie at the front → lexicographically smaller url wins
+        ("https://c.com/z", t, "B"),
+        ("https://c.com/a", t, "B"),
+        # exact-duplicate capture rows: both stay response
+        ("https://d.com/d", t, "C"),
+        ("https://d.com/d", t, "C"),
+    ]
+    df = spark.createDataFrame(rows, "url string, ts timestamp, digest string")
+    got = {
+        (r["url"], r["ts"], r["digest"]): (
+            r["warc_type"], r["refers_to_uri"], r["refers_to_ts"],
+        )
+        for r in plan_revisit_records(df).collect()
+    }
+    assert got[("https://a.com/x", t, "A")] == ("response", None, None)
+    assert got[("https://b.com/mirror", t2, "A")] == (
+        "revisit", "https://a.com/x", t,
+    )
+    assert got[("https://a.com/x", t2, "A")] == (
+        "revisit", "https://a.com/x", t,
+    )
+    assert got[("https://c.com/a", t, "B")] == ("response", None, None)
+    assert got[("https://c.com/z", t, "B")] == (
+        "revisit", "https://c.com/a", t,
+    )
+    assert got[("https://d.com/d", t, "C")] == ("response", None, None)
+    assert len(plan_revisit_records(df).collect()) == len(rows)
