@@ -2104,6 +2104,54 @@ _ORACLE_B2: dict[str, str] = {
                     THEN NULL ELSE f.fts END AS refers_to_ts
         FROM c JOIN f ON c.digest = f.digest
     """,
+    "identity_rotation": """
+        WITH hosts AS (
+          SELECT DISTINCT 'www.' || source || '.leg.br' AS host
+          FROM documents),
+        b AS (
+          SELECT 'www.' || source || '.leg.br' AS host,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM documents WHERE doc_id % 13 = 0 GROUP BY 1),
+        h AS (
+          SELECT hosts.host, COALESCE(b.n, 0) AS n_blocks,
+                 (strpos('0123456789abcdef', substr(md5(hosts.host), 1, 1))
+                    - 1) * 256
+                 + (strpos('0123456789abcdef', substr(md5(hosts.host), 2, 1))
+                    - 1) * 16
+                 + (strpos('0123456789abcdef', substr(md5(hosts.host), 3, 1))
+                    - 1) AS hh
+          FROM hosts LEFT JOIN b ON hosts.host = b.host)
+        SELECT host, CAST(n_blocks AS BIGINT) AS n_blocks,
+               'vpn' || CAST((hh + n_blocks) % 5 AS VARCHAR) AS identity
+        FROM h
+    """,
+    "snapshot_diff": """
+        WITH old AS (
+          SELECT 'https://www.' || source || '.leg.br/norma/'
+                   || CAST(doc_id AS VARCHAR) AS url,
+                 md5(CAST(doc_id AS VARCHAR)) AS digest
+          FROM documents),
+        new AS (
+          SELECT 'https://www.' || source || '.leg.br/norma/'
+                   || CAST(doc_id AS VARCHAR) AS url,
+                 md5(CASE WHEN doc_id % 5 = 0
+                          THEN CAST(doc_id AS VARCHAR) || 'v2'
+                          ELSE CAST(doc_id AS VARCHAR) END) AS digest
+          FROM documents WHERE doc_id % 17 <> 0
+          UNION ALL
+          SELECT 'https://www.' || source || '.leg.br/norma/'
+                   || CAST(doc_id AS VARCHAR) || '/v2' AS url,
+                 md5('new' || CAST(doc_id AS VARCHAR)) AS digest
+          FROM documents WHERE doc_id % 9 = 0)
+        SELECT COALESCE(old.url, new.url) AS url,
+               old.digest AS old_digest,
+               new.digest AS new_digest,
+               CASE WHEN old.digest IS NULL THEN 'added'
+                    WHEN new.digest IS NULL THEN 'removed'
+                    WHEN old.digest = new.digest THEN 'unchanged'
+                    ELSE 'changed' END AS change
+        FROM old FULL OUTER JOIN new ON old.url = new.url
+    """,
     "ficha_enrichment": """
         WITH t AS (
           SELECT doc_id, j
@@ -2798,6 +2846,56 @@ def q_warc_revisits(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("digest"),
     )
     return plan_revisit_records(captures)
+
+
+def q_identity_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host fetch-identity assignment after block-driven rotation
+    (operators/identity.assign_identities — the distributed twin of the
+    reference's LRU VPN cycling, parana.py:354-366 + openvpn.py:766):
+    identity = pool[(md5_start(host) + n_blocks(host)) % |pool|]."""
+    from legislation_scraper_spark.operators.identity import (
+        assign_identities,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    host = F.concat(F.lit("www."), F.col("source"), F.lit(".leg.br"))
+    hosts = d.select(host.alias("host")).distinct()
+    blocks = d.filter(F.col("doc_id") % 13 == 0).select(host.alias("host"))
+    pool = [f"vpn{i}" for i in range(5)]
+    return assign_identities(hosts, blocks, pool).select(
+        "host", "n_blocks", "identity"
+    )
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-crawl diff (operators/revisit.snapshot_diff): URLs removed
+    between crawls (doc_id % 17 == 0), changed payloads (% 5 == 0),
+    brand-new /v2 URLs (% 9 == 0), everything else unchanged."""
+    from legislation_scraper_spark.operators.revisit import snapshot_diff
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://www."),
+        F.col("source"),
+        F.lit(".leg.br/norma/"),
+        did.cast("string"),
+    )
+    old = d.select(
+        url.alias("url"), F.md5(did.cast("string")).alias("digest")
+    )
+    new_same = d.filter(did % 17 != 0).select(
+        url.alias("url"),
+        F.md5(
+            F.when(did % 5 == 0, F.concat(did.cast("string"), F.lit("v2")))
+            .otherwise(did.cast("string"))
+        ).alias("digest"),
+    )
+    new_added = d.filter(did % 9 == 0).select(
+        F.concat(url, F.lit("/v2")).alias("url"),
+        F.md5(F.concat(F.lit("new"), did.cast("string"))).alias("digest"),
+    )
+    return snapshot_diff(old, new_same.unionByName(new_added))
 
 
 def _redirect_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3738,6 +3836,8 @@ _Q_B2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_templates": q_url_templates,
     "scope_filter": q_scope_filter,
     "warc_revisits": q_warc_revisits,
+    "identity_rotation": q_identity_rotation,
+    "snapshot_diff": q_snapshot_diff,
     "ficha_enrichment": q_ficha_enrichment,
     "pii_scrub": q_pii_scrub,
     "contamination_screen": q_contamination_screen,

@@ -107,6 +107,8 @@ HEADLINE_EXT = [
     "url_templates",
     "scope_filter",
     "warc_revisits",
+    "identity_rotation",
+    "snapshot_diff",
 ]
 
 

@@ -115,3 +115,37 @@ def revisit_priorities(
         .limit(budget)
         .select(key, "staleness", "lambda_per_day")
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str = "url",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Cross-crawl snapshot diff: classify every URL seen in either
+    crawl as ``added`` (new only), ``removed`` (old only), ``changed``
+    (both, different payload digest) or ``unchanged`` — the incremental
+    view a recrawl pipeline feeds to revisit scheduling (changed →
+    raise the change-rate estimate) and to dataset builds (added/
+    changed are the only rows worth re-extracting).
+
+    Plan shape / scale: ONE full-outer equi-join on the URL key,
+    shuffling (url, digest) pairs only — never payloads.  At the
+    10^10-URL tier both snapshot tables live bucketed by url hash
+    (Iceberg bucket partitioning, the repo-wide frontier convention),
+    making this join co-located and shuffle-free; digests are compared
+    JVM-side, no Python.
+    """
+    o = old.select(F.col(key).alias(key), F.col(digest_col).alias("old_digest"))
+    n = new.select(F.col(key).alias(key), F.col(digest_col).alias("new_digest"))
+    return o.join(n, key, "full_outer").select(
+        key,
+        "old_digest",
+        "new_digest",
+        F.when(F.col("old_digest").isNull(), F.lit("added"))
+        .when(F.col("new_digest").isNull(), F.lit("removed"))
+        .when(F.col("old_digest") == F.col("new_digest"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("change"),
+    )

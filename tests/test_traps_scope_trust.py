@@ -178,3 +178,70 @@ def test_scope_filter_candidates_never_shuffle(spark):
     assert "BroadcastNestedLoopJoin" in plan
     non_broadcast = plan.count("Exchange") - plan.count("BroadcastExchange")
     assert non_broadcast == 1 and "Exchange SinglePartition" in plan
+
+
+def test_assign_identities_rotates_per_block(spark):
+    import hashlib
+
+    import pytest
+
+    from legislation_scraper_spark.operators.identity import (
+        assign_identities,
+    )
+
+    pool = ["vpn0", "vpn1", "vpn2"]
+    frontier = spark.createDataFrame(
+        [("a.com",), ("b.com",), ("c.com",)], "host string"
+    )
+    # a.com blocked twice, b.com once, c.com never
+    blocks = spark.createDataFrame(
+        [("a.com",), ("a.com",), ("b.com",)], "host string"
+    )
+    got = {
+        r["host"]: (r["n_blocks"], r["identity"])
+        for r in assign_identities(frontier, blocks, pool).collect()
+    }
+
+    def expect(host, n):
+        start = int(hashlib.md5(host.encode()).hexdigest()[:3], 16)
+        return (n, pool[(start + n) % len(pool)])
+
+    assert got == {
+        "a.com": expect("a.com", 2),
+        "b.com": expect("b.com", 1),
+        "c.com": expect("c.com", 0),
+    }
+    # one more block advances exactly one slot (the LRU cycle)
+    blocks2 = blocks.union(
+        spark.createDataFrame([("c.com",)], "host string")
+    )
+    got2 = {
+        r["host"]: r["identity"]
+        for r in assign_identities(frontier, blocks2, pool).collect()
+    }
+    assert got2["c.com"] == expect("c.com", 1)[1]
+    with pytest.raises(ValueError):
+        assign_identities(frontier, blocks, [])
+
+
+def test_snapshot_diff_classifies_all_four(spark):
+    from legislation_scraper_spark.operators.revisit import snapshot_diff
+
+    old = spark.createDataFrame(
+        [("u1", "d1"), ("u2", "d2"), ("u3", "d3")],
+        "url string, digest string",
+    )
+    new = spark.createDataFrame(
+        [("u1", "d1"), ("u2", "dX"), ("u4", "d4")],
+        "url string, digest string",
+    )
+    got = {
+        r["url"]: (r["change"], r["old_digest"], r["new_digest"])
+        for r in snapshot_diff(old, new).collect()
+    }
+    assert got == {
+        "u1": ("unchanged", "d1", "d1"),
+        "u2": ("changed", "d2", "dX"),
+        "u3": ("removed", "d3", None),
+        "u4": ("added", None, "d4"),
+    }
