@@ -2104,6 +2104,74 @@ _ORACLE_B2: dict[str, str] = {
                     THEN NULL ELSE f.fts END AS refers_to_ts
         FROM c JOIN f ON c.digest = f.digest
     """,
+    "gopher_verdict": """
+        WITH base AS (
+          SELECT doc_id, text,
+                 list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             x -> x <> '') AS w,
+                 list_filter(list_transform(string_split(text, chr(10)),
+                                            x -> trim(x)),
+                             x -> x <> '') AS lns
+          FROM documents),
+        s AS (
+          SELECT doc_id,
+                 len(w) AS n_words,
+                 CASE WHEN len(w) > 0 THEN
+                   CAST(list_aggregate(list_transform(w, x -> length(x)),
+                                       'sum') AS DOUBLE) / len(w)
+                 ELSE 0.0 END AS mean_wl,
+                 CASE WHEN len(w) > 0 THEN
+                   ((length(text) - length(replace(text, '#', '')))
+                    + (length(text) - length(replace(text, '...', ''))) / 3
+                    + (length(text) - length(replace(text, '…', ''))))
+                   / len(w)
+                 ELSE 0.0 END AS symbol_ratio,
+                 CASE WHEN len(lns) > 0 THEN
+                   CAST(len(list_filter(lns, x ->
+                     starts_with(x, '•') OR starts_with(x, '-')
+                     OR starts_with(x, '*'))) AS DOUBLE) / len(lns)
+                 ELSE 0.0 END AS bullet_frac,
+                 CASE WHEN len(lns) > 0 THEN
+                   CAST(len(list_filter(lns, x ->
+                     ends_with(x, '...') OR ends_with(x, '…')))
+                     AS DOUBLE) / len(lns)
+                 ELSE 0.0 END AS ellipsis_frac,
+                 CASE WHEN len(w) > 0 THEN
+                   CAST(len(list_filter(w, x ->
+                     regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(w)
+                 ELSE 0.0 END AS alpha_frac,
+                 (CASE WHEN list_contains(list_transform(w, x -> lower(x)),
+                    'de') THEN 1 ELSE 0 END
+                  + CASE WHEN list_contains(list_transform(w, x -> lower(x)),
+                    'da') THEN 1 ELSE 0 END
+                  + CASE WHEN list_contains(list_transform(w, x -> lower(x)),
+                    'do') THEN 1 ELSE 0 END
+                  + CASE WHEN list_contains(list_transform(w, x -> lower(x)),
+                    'que') THEN 1 ELSE 0 END
+                  + CASE WHEN list_contains(list_transform(w, x -> lower(x)),
+                    'e') THEN 1 ELSE 0 END
+                  + CASE WHEN list_contains(list_transform(w, x -> lower(x)),
+                    'em') THEN 1 ELSE 0 END
+                  + CASE WHEN list_contains(list_transform(w, x -> lower(x)),
+                    'uma') THEN 1 ELSE 0 END) AS stop_hits
+          FROM base)
+        SELECT doc_id,
+               CAST(n_words AS BIGINT) AS n_words,
+               ROUND(mean_wl, 6) AS mean_word_len,
+               ROUND(symbol_ratio, 6) AS symbol_ratio,
+               ROUND(bullet_frac, 6) AS bullet_frac,
+               ROUND(ellipsis_frac, 6) AS ellipsis_frac,
+               ROUND(alpha_frac, 6) AS alpha_frac,
+               CAST(stop_hits AS INT) AS stop_hits,
+               (n_words BETWEEN 50 AND 100000
+                AND mean_wl BETWEEN 3.0 AND 10.0
+                AND symbol_ratio <= 0.1
+                AND bullet_frac <= 0.9
+                AND ellipsis_frac <= 0.3
+                AND alpha_frac >= 0.8
+                AND stop_hits >= 2) AS keep
+        FROM s
+    """,
     "identity_rotation": """
         WITH hosts AS (
           SELECT DISTINCT 'www.' || source || '.leg.br' AS host
@@ -2896,6 +2964,18 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat(F.lit("new"), did.cast("string"))).alias("digest"),
     )
     return snapshot_diff(old, new_same.unionByName(new_added))
+
+
+def q_gopher_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher hard quality rules (operators/curation.
+    gopher_quality_verdict): per-doc word/line stats + keep verdict,
+    published thresholds, pt stopword sanity rule."""
+    from legislation_scraper_spark.operators.curation import (
+        gopher_quality_verdict,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return gopher_quality_verdict(d, lang="pt").drop("text")
 
 
 def _redirect_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3838,6 +3918,7 @@ _Q_B2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "warc_revisits": q_warc_revisits,
     "identity_rotation": q_identity_rotation,
     "snapshot_diff": q_snapshot_diff,
+    "gopher_verdict": q_gopher_verdict,
     "ficha_enrichment": q_ficha_enrichment,
     "pii_scrub": q_pii_scrub,
     "contamination_screen": q_contamination_screen,

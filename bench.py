@@ -109,6 +109,7 @@ HEADLINE_EXT = [
     "warc_revisits",
     "identity_rotation",
     "snapshot_diff",
+    "gopher_verdict",
 ]
 
 

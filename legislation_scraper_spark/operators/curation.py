@@ -584,3 +584,123 @@ def dup_span_coverage(
             F.round(F.col("covered_tokens") / F.col("n_tokens"), 6),
         )
     )
+
+
+def gopher_quality_verdict(
+    docs: DataFrame,
+    text_col: str = "text",
+    lang: str = "pt",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_wl: float = 3.0,
+    max_mean_wl: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style hard quality rules (Rae et al. 2021 §A1.1) as ONE
+    codegen projection: per-document stats + a ``keep`` verdict.
+
+    Rules (defaults = the published thresholds):
+    word count in [min_words, max_words]; mean word length in
+    [min_mean_wl, max_mean_wl]; symbol-to-word ratio (``#`` and
+    ellipsis) ≤ max_symbol_ratio; ≤ max_bullet_frac of lines start
+    with a bullet; ≤ max_ellipsis_frac of lines end with an ellipsis;
+    ≥ min_alpha_frac of words contain a letter; ≥ min_stop_hits
+    DISTINCT stopwords of the target language present (the "stop word"
+    sanity rule).
+
+    All stats are per-row string algebra (split / filter / aggregate
+    over in-row arrays) — NO shuffle, NO Python; the operator fuses
+    into the scan that feeds it and scales linearly with input bytes.
+    Ratios are exact rational values computed identically by the
+    DuckDB oracle (no cross-row float accumulation), rounded to 6dp
+    for display only AFTER the comparisons.
+    """
+    t = F.col(text_col)
+    w = words(t)
+    wl = F.lower(t)
+    w_lower = words(wl)
+    n_words = F.size(w)
+    nw_d = n_words.cast("double")
+    mean_wl = F.when(
+        n_words > 0,
+        F.aggregate(
+            w, F.lit(0).cast("bigint"), lambda a, x: a + F.length(x)
+        ).cast("double")
+        / nw_d,
+    ).otherwise(F.lit(0.0))
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ell = (
+        (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+        + F.length(t)
+        - F.length(F.replace(t, F.lit("…"), F.lit("")))
+    )
+    symbol_ratio = F.when(
+        n_words > 0, (n_hash + n_ell).cast("double") / nw_d
+    ).otherwise(F.lit(0.0))
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), lambda x: F.trim(x)),
+        lambda x: x != F.lit(""),
+    )
+    n_lines = F.size(lines)
+    bullet_frac = F.when(
+        n_lines > 0,
+        F.size(
+            F.filter(
+                lines,
+                lambda x: x.startswith("•")
+                | x.startswith("-")
+                | x.startswith("*"),
+            )
+        ).cast("double")
+        / n_lines,
+    ).otherwise(F.lit(0.0))
+    ellipsis_frac = F.when(
+        n_lines > 0,
+        F.size(
+            F.filter(
+                lines,
+                lambda x: x.endswith("...") | x.endswith("…"),
+            )
+        ).cast("double")
+        / n_lines,
+    ).otherwise(F.lit(0.0))
+    alpha_frac = F.when(
+        n_words > 0,
+        F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]"))).cast("double")
+        / nw_d,
+    ).otherwise(F.lit(0.0))
+    from ..functions.text import LANG_STOPWORDS
+
+    stop_hits = sum(
+        (
+            F.array_contains(w_lower, s).cast("int")
+            for s in LANG_STOPWORDS[lang]
+        ),
+        start=F.lit(0),
+    )
+    keep = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_wl >= min_mean_wl)
+        & (mean_wl <= max_mean_wl)
+        & (symbol_ratio <= max_symbol_ratio)
+        & (bullet_frac <= max_bullet_frac)
+        & (ellipsis_frac <= max_ellipsis_frac)
+        & (alpha_frac >= min_alpha_frac)
+        & (stop_hits >= min_stop_hits)
+    )
+    return docs.select(
+        *docs.columns,
+        n_words.cast("bigint").alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet_frac, 6).alias("bullet_frac"),
+        F.round(ellipsis_frac, 6).alias("ellipsis_frac"),
+        F.round(alpha_frac, 6).alias("alpha_frac"),
+        stop_hits.cast("int").alias("stop_hits"),
+        keep.alias("keep"),
+    )

@@ -384,3 +384,52 @@ def test_mixture_sample_broadcasts_weights(spark):
     w = mixture_weights(df, group_col="source")
     plan = _explain(mixture_sample(df.select("doc_id", "source"), w, 100))
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_gopher_verdict_rule_by_rule(spark):
+    from legislation_scraper_spark.operators.curation import (
+        gopher_quality_verdict,
+    )
+
+    good = "uma lei de qualidade " * 15  # 60 words, stopwords present
+    rows = [
+        (1, good),
+        (2, "de da do"),  # too few words
+        (3, ("a " * 60) + good),  # mean word length dragged under 3
+        (4, good + " ###### " * 20),  # symbol ratio blown by #
+        (5, "\n".join("• item de uma lista que tem" for _ in range(20))),
+        (6, "\n".join("uma linha que continua..." for _ in range(20))),
+        (7, ("123 456 789 " * 20) + "de e"),  # alpha fraction too low
+        (8, "wordy " * 60),  # no stopwords at all
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: (
+            r["keep"], r["n_words"], r["stop_hits"], r["bullet_frac"],
+        )
+        for r in gopher_quality_verdict(df, lang="pt").collect()
+    }
+    assert got[1][0] is True
+    assert got[2][0] is False and got[2][1] < 50
+    assert got[3][0] is False  # mean word len < 3
+    assert got[4][0] is False  # symbol ratio
+    assert got[5][0] is False and got[5][3] == 1.0  # all lines bulleted
+    assert got[6][0] is False  # ellipsis lines
+    assert got[7][0] is False  # alpha fraction
+    assert got[8][0] is False and got[8][2] == 0  # stopword rule
+
+
+def test_gopher_verdict_is_shuffle_free(spark):
+    from legislation_scraper_spark.operators.curation import (
+        gopher_quality_verdict,
+    )
+
+    df = spark.createDataFrame([(1, "texto de uma lei")],
+                               "doc_id int, text string")
+    plan = (
+        gopher_quality_verdict(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
