@@ -2104,6 +2104,65 @@ _ORACLE_B2: dict[str, str] = {
                     THEN NULL ELSE f.fts END AS refers_to_ts
         FROM c JOIN f ON c.digest = f.digest
     """,
+    "html_meta": """
+        WITH h AS (
+          SELECT doc_id,
+                 '<html><head><title>Norma ' || CAST(doc_id AS VARCHAR)
+                 || '</title>'
+                 || CASE WHEN doc_id % 4 = 0 THEN
+                      '<link rel="canonical" href="https://www.' || source
+                      || '.leg.br/norma/' || CAST(doc_id AS VARCHAR) || '">'
+                    ELSE '' END
+                 || CASE WHEN doc_id % 5 = 0 THEN
+                      '<meta name="description" content="Lei numero '
+                      || CAST(doc_id AS VARCHAR) || '">'
+                    ELSE '' END
+                 || CASE WHEN doc_id % 3 = 0 THEN
+                      '<meta property="og:title" content="Norma '
+                      || CAST(doc_id AS VARCHAR) || '">'
+                    ELSE '' END
+                 || CASE doc_id % 8
+                      WHEN 0 THEN '<meta name="robots" content="noindex">'
+                      WHEN 2 THEN '<meta name="robots" content="nofollow">'
+                      WHEN 4 THEN
+                        '<meta name="robots" content="noindex, nofollow">'
+                      WHEN 6 THEN '<meta name="robots" content="none">'
+                      ELSE '' END
+                 || '</head><body>corpo</body></html>' AS html_text
+          FROM documents),
+        x AS (
+          SELECT doc_id,
+                 nullif(regexp_extract(html_text,
+                   '(?is)<title[^>]*>\\s*(.*?)\\s*</title>', 1), '')
+                   AS title,
+                 nullif(regexp_extract(html_text,
+                   '(?is)<link\\s+rel="canonical"\\s+href="([^"]*)"', 1),
+                   '') AS canonical,
+                 nullif(regexp_extract(html_text,
+                   '(?is)<meta\\s+name="description"\\s+content="([^"]*)"',
+                   1), '') AS description,
+                 nullif(regexp_extract(html_text,
+                   '(?is)<meta\\s+property="og:title"\\s+content="([^"]*)"',
+                   1), '') AS og_title,
+                 nullif(regexp_extract(html_text,
+                   '(?is)<meta\\s+name="robots"\\s+content="([^"]*)"', 1),
+                   '') AS robots
+          FROM h),
+        t AS (
+          SELECT *,
+                 CASE WHEN robots IS NULL THEN NULL
+                      ELSE list_transform(string_split(lower(robots), ','),
+                                          y -> trim(y)) END AS toks
+          FROM x)
+        SELECT doc_id, title, canonical, description, og_title,
+               CASE WHEN toks IS NULL THEN false
+                    ELSE list_contains(toks, 'noindex')
+                         OR list_contains(toks, 'none') END AS noindex,
+               CASE WHEN toks IS NULL THEN false
+                    ELSE list_contains(toks, 'nofollow')
+                         OR list_contains(toks, 'none') END AS nofollow
+        FROM t
+    """,
     "gopher_verdict": """
         WITH base AS (
           SELECT doc_id, text,
@@ -2976,6 +3035,63 @@ def q_gopher_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return gopher_quality_verdict(d, lang="pt").drop("text")
+
+
+def q_html_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-metadata extraction (operators/meta.parse_head_meta):
+    title/canonical/description/og:title plus robots-meta noindex/
+    nofollow directives (incl. the ``none`` shorthand), parsed with
+    JVM regexp codegen from deterministically synthesized heads."""
+    from legislation_scraper_spark.operators.meta import parse_head_meta
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    robots = (
+        F.when(did % 8 == 0, F.lit('<meta name="robots" content="noindex">'))
+        .when(did % 8 == 2, F.lit('<meta name="robots" content="nofollow">'))
+        .when(
+            did % 8 == 4,
+            F.lit('<meta name="robots" content="noindex, nofollow">'),
+        )
+        .when(did % 8 == 6, F.lit('<meta name="robots" content="none">'))
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(
+        F.lit("<html><head><title>Norma "),
+        ds,
+        F.lit("</title>"),
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit('<link rel="canonical" href="https://www.'),
+                F.col("source"),
+                F.lit(".leg.br/norma/"),
+                ds,
+                F.lit('">'),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit('<meta name="description" content="Lei numero '),
+                ds,
+                F.lit('">'),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit('<meta property="og:title" content="Norma '),
+                ds,
+                F.lit('">'),
+            ),
+        ).otherwise(F.lit("")),
+        robots,
+        F.lit("</head><body>corpo</body></html>"),
+    )
+    pages = d.select("doc_id", html.alias("html_text"))
+    return parse_head_meta(pages).drop("html_text")
 
 
 def _redirect_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3919,6 +4035,7 @@ _Q_B2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "identity_rotation": q_identity_rotation,
     "snapshot_diff": q_snapshot_diff,
     "gopher_verdict": q_gopher_verdict,
+    "html_meta": q_html_meta,
     "ficha_enrichment": q_ficha_enrichment,
     "pii_scrub": q_pii_scrub,
     "contamination_screen": q_contamination_screen,

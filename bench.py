@@ -110,6 +110,7 @@ HEADLINE_EXT = [
     "identity_rotation",
     "snapshot_diff",
     "gopher_verdict",
+    "html_meta",
 ]
 
 

@@ -245,3 +245,54 @@ def test_snapshot_diff_classifies_all_four(spark):
         "u3": ("removed", "d3", None),
         "u4": ("added", None, "d4"),
     }
+
+
+def test_parse_head_meta_and_robots_directives(spark):
+    from legislation_scraper_spark.operators.meta import (
+        apply_robots_meta,
+        parse_head_meta,
+    )
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "u1",
+                '<html><head><TITLE> Lei Um </TITLE>'
+                '<link rel="canonical" href="https://x/norma/1">'
+                '<meta name="robots" content="NOINDEX , nofollow">'
+                "</head></html>",
+            ),
+            (
+                "u2",
+                '<html><head><title>Dois</title>'
+                '<meta property="og:title" content="OG Dois">'
+                '<meta name="robots" content="none"></head></html>',
+            ),
+            ("u3", "<html><head><title>Tres</title></head></html>"),
+            ("u4", "<html><head></head><body>sem titulo</body></html>"),
+        ],
+        "url string, html_text string",
+    )
+    m = parse_head_meta(pages)
+    got = {
+        r["url"]: (
+            r["title"], r["canonical"], r["og_title"],
+            r["noindex"], r["nofollow"],
+        )
+        for r in m.collect()
+    }
+    assert got["u1"] == (
+        "Lei Um", "https://x/norma/1", None, True, True,
+    )
+    # 'none' implies both directives
+    assert got["u2"] == ("Dois", None, "OG Dois", True, True)
+    assert got["u3"] == ("Tres", None, None, False, False)
+    assert got["u4"] == (None, None, None, False, False)
+
+    outlinks = spark.createDataFrame(
+        [("u1", "t1"), ("u2", "t2"), ("u3", "t3")],
+        "src string, dst string",
+    )
+    indexable, followable = apply_robots_meta(m, outlinks)
+    assert {r["url"] for r in indexable.collect()} == {"u3", "u4"}
+    assert {r["dst"] for r in followable.collect()} == {"t3"}
