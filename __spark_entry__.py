@@ -2104,6 +2104,76 @@ _ORACLE_B2: dict[str, str] = {
                     THEN NULL ELSE f.fts END AS refers_to_ts
         FROM c JOIN f ON c.digest = f.digest
     """,
+    "script_profile": """
+        WITH m AS (
+          SELECT doc_id,
+                 text || CASE doc_id % 4
+                   WHEN 1 THEN ' правовой текст'
+                   WHEN 2 THEN ' 法律文本'
+                   WHEN 3 THEN ' نص قانوني'
+                   ELSE '' END AS t
+          FROM documents),
+        c AS (
+          SELECT doc_id,
+            len(regexp_extract_all(t,
+              '[A-Za-z\\x{00C0}-\\x{024F}]')) AS n_latin,
+            len(regexp_extract_all(t,
+              '[\\x{0400}-\\x{04FF}]')) AS n_cyrillic,
+            len(regexp_extract_all(t,
+              '[\\x{0370}-\\x{03FF}]')) AS n_greek,
+            len(regexp_extract_all(t,
+              '[\\x{0600}-\\x{06FF}]')) AS n_arabic,
+            len(regexp_extract_all(t,
+              '[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}\\x{AC00}-\\x{D7AF}]'
+              )) AS n_cjk,
+            len(regexp_extract_all(t,
+              '[\\x{0900}-\\x{097F}]')) AS n_devanagari
+          FROM m),
+        s AS (
+          SELECT *,
+                 n_latin + n_cyrillic + n_greek + n_arabic + n_cjk
+                   + n_devanagari AS total
+          FROM c)
+        SELECT doc_id,
+               CAST(n_latin AS BIGINT) AS n_latin,
+               CAST(n_cyrillic AS BIGINT) AS n_cyrillic,
+               CAST(n_greek AS BIGINT) AS n_greek,
+               CAST(n_arabic AS BIGINT) AS n_arabic,
+               CAST(n_cjk AS BIGINT) AS n_cjk,
+               CAST(n_devanagari AS BIGINT) AS n_devanagari,
+               ROUND(CASE WHEN total > 0
+                 THEN CAST(n_latin AS DOUBLE) / total ELSE 0.0 END, 6)
+                 AS frac_latin,
+               ROUND(CASE WHEN total > 0
+                 THEN CAST(n_cyrillic AS DOUBLE) / total ELSE 0.0 END, 6)
+                 AS frac_cyrillic,
+               ROUND(CASE WHEN total > 0
+                 THEN CAST(n_greek AS DOUBLE) / total ELSE 0.0 END, 6)
+                 AS frac_greek,
+               ROUND(CASE WHEN total > 0
+                 THEN CAST(n_arabic AS DOUBLE) / total ELSE 0.0 END, 6)
+                 AS frac_arabic,
+               ROUND(CASE WHEN total > 0
+                 THEN CAST(n_cjk AS DOUBLE) / total ELSE 0.0 END, 6)
+                 AS frac_cjk,
+               ROUND(CASE WHEN total > 0
+                 THEN CAST(n_devanagari AS DOUBLE) / total ELSE 0.0 END, 6)
+                 AS frac_devanagari,
+               CASE WHEN total = 0 THEN 'unk'
+                    WHEN n_latin >= n_cyrillic AND n_latin >= n_greek
+                     AND n_latin >= n_arabic AND n_latin >= n_cjk
+                     AND n_latin >= n_devanagari THEN 'latin'
+                    WHEN n_cyrillic >= n_greek AND n_cyrillic >= n_arabic
+                     AND n_cyrillic >= n_cjk AND n_cyrillic >= n_devanagari
+                     THEN 'cyrillic'
+                    WHEN n_greek >= n_arabic AND n_greek >= n_cjk
+                     AND n_greek >= n_devanagari THEN 'greek'
+                    WHEN n_arabic >= n_cjk AND n_arabic >= n_devanagari
+                     THEN 'arabic'
+                    WHEN n_cjk >= n_devanagari THEN 'cjk'
+                    ELSE 'devanagari' END AS dominant_script
+        FROM s
+    """,
     "html_meta": """
         WITH h AS (
           SELECT doc_id,
@@ -3094,6 +3164,36 @@ def q_html_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_head_meta(pages).drop("html_text")
 
 
+def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writing-system profile (functions/text.script_profile): per-doc
+    script letter counts/fractions + dominant script over documents
+    salted with Cyrillic/CJK/Arabic tails (doc_id % 4 buckets)."""
+    from legislation_scraper_spark.functions.text import (
+        SCRIPT_BLOCKS,
+        script_profile,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    mixed = F.concat(
+        F.col("text"),
+        F.when(did % 4 == 1, F.lit(" правовой текст"))
+        .when(did % 4 == 2, F.lit(" 法律文本"))
+        .when(did % 4 == 3, F.lit(" نص قانوني"))
+        .otherwise(F.lit("")),
+    )
+    prof = d.select("doc_id", *script_profile(mixed))
+    return prof.select(
+        "doc_id",
+        *[F.col(f"n_{n}") for n, _ in SCRIPT_BLOCKS],
+        *[
+            F.round(F.col(f"frac_{n}"), 6).alias(f"frac_{n}")
+            for n, _ in SCRIPT_BLOCKS
+        ],
+        "dominant_script",
+    )
+
+
 def _redirect_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic redirect edges from doc ids (both engines build
     the identical functional set): u{k} → u{k-1} for k % 16 != 0 —
@@ -4036,6 +4136,7 @@ _Q_B2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_diff": q_snapshot_diff,
     "gopher_verdict": q_gopher_verdict,
     "html_meta": q_html_meta,
+    "script_profile": q_script_profile,
     "ficha_enrichment": q_ficha_enrichment,
     "pii_scrub": q_pii_scrub,
     "contamination_screen": q_contamination_screen,

@@ -111,6 +111,7 @@ HEADLINE_EXT = [
     "snapshot_diff",
     "gopher_verdict",
     "html_meta",
+    "script_profile",
 ]
 
 

@@ -436,3 +436,69 @@ def nfc_normalize():
         )
 
     return _nfc
+
+
+#: codepoint-block classes shared verbatim by Java (Spark) and RE2
+#: (DuckDB oracle) — script identity via explicit ranges, not the
+#: engine-specific \p{script=...} syntaxes (Java wants Is-prefixes,
+#: RE2 bare names; \x{...} ranges mean the same thing in both).
+SCRIPT_BLOCKS: tuple[tuple[str, str], ...] = (
+    ("latin", r"[A-Za-z\x{00C0}-\x{024F}]"),
+    ("cyrillic", r"[\x{0400}-\x{04FF}]"),
+    ("greek", r"[\x{0370}-\x{03FF}]"),
+    ("arabic", r"[\x{0600}-\x{06FF}]"),
+    ("cjk", r"[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}\x{AC00}-\x{D7AF}]"),
+    ("devanagari", r"[\x{0900}-\x{097F}]"),
+)
+
+
+def script_profile(text: Column) -> list[Column]:
+    """Per-script letter counts, fractions, and the dominant script —
+    the cheap writing-system gate a multilingual webtext pipeline runs
+    before (or instead of) model-based language ID: a page whose
+    letters are 95% Han is not Portuguese no matter what the stopword
+    vote says, and mixed-script spam (Cyrillic homoglyph stuffing in a
+    Latin page) shows up as a split profile.
+
+    Returns columns ``n_<script>`` (bigint), ``frac_<script>`` (double,
+    denominator = total letters across the tracked blocks, 0.0 when no
+    letters), and ``dominant_script`` (max count; ties resolve in
+    SCRIPT_BLOCKS declaration order; ``unk`` when no letters at all).
+    Pure ``regexp_count`` codegen — per-row, zero shuffle, exact
+    rational fractions so cross-engine comparisons cannot drift.
+    """
+    counts = [
+        F.regexp_count(text, F.lit(pat)).cast("bigint").alias(f"n_{name}")
+        for name, pat in SCRIPT_BLOCKS
+    ]
+    total = sum(
+        (F.regexp_count(text, F.lit(p)) for _, p in SCRIPT_BLOCKS),
+        start=F.lit(0),
+    ).cast("bigint")
+    fracs = [
+        F.when(
+            total > 0,
+            F.regexp_count(text, F.lit(pat)).cast("double")
+            / total.cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias(f"frac_{name}")
+        for name, pat in SCRIPT_BLOCKS
+    ]
+    # argmax with declaration-order tie-break: max over (count, -index)
+    # structs — on count ties the larger -index (= earlier block) wins
+    entries = F.array(
+        *[
+            F.struct(
+                F.regexp_count(text, F.lit(pat)).cast("bigint").alias("c"),
+                F.lit(-i).alias("ni"),
+            )
+            for i, (_, pat) in enumerate(SCRIPT_BLOCKS)
+        ]
+    )
+    best = F.array_max(entries)
+    names = F.array(*[F.lit(n) for n, _ in SCRIPT_BLOCKS])
+    dominant = F.when(
+        total > 0, F.element_at(names, (-best["ni"] + 1).cast("int"))
+    ).otherwise(F.lit("unk"))
+    return counts + fracs + [dominant.alias("dominant_script")]

@@ -296,3 +296,27 @@ def test_parse_head_meta_and_robots_directives(spark):
     indexable, followable = apply_robots_meta(m, outlinks)
     assert {r["url"] for r in indexable.collect()} == {"u3", "u4"}
     assert {r["dst"] for r in followable.collect()} == {"t3"}
+
+
+def test_script_profile_mixed_and_empty(spark):
+    from legislation_scraper_spark.functions.text import script_profile
+
+    rows = [
+        (1, "lei ordinária"),            # pure latin (incl. accents)
+        (2, "закон и kodex"),            # cyrillic-majority mix
+        (3, "法律 の 条文"),               # cjk (han + kana)
+        (4, "123 .,;"),                  # no letters at all
+        (5, "ab яз"),                    # 2 vs 2 tie → latin (decl order)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: (
+            r["dominant_script"], r["n_latin"], r["n_cyrillic"], r["n_cjk"],
+        )
+        for r in df.select("doc_id", *script_profile(F.col("text"))).collect()
+    }
+    assert got[1] == ("latin", 12, 0, 0)
+    assert got[2][0] == "cyrillic" and got[2][1] == 5  # 'kodex' letters
+    assert got[3][0] == "cjk" and got[3][3] == 5
+    assert got[4] == ("unk", 0, 0, 0)
+    assert got[5] == ("latin", 2, 2, 0)
