@@ -2104,6 +2104,80 @@ _ORACLE_B2: dict[str, str] = {
                     THEN NULL ELSE f.fts END AS refers_to_ts
         FROM c JOIN f ON c.digest = f.digest
     """,
+    "frontier_admission": """
+        WITH links AS (
+          SELECT 'https://www.' || source || '.leg.br/norma/'
+                   || CAST(doc_id AS VARCHAR) AS src,
+                 'https://www.' || source || '.leg.br/norma/'
+                   || CAST((doc_id * 7 + 1) % 1000 AS VARCHAR) AS url,
+                 doc_id, source, 1 AS kind
+          FROM documents
+          UNION ALL
+          SELECT 'https://www.' || source || '.leg.br/norma/'
+                   || CAST(doc_id AS VARCHAR),
+                 'https://www.' || source || '.leg.br/agenda/'
+                   || CAST(2000 + doc_id % 25 AS VARCHAR) || '/'
+                   || CAST(doc_id % 3 AS VARCHAR) || '?view=month',
+                 doc_id, source, 2
+          FROM documents WHERE doc_id % 6 = 0
+          UNION ALL
+          SELECT 'https://www.' || source || '.leg.br/norma/'
+                   || CAST(doc_id AS VARCHAR),
+                 'https://www.portal' || CAST(doc_id % 4 AS VARCHAR)
+                   || '.example.com/p/' || CAST(doc_id AS VARCHAR),
+                 doc_id, source, 3
+          FROM documents WHERE doc_id % 5 = 0),
+        -- trap-flagged hosts: the /agenda template scores 2*cnt over 1
+        -- distinct content; threshold 3 → cnt >= 2 (mirrors
+        -- traps.template_stats over the same trap world)
+        flagged AS (
+          SELECT 'www.' || source || '.leg.br' AS host
+          FROM documents WHERE doc_id % 7 = 0
+          GROUP BY source
+          HAVING 2 * COUNT(*) >= 3),
+        surted AS (
+          SELECT l.*,
+                 regexp_replace(regexp_replace(lower(l.url),
+                   '^[a-z][a-z0-9+.-]*://', ''), '^www\\d*\\.', '') AS nw,
+                 lower(regexp_extract(l.url,
+                   '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS host
+          FROM links l),
+        keyed AS (
+          SELECT *,
+                 array_to_string(list_reverse(string_split(
+                   string_split(nw, '/')[1], '.')), ',')
+                 || ')' ||
+                 CASE WHEN strpos(nw, '/') = 0 THEN '/'
+                      ELSE substr(nw, strpos(nw, '/')) END AS surt
+          FROM surted),
+        rules(p, a) AS (VALUES
+          ('br,leg,', true),
+          ('br,leg,src1', false),
+          ('br,leg,src1)/norma', true),
+          ('br,leg,src12)', true)),
+        m AS (
+          SELECT k.src, k.url, k.surt, r.a,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY k.src, k.url
+                   ORDER BY length(r.p) DESC, r.a ASC) AS rn
+          FROM keyed k JOIN rules r ON starts_with(k.surt, r.p)),
+        dec AS (
+          SELECT k.src, k.url,
+                 COALESCE(b.a, false) AS allowed,
+                 (k.kind = 2 AND k.host IN (SELECT host FROM flagged))
+                   AS is_trap,
+                 (k.doc_id % 8) IN (2, 4, 6) AS nofollow
+          FROM keyed k
+          LEFT JOIN (SELECT src, url, a FROM m WHERE rn = 1) b
+            ON k.src = b.src AND k.url = b.url)
+        SELECT src AS src_url, url AS dst_url,
+               CASE WHEN NOT allowed THEN 'out_of_scope'
+                    WHEN is_trap THEN 'trap'
+                    WHEN nofollow THEN 'nofollow_source'
+                    ELSE 'admitted' END AS reason,
+               (allowed AND NOT is_trap AND NOT nofollow) AS admitted
+        FROM dec
+    """,
     "script_profile": """
         WITH m AS (
           SELECT doc_id,
@@ -3194,6 +3268,103 @@ def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_frontier_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone composition: outlink admission = SURT scope rules
+    (sources/cdx.scope_filter) → crawler-trap template flags
+    (operators/traps) → robots-meta nofollow of the SOURCE page
+    (operators/meta.parse_head_meta), with a fixed reason precedence
+    (out_of_scope > trap > nofollow_source > admitted).  The nofollow
+    signal is genuinely parsed from synthesized heads — the oracle
+    replays the generating rule the html_meta oracle proves the parser
+    recovers."""
+    from legislation_scraper_spark.operators.meta import parse_head_meta
+    from legislation_scraper_spark.operators.traps import (
+        flag_trap_urls,
+        template_stats,
+    )
+    from legislation_scraper_spark.sources.cdx import scope_filter
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    base = F.concat(F.lit("https://www."), F.col("source"), F.lit(".leg.br"))
+    src_url = F.concat(base, F.lit("/norma/"), ds)
+    # outlinks: an in-scope norma link per doc, a calendar-trap link for
+    # %6==0, an out-of-scope external link for %5==0
+    l1 = d.select(
+        src_url.alias("src"),
+        F.concat(
+            base, F.lit("/norma/"), ((did * 7 + 1) % 1000).cast("string")
+        ).alias("url"),
+    )
+    l2 = d.filter(did % 6 == 0).select(
+        src_url.alias("src"),
+        F.concat(
+            base,
+            F.lit("/agenda/"),
+            (did % 25 + 2000).cast("string"),
+            F.lit("/"),
+            (did % 3).cast("string"),
+            F.lit("?view=month"),
+        ).alias("url"),
+    )
+    l3 = d.filter(did % 5 == 0).select(
+        src_url.alias("src"),
+        F.concat(
+            F.lit("https://www.portal"),
+            (did % 4).cast("string"),
+            F.lit(".example.com/p/"),
+            ds,
+        ).alias("url"),
+    )
+    links = l1.unionByName(l2).unionByName(l3)
+    # source-page nofollow, parsed from the same head synth as html_meta
+    robots = (
+        F.when(did % 8 == 0, F.lit('<meta name="robots" content="noindex">'))
+        .when(did % 8 == 2, F.lit('<meta name="robots" content="nofollow">'))
+        .when(
+            did % 8 == 4,
+            F.lit('<meta name="robots" content="noindex, nofollow">'),
+        )
+        .when(did % 8 == 6, F.lit('<meta name="robots" content="none">'))
+        .otherwise(F.lit(""))
+    )
+    heads = d.select(
+        src_url.alias("src"),
+        F.concat(
+            F.lit("<html><head>"), robots, F.lit("</head></html>")
+        ).alias("html_text"),
+    )
+    meta = parse_head_meta(heads).select("src", "nofollow")
+    stats = template_stats(
+        _trap_world(spark, sf_dir), url_col="url", content_col="content"
+    )
+    flagged = flag_trap_urls(links, stats, threshold=3.0)
+    rules = spark.createDataFrame(
+        [
+            ("br,leg,", True),
+            ("br,leg,src1", False),
+            ("br,leg,src1)/norma", True),
+            ("br,leg,src12)", True),
+        ],
+        "surt_prefix string, allow boolean",
+    )
+    scoped = scope_filter(flagged, rules, default_allow=False)
+    out = scoped.join(meta, "src")
+    reason = (
+        F.when(~F.col("allowed"), F.lit("out_of_scope"))
+        .when(F.col("is_trap"), F.lit("trap"))
+        .when(F.col("nofollow"), F.lit("nofollow_source"))
+        .otherwise(F.lit("admitted"))
+    )
+    return out.select(
+        F.col("src").alias("src_url"),
+        F.col("url").alias("dst_url"),
+        reason.alias("reason"),
+        (reason == "admitted").alias("admitted"),
+    )
+
+
 def _redirect_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic redirect edges from doc ids (both engines build
     the identical functional set): u{k} → u{k-1} for k % 16 != 0 —
@@ -4137,6 +4308,7 @@ _Q_B2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gopher_verdict": q_gopher_verdict,
     "html_meta": q_html_meta,
     "script_profile": q_script_profile,
+    "frontier_admission": q_frontier_admission,
     "ficha_enrichment": q_ficha_enrichment,
     "pii_scrub": q_pii_scrub,
     "contamination_screen": q_contamination_screen,

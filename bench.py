@@ -112,6 +112,7 @@ HEADLINE_EXT = [
     "gopher_verdict",
     "html_meta",
     "script_profile",
+    "frontier_admission",
 ]
 
 
