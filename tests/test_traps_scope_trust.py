@@ -320,3 +320,46 @@ def test_script_profile_mixed_and_empty(spark):
     assert got[3][0] == "cjk" and got[3][3] == 5
     assert got[4] == ("unk", 0, 0, 0)
     assert got[5] == ("latin", 2, 2, 0)
+
+
+def test_url_template_matches_python_twin_on_adversarial_urls(spark):
+    """Column-expression url_template vs an independent straight-line
+    Python twin over adversarial shapes: no path, no query, empty query,
+    repeated params, valueless params, '=' in values, ports, fragments
+    riding the query, hex-vs-digit boundaries, '?' in the first path
+    position."""
+    import re as _re
+
+    def template_py(url: str) -> str:
+        pq = _re.sub(r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "", url)
+        qpos = pq.find("?")
+        path = pq if qpos < 0 else pq[:qpos]
+        query = "" if qpos < 0 else pq[qpos + 1 :]
+        norm = _re.sub("[0-9]+", "~N", _re.sub("[0-9a-f]{8,}", "~H", path))
+        if query == "":
+            keys = ""
+        else:
+            keys = ",".join(sorted(kv.split("=", 1)[0] for kv in query.split("&")))
+        return norm + "?" + keys
+
+    urls = [
+        "https://example.org",
+        "https://example.org/",
+        "https://example.org/a/b",
+        "https://example.org/a?",
+        "https://example.org/a?x",
+        "https://example.org/a?x=1&x=2",
+        "https://example.org/a?b=c=d&a",
+        "https://example.org:8443/v2/items007",
+        "https://example.org/deadbeef12345678/x",
+        "https://example.org/dead/beef",
+        "https://example.org/?q=1#frag",
+        "https://example.org/abc123def456",
+        "HTTP://EXAMPLE.ORG/CAPS/09",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [
+        r["t"]
+        for r in df.select(url_template(F.col("url")).alias("t")).collect()
+    ]
+    assert got == [template_py(u) for u in urls]
