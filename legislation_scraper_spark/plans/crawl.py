@@ -95,6 +95,15 @@ class CrawlConfig:
     expire_every_rounds: int = 0
     expire_keep_snapshots: int = 4
     expire_keep_checkpoints: int = 2
+    # SURT-prefix crawl scoping (sources/cdx.scope_filter, Heritrix
+    # SurtPrefixScope semantics: longest matching prefix wins, length
+    # ties deny).  Applied to DISCOVERED outlinks at frontier admission
+    # — seeds are exempt, as in Heritrix.  None disables (default:
+    # keeps ordering parity with the straight-line simulator, which is
+    # scope-oblivious).  The rule fold is an in-row broadcast — the
+    # link stream never shuffles for it.
+    scope_rules: tuple[tuple[str, bool], ...] | None = None
+    scope_default_allow: bool = True
 
 
 class CrawlEngine:
@@ -370,6 +379,23 @@ class CrawlEngine:
                 ).alias("url"),
             )
         )
+        if self.cfg.scope_rules:
+            from ..sources.cdx import scope_filter
+
+            rules_df = self.spark.createDataFrame(
+                list(self.cfg.scope_rules),
+                "surt_prefix string, allow boolean",
+            )
+            links = (
+                scope_filter(
+                    links,
+                    rules_df,
+                    url_col="url",
+                    default_allow=self.cfg.scope_default_allow,
+                )
+                .filter(F.col("allowed"))
+                .drop("surt", "allowed")
+            )
         new_front = with_url_key(
             links.select(
                 "url", "host", "source", "priority",

@@ -179,3 +179,55 @@ def test_error_cooldown_excludes_then_readmits(spark, world, tmp_path_factory):
         (F.col("round") == 3) & (F.col("host") == h)
     )
     assert logged.count() > 0, f"host {h} not readmitted after cooldown"
+
+
+def test_scope_rules_gate_frontier_admission(spark, tmp_path):
+    """An engine configured with a deny rule for one source's /norma
+    subtree crawls its search pages (seeds are scope-exempt, as in
+    Heritrix) but admits none of its document URLs to the frontier;
+    every other source is unaffected relative to an unscoped crawl."""
+    world = synth_world(spark, seed=11, docs_per_source=12, n_sources=3)
+
+    def run(cfg, store):
+        cat = Catalog(spark, str(store))
+        eng = CrawlEngine(
+            spark, cat, world["pages_raw"], world["seeds"],
+            world["robots"], cfg,
+        )
+        eng.run(max_rounds=30)
+        return eng
+
+    def visited_urls(eng):
+        return {
+            r["canon_url"] for r in eng.visited.read().collect()
+        }
+
+    plain = run(CrawlConfig(n_shards=8, fetch_partitions=4),
+                tmp_path / "plain")
+    pv = visited_urls(plain)
+    # pick a source whose /norma subtree the unscoped crawl reaches
+    # (a seed can die on a simulated permanent 503 — skip those)
+    src0 = sorted(
+        u.split("www.")[1].split(".leg.br")[0]
+        for u in pv
+        if "/norma/" in u
+    )[0]
+    scoped = run(
+        CrawlConfig(
+            n_shards=8,
+            fetch_partitions=4,
+            scope_rules=((f"br,leg,{src0})/norma", False),),
+            scope_default_allow=True,
+        ),
+        tmp_path / "scoped",
+    )
+    sv = visited_urls(scoped)
+    denied = {u for u in pv if f"www.{src0}.leg.br/norma/" in u}
+    assert denied, "unscoped crawl must visit the denied subtree"
+    assert not {u for u in sv if f"www.{src0}.leg.br/norma/" in u}
+    # search pages of src0 (seeds + their pagination) are still crawled
+    assert {u for u in sv if f"www.{src0}.leg.br/busca" in u}
+    # all other sources are untouched by the rule
+    others_p = {u for u in pv if f"www.{src0}.leg.br" not in u}
+    others_s = {u for u in sv if f"www.{src0}.leg.br" not in u}
+    assert others_p == others_s
