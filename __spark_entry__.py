@@ -2104,6 +2104,36 @@ _ORACLE_B2: dict[str, str] = {
                     THEN NULL ELSE f.fts END AS refers_to_ts
         FROM c JOIN f ON c.digest = f.digest
     """,
+    "wat_export": """
+        WITH p AS (
+          SELECT 'https://www.' || source || '.leg.br/norma/'
+                   || CAST(doc_id AS VARCHAR) AS url,
+                 make_timestamp(2024, doc_id % 12 + 1, doc_id % 28 + 1,
+                                doc_id % 24, doc_id % 60, 0) AS ts,
+                 'sha1:' || md5(CAST(doc_id AS VARCHAR)) AS digest,
+                 'Norma "' || CAST(doc_id AS VARCHAR) || '"' AS title,
+                 ['https://www.' || source || '.leg.br/norma/'
+                    || CAST((doc_id * 7 + 1) % 1000 AS VARCHAR),
+                  'https://www.' || source || '.leg.br/busca?page='
+                    || CAST(doc_id % 9 AS VARCHAR)] AS links
+          FROM documents)
+        SELECT url,
+               to_json(struct_pack(
+                 "Envelope" := struct_pack(
+                   "Format" := 'WARC',
+                   "WARC-Header-Metadata" := struct_pack(
+                     "WARC-Target-URI" := url,
+                     "WARC-Date" := strftime(ts, '%Y-%m-%dT%H:%M:%SZ'),
+                     "WARC-Type" := 'response',
+                     "WARC-Payload-Digest" := digest),
+                   "Payload-Metadata" := struct_pack(
+                     "HTTP-Response-Metadata" := struct_pack(
+                       "HTML-Metadata" := struct_pack(
+                         "Head" := struct_pack("Title" := title),
+                         "Links" := list_transform(links,
+                           x -> struct_pack(url := x)))))))) AS wat
+        FROM p
+    """,
     "frontier_admission": """
         WITH links AS (
           SELECT 'https://www.' || source || '.leg.br/norma/'
@@ -3365,6 +3395,37 @@ def q_frontier_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wat_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAT metadata-record export (sources/warc.wat_records): the JSON
+    envelope is Catalyst to_json over the standard WAT nesting, proven
+    byte-identical to DuckDB's to_json(struct_pack(...)) — key order,
+    separators, and escaping all match."""
+    from legislation_scraper_spark.sources.warc import wat_records
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    base = F.concat(F.lit("https://www."), F.col("source"), F.lit(".leg.br"))
+    pages = d.select(
+        F.concat(base, F.lit("/norma/"), ds).alias("url"),
+        F.make_timestamp(
+            F.lit(2024),
+            did % 12 + 1,
+            did % 28 + 1,
+            did % 24,
+            did % 60,
+            F.lit(0),
+        ).alias("ts"),
+        F.concat(F.lit("sha1:"), F.md5(ds)).alias("digest"),
+        F.concat(F.lit("Norma \""), ds, F.lit("\"")).alias("title"),
+        F.array(
+            F.concat(base, F.lit("/norma/"), ((did * 7 + 1) % 1000).cast("string")),
+            F.concat(base, F.lit("/busca?page="), (did % 9).cast("string")),
+        ).alias("links"),
+    )
+    return wat_records(pages)
+
+
 def _redirect_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic redirect edges from doc ids (both engines build
     the identical functional set): u{k} → u{k-1} for k % 16 != 0 —
@@ -4309,6 +4370,7 @@ _Q_B2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_meta": q_html_meta,
     "script_profile": q_script_profile,
     "frontier_admission": q_frontier_admission,
+    "wat_export": q_wat_export,
     "ficha_enrichment": q_ficha_enrichment,
     "pii_scrub": q_pii_scrub,
     "contamination_screen": q_contamination_screen,

@@ -113,6 +113,7 @@ HEADLINE_EXT = [
     "html_meta",
     "script_profile",
     "frontier_admission",
+    "wat_export",
 ]
 
 

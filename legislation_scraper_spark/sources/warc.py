@@ -263,3 +263,56 @@ def plan_revisit_records(
         .otherwise(F.col("_o.ts"))
         .alias("refers_to_ts"),
     )
+
+
+def wat_records(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    digest_col: str = "digest",
+    title_col: str = "title",
+    links_col: str = "links",
+) -> DataFrame:
+    """WAT metadata-record export (the third Common Crawl artifact
+    beside WARC archives and WET text): one JSON envelope per response
+    capture carrying the WARC header metadata and the parsed HTML head
+    (title + outlink list), in the standard
+    ``Envelope / WARC-Header-Metadata / Payload-Metadata /
+    HTTP-Response-Metadata / HTML-Metadata`` nesting.
+
+    The JSON is built by Catalyst's ``to_json`` over a nested struct —
+    pure JVM codegen, per-row, zero shuffle — and is byte-identical to
+    DuckDB's ``to_json(struct_pack(...))`` for this shape (compact
+    separators, declaration key order, standard escaping), which is
+    what the ``wat_export`` oracle exploits.  WARC-Date uses the
+    archive-standard ``yyyy-MM-ddTHH:mm:ssZ`` UTC form.
+    """
+    env = F.struct(
+        F.struct(
+            F.lit("WARC").alias("Format"),
+            F.struct(
+                F.col(url_col).alias("WARC-Target-URI"),
+                F.date_format(
+                    F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'"
+                ).alias("WARC-Date"),
+                F.lit("response").alias("WARC-Type"),
+                F.col(digest_col).alias("WARC-Payload-Digest"),
+            ).alias("WARC-Header-Metadata"),
+            F.struct(
+                F.struct(
+                    F.struct(
+                        F.struct(F.col(title_col).alias("Title")).alias(
+                            "Head"
+                        ),
+                        F.transform(
+                            F.col(links_col),
+                            lambda x: F.struct(x.alias("url")),
+                        ).alias("Links"),
+                    ).alias("HTML-Metadata")
+                ).alias("HTTP-Response-Metadata")
+            ).alias("Payload-Metadata"),
+        ).alias("Envelope")
+    )
+    return pages.select(
+        F.col(url_col).alias("url"), F.to_json(env).alias("wat")
+    )

@@ -424,3 +424,34 @@ def test_revisit_records_digest_dedup(spark):
     )
     assert got[("https://d.com/d", t, "C")] == ("response", None, None)
     assert len(plan_revisit_records(df).collect()) == len(rows)
+
+
+def test_wat_record_shape_and_roundtrip(spark):
+    import json
+    from datetime import datetime
+
+    from legislation_scraper_spark.sources.warc import wat_records
+
+    pages = spark.createDataFrame(
+        [(
+            "https://h/x",
+            datetime(2024, 3, 5, 6, 7, 8),
+            "sha1:abc",
+            'T "quoted" í',
+            ["https://h/a", "https://h/b"],
+        )],
+        "url string, ts timestamp, digest string, title string, "
+        "links array<string>",
+    )
+    row = wat_records(pages).first()
+    env = json.loads(row["wat"])["Envelope"]
+    assert env["Format"] == "WARC"
+    hm = env["WARC-Header-Metadata"]
+    assert hm["WARC-Target-URI"] == "https://h/x"
+    assert hm["WARC-Date"] == "2024-03-05T06:07:08Z"
+    assert hm["WARC-Type"] == "response"
+    html = env["Payload-Metadata"]["HTTP-Response-Metadata"]["HTML-Metadata"]
+    assert html["Head"]["Title"] == 'T "quoted" í'
+    assert [l["url"] for l in html["Links"]] == [
+        "https://h/a", "https://h/b",
+    ]
