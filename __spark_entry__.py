@@ -2104,6 +2104,29 @@ _ORACLE_B2: dict[str, str] = {
                     THEN NULL ELSE f.fts END AS refers_to_ts
         FROM c JOIN f ON c.digest = f.digest
     """,
+    "budget_allocation": """
+        WITH h AS (
+          SELECT 'www.' || source || '.leg.br' AS host,
+                 CAST(COUNT(*) AS DOUBLE) AS weight
+          FROM documents WHERE doc_id % 3 = 0 GROUP BY source),
+        tot AS (SELECT SUM(weight) AS W FROM h),
+        b AS (
+          SELECT host, weight,
+                 CAST(FLOOR(1000.0 * weight / (SELECT W FROM tot))
+                   AS BIGINT) AS base,
+                 1000.0 * weight / (SELECT W FROM tot)
+                   - FLOOR(1000.0 * weight / (SELECT W FROM tot)) AS frac
+          FROM h),
+        l AS (SELECT 1000 - SUM(base) AS R FROM b),
+        r AS (SELECT host,
+                     ROW_NUMBER() OVER (ORDER BY frac DESC, host ASC)
+                       AS rn
+              FROM b)
+        SELECT b.host, b.weight,
+               CAST(b.base + CASE WHEN r.rn <= (SELECT R FROM l)
+                                  THEN 1 ELSE 0 END AS BIGINT) AS budget
+        FROM b JOIN r ON b.host = r.host
+    """,
     "wat_export": """
         WITH p AS (
           SELECT 'https://www.' || source || '.leg.br/norma/'
@@ -3426,6 +3449,28 @@ def q_wat_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wat_records(pages)
 
 
+def q_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder division of a global 1000-fetch round quota
+    across hosts weighted by backlog (operators/politeness.
+    allocate_budgets): budgets sum to exactly 1000; weights are
+    integer-valued so the floor arithmetic is engine-identical."""
+    from legislation_scraper_spark.operators.politeness import (
+        allocate_budgets,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    hosts = (
+        d.filter(F.col("doc_id") % 3 == 0)
+        .groupBy(
+            F.concat(
+                F.lit("www."), F.col("source"), F.lit(".leg.br")
+            ).alias("host")
+        )
+        .agg(F.count("*").cast("double").alias("weight"))
+    )
+    return allocate_budgets(hosts, total_budget=1000)
+
+
 def _redirect_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic redirect edges from doc ids (both engines build
     the identical functional set): u{k} → u{k-1} for k % 16 != 0 —
@@ -4371,6 +4416,7 @@ _Q_B2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "script_profile": q_script_profile,
     "frontier_admission": q_frontier_admission,
     "wat_export": q_wat_export,
+    "budget_allocation": q_budget_allocation,
     "ficha_enrichment": q_ficha_enrichment,
     "pii_scrub": q_pii_scrub,
     "contamination_screen": q_contamination_screen,

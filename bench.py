@@ -114,6 +114,7 @@ HEADLINE_EXT = [
     "script_profile",
     "frontier_admission",
     "wat_export",
+    "budget_allocation",
 ]
 
 

@@ -159,3 +159,73 @@ def schedule_round(
     if fetch_partitions:
         return sel.repartition(fetch_partitions, key)
     return sel.repartition(key)
+
+
+def allocate_budgets(
+    hosts: DataFrame,
+    total_budget: int,
+    weight_col: str = "weight",
+    host_col: str = "host",
+) -> DataFrame:
+    """Proportional-fair division of a global round budget across hosts
+    by the largest-remainder (Hamilton) method: ``base_h =
+    floor(B·w_h/W)``, then the ``B − Σbase`` leftover units go to the
+    hosts with the largest fractional parts (ties by host asc) — so
+    budgets sum to EXACTLY ``B`` and every allocation is deterministic.
+
+    This is the global-cap companion to the per-host politeness rank:
+    ``select_budget`` enforces each host's own limit; this operator
+    decides how a cluster-wide fetch quota (connection pool, bandwidth
+    contract) splits across hosts weighted by priority/backlog.
+
+    Plan shape / scale: the host table is politeness metadata (≪ URL
+    volume).  W and Σbase are 1-row aggregates collected as scalars
+    (the justified-driver-action class of pagerank's N); the top-R
+    remainder pick is ``orderBy(...).limit(R)`` —
+    TakeOrderedAndProject, per-partition partial top-R before the
+    single-partition step, never a global sort of all hosts (the IVF
+    centroid discipline) — broadcast back as a +1 flag.  Zero/empty
+    weight mass returns all-zero budgets (no proportional claim
+    exists).
+
+    Cross-engine floor parity: with integer-valued weights both W and
+    ``B·w/W`` are computed identically in IEEE double by any engine;
+    arbitrary float weights remain internally consistent but may floor
+    differently across engines at exact boundaries.
+    """
+    w = F.col(weight_col).cast("double")
+    row = hosts.agg(F.sum(w).alias("W"), F.count("*").alias("n")).first()
+    total_w, n = float(row["W"] or 0.0), int(row["n"])
+    zero = hosts.select(
+        F.col(host_col).alias("host"),
+        w.alias("weight"),
+        F.lit(0).cast("bigint").alias("budget"),
+    )
+    if n == 0 or total_w <= 0:
+        return zero
+    exact = F.lit(float(total_budget)) * w / F.lit(total_w)
+    base = hosts.select(
+        F.col(host_col).alias("host"),
+        w.alias("weight"),
+        F.floor(exact).cast("bigint").alias("base"),
+        (exact - F.floor(exact)).alias("frac"),
+    ).localCheckpoint(eager=False)
+    leftover = int(total_budget) - int(base.agg(F.sum("base")).first()[0])
+    out = base
+    if leftover > 0:
+        top = (
+            base.orderBy(F.col("frac").desc(), F.col("host").asc())
+            .limit(leftover)
+            .select("host", F.lit(1).cast("bigint").alias("plus"))
+        )
+        out = base.join(F.broadcast(top), "host", "left")
+        out = out.withColumn(
+            "plus", F.coalesce("plus", F.lit(0).cast("bigint"))
+        )
+    else:
+        out = base.withColumn("plus", F.lit(0).cast("bigint"))
+    return out.select(
+        "host",
+        "weight",
+        (F.col("base") + F.col("plus")).cast("bigint").alias("budget"),
+    )

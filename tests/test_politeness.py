@@ -157,3 +157,37 @@ def test_schedule_round_range_impl_equals_window(spark):
         )
     )
     assert a == b and len(a) == 8
+
+
+def test_allocate_budgets_sums_exactly_and_breaks_ties(spark):
+    from legislation_scraper_spark.operators.politeness import (
+        allocate_budgets,
+    )
+
+    hosts = spark.createDataFrame(
+        [("a", 1.0), ("b", 1.0), ("c", 1.0)], "host string, weight double"
+    )
+    # 10/3: base 3 each, leftover 1 → equal fracs, host asc tie → 'a'
+    got = {
+        r["host"]: r["budget"]
+        for r in allocate_budgets(hosts, 10).collect()
+    }
+    assert got == {"a": 4, "b": 3, "c": 3}
+    assert sum(got.values()) == 10
+    # proportionality: weights 3:1 over B=8 → 6 and 2 exactly
+    h2 = spark.createDataFrame(
+        [("x", 3.0), ("y", 1.0)], "host string, weight double"
+    )
+    got2 = {
+        r["host"]: r["budget"] for r in allocate_budgets(h2, 8).collect()
+    }
+    assert got2 == {"x": 6, "y": 2}
+    # zero mass → all zero (no invented split)
+    h0 = spark.createDataFrame(
+        [("x", 0.0), ("y", 0.0)], "host string, weight double"
+    )
+    assert {
+        r["budget"] for r in allocate_budgets(h0, 5).collect()
+    } == {0}
+    # empty input → empty output
+    assert allocate_budgets(h0.filter("1=0"), 5).collect() == []
