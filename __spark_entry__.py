@@ -2104,6 +2104,21 @@ _ORACLE_B2: dict[str, str] = {
                     THEN NULL ELSE f.fts END AS refers_to_ts
         FROM c JOIN f ON c.digest = f.digest
     """,
+    "top_ngrams": """
+        WITH w AS (
+          SELECT list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             x -> x <> '') AS w
+          FROM documents),
+        g AS (
+          SELECT unnest(list_transform(
+                   range(1, len(w) - 1),
+                   i -> array_to_string(list_slice(w, i, i + 2), ' ')))
+                   AS gram
+          FROM w WHERE len(w) >= 3),
+        c AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM g GROUP BY gram)
+        SELECT gram, cnt FROM c ORDER BY cnt DESC, gram ASC LIMIT 50
+    """,
     "budget_allocation": """
         WITH h AS (
           SELECT 'www.' || source || '.leg.br' AS host,
@@ -3449,6 +3464,16 @@ def q_wat_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wat_records(pages)
 
 
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus-wide top-50 3-grams
+    (operators/curation.top_ngrams): one partial-aggregated (gram,
+    count) shuffle + TakeOrderedAndProject; (count desc, gram asc)
+    tie-break matches the oracle's ORDER BY ... LIMIT."""
+    from legislation_scraper_spark.operators.curation import top_ngrams
+
+    return top_ngrams(_t(spark, sf_dir, "documents"), n=3, k=50)
+
+
 def q_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Largest-remainder division of a global 1000-fetch round quota
     across hosts weighted by backlog (operators/politeness.
@@ -4417,6 +4442,7 @@ _Q_B2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frontier_admission": q_frontier_admission,
     "wat_export": q_wat_export,
     "budget_allocation": q_budget_allocation,
+    "top_ngrams": q_top_ngrams,
     "ficha_enrichment": q_ficha_enrichment,
     "pii_scrub": q_pii_scrub,
     "contamination_screen": q_contamination_screen,

@@ -115,6 +115,7 @@ HEADLINE_EXT = [
     "frontier_admission",
     "wat_export",
     "budget_allocation",
+    "top_ngrams",
 ]
 
 

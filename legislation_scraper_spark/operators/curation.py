@@ -704,3 +704,34 @@ def gopher_quality_verdict(
         stop_hits.cast("int").alias("stop_hits"),
         keep.alias("keep"),
     )
+
+
+def top_ngrams(
+    docs: DataFrame,
+    n: int = 3,
+    k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact corpus-wide top-``k`` most frequent word ``n``-grams —
+    the boilerplate/template discovery report every corpus audit runs
+    (the heavy hitters are navigation chrome, legal disclaimers, and
+    licence blurbs; their doc-frequency feeds stop-gram lists for the
+    repetition filters).
+
+    Plan shape / scale: explode → ONE (gram, count) hash aggregation —
+    map-side combine absorbs the Zipf head (each partition emits one
+    partial row per distinct gram it saw, and the heavy hitters are by
+    definition the best-combining keys) — then ``orderBy().limit(k)``
+    = TakeOrderedAndProject (per-partition partial top-k before the
+    single-partition merge; the full gram vocabulary is never globally
+    sorted).  Deterministic tie-break: (count desc, gram asc).
+    """
+    grams = docs.select(
+        F.explode(word_shingles(F.col(text_col), n)).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("gram").asc())
+        .limit(k)
+    )

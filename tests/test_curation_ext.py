@@ -433,3 +433,21 @@ def test_gopher_verdict_is_shuffle_free(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_top_ngrams_counts_and_partial_topk_plan(spark):
+    from legislation_scraper_spark.operators.curation import top_ngrams
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b c"),       # "a b c" x2, "b c a", "c a b"
+            (2, "a b c d"),           # "a b c", "b c d"
+            (3, "x y"),               # too short → no grams
+        ],
+        "doc_id int, text string",
+    )
+    df = top_ngrams(docs, n=3, k=3)
+    got = [(r["gram"], r["cnt"]) for r in df.collect()]
+    assert got == [("a b c", 3), ("b c a", 1), ("b c d", 1)]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
