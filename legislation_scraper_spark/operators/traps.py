@@ -20,11 +20,12 @@ frontier joins candidate URLs to high-score templates (broadcast — the
 flagged-template set is tiny) and demotes or caps them.
 
 Plan shape / scale:
-- ONE shuffle, on (host, template): both ``count`` and
-  ``count(DISTINCT hash)`` partial-aggregate map-side (Spark plans the
-  distinct as a two-phase aggregate over the same key — no extra
-  exchange of the raw pages, and page BODIES never shuffle at all
-  since the hash is computed in the scan stage).
+- TWO exchanges, both partial-aggregated and body-free: Spark plans
+  ``count(DISTINCT hash)`` as a pre-aggregation keyed by
+  (host, template, chash) — each partition emits one row per distinct
+  (template, content) it saw — then the final (host, template) agg.
+  Page BODIES never shuffle at all: the 8-byte hash is computed in the
+  scan stage projection.
 - Template cardinality ≈ page-type count (10^5–10^6 at web scale),
   orders of magnitude below URL count, so the result is frontier
   metadata, not data.

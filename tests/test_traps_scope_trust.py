@@ -363,3 +363,39 @@ def test_url_template_matches_python_twin_on_adversarial_urls(spark):
         for r in df.select(url_template(F.col("url")).alias("t")).collect()
     ]
     assert got == [template_py(u) for u in urls]
+
+
+def test_template_stats_single_shuffle_plan(spark):
+    pages = spark.createDataFrame(
+        [("https://www.x.leg.br/a/1", "t")], "url string, text string"
+    )
+    plan = (
+        template_stats(pages)._jdf.queryExecution().executedPlan().toString()
+    )
+    # two exchanges, both partial-aggregated: the distinct-count
+    # pre-agg keyed by (host, template, chash) and the final
+    # (host, template) agg; every exchange is preceded by a partial
+    # HashAggregate and page bodies never shuffle
+    non_broadcast = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert non_broadcast == 2
+    assert "partial_count" in plan and "chash" in plan
+
+
+def test_assign_identities_frontier_never_shuffles(spark):
+    from legislation_scraper_spark.operators.identity import (
+        assign_identities,
+    )
+
+    frontier = spark.createDataFrame([("a.com",)], "host string")
+    blocks = spark.createDataFrame([("a.com",)], "host string")
+    plan = (
+        assign_identities(frontier, blocks, ["i0", "i1"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the only exchanges are the block-count aggregation (host-bounded)
+    # and its broadcast; the frontier side joins map-side
+    assert "BroadcastHashJoin" in plan
+    non_broadcast = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert non_broadcast == 1
