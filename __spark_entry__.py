@@ -2104,6 +2104,23 @@ _ORACLE_B2: dict[str, str] = {
                     THEN NULL ELSE f.fts END AS refers_to_ts
         FROM c JOIN f ON c.digest = f.digest
     """,
+    "homoglyph_fold": """
+        WITH m AS (
+          SELECT doc_id, text,
+                 CASE WHEN doc_id % 3 = 1
+                      THEN translate(text, 'ae', 'ае')
+                      ELSE text END AS mixed
+          FROM documents)
+        SELECT doc_id,
+               CAST(length(mixed) - length(translate(mixed,
+                 'аеорсухіѕјАВЕКМНОРСТХονΑΒΕΖΗΙΚΜΝΟΡΤΥΧ', ''))
+                 AS BIGINT) AS n_confusables,
+               md5(translate(mixed,
+                 'аеорсухіѕјАВЕКМНОРСТХονΑΒΕΖΗΙΚΜΝΟΡΤΥΧ',
+                 'aeopcyxisjABEKMHOPCTXovABEZHIKMNOPTYX')) = md5(text)
+                 AS restored
+        FROM m
+    """,
     "top_ngrams": """
         WITH w AS (
           SELECT list_filter(regexp_split_to_array(trim(text), '\\s+'),
@@ -3474,6 +3491,30 @@ def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_ngrams(_t(spark, sf_dir, "documents"), n=3, k=50)
 
 
+def q_homoglyph_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusable-character folding (functions/text.fold_homoglyphs):
+    every third document gets a Cyrillic a/e homoglyph swap; the fold
+    must restore the original fingerprint (``restored`` true for ALL
+    rows) and ``n_confusables`` counts the planted swaps."""
+    from legislation_scraper_spark.functions.text import (
+        fold_homoglyphs,
+        homoglyph_count,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    mixed = F.when(
+        F.col("doc_id") % 3 == 1,
+        F.translate(F.col("text"), "ae", "ае"),
+    ).otherwise(F.col("text"))
+    return d.select(
+        "doc_id",
+        homoglyph_count(mixed).alias("n_confusables"),
+        (F.md5(fold_homoglyphs(mixed)) == F.md5(F.col("text"))).alias(
+            "restored"
+        ),
+    )
+
+
 def q_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Largest-remainder division of a global 1000-fetch round quota
     across hosts weighted by backlog (operators/politeness.
@@ -4443,6 +4484,7 @@ _Q_B2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wat_export": q_wat_export,
     "budget_allocation": q_budget_allocation,
     "top_ngrams": q_top_ngrams,
+    "homoglyph_fold": q_homoglyph_fold,
     "ficha_enrichment": q_ficha_enrichment,
     "pii_scrub": q_pii_scrub,
     "contamination_screen": q_contamination_screen,

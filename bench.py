@@ -116,6 +116,7 @@ HEADLINE_EXT = [
     "wat_export",
     "budget_allocation",
     "top_ngrams",
+    "homoglyph_fold",
 ]
 
 

@@ -502,3 +502,47 @@ def script_profile(text: Column) -> list[Column]:
         total > 0, F.element_at(names, (-best["ni"] + 1).cast("int"))
     ).otherwise(F.lit("unk"))
     return counts + fracs + [dominant.alias("dominant_script")]
+
+
+#: Unicode-confusables subset (UTS #39 shapes): Cyrillic/Greek letters
+#: visually identical to Latin in most fonts, mapped to their Latin
+#: skeleton.  Spam evades exact/fingerprint dedup by swapping these
+#: into boilerplate ("вitcoin" with a Cyrillic в); folding before
+#: fingerprinting closes that hole.  A literal char map keeps the fold
+#: pure ``translate`` codegen with an identical DuckDB twin.
+HOMOGLYPH_MAP: tuple[tuple[str, str], ...] = (
+    # Cyrillic → Latin
+    ("а", "a"), ("е", "e"), ("о", "o"), ("р", "p"), ("с", "c"),
+    ("у", "y"), ("х", "x"), ("і", "i"), ("ѕ", "s"), ("ј", "j"),
+    ("А", "A"), ("В", "B"), ("Е", "E"), ("К", "K"), ("М", "M"),
+    ("Н", "H"), ("О", "O"), ("Р", "P"), ("С", "C"), ("Т", "T"),
+    ("Х", "X"),
+    # Greek → Latin
+    ("ο", "o"), ("ν", "v"), ("Α", "A"), ("Β", "B"), ("Ε", "E"),
+    ("Ζ", "Z"), ("Η", "H"), ("Ι", "I"), ("Κ", "K"), ("Μ", "M"),
+    ("Ν", "N"), ("Ο", "O"), ("Ρ", "P"), ("Τ", "T"), ("Υ", "Y"),
+    ("Χ", "X"),
+)
+
+_HG_FROM = "".join(f for f, _ in HOMOGLYPH_MAP)
+_HG_TO = "".join(t for _, t in HOMOGLYPH_MAP)
+
+
+def fold_homoglyphs(text: Column) -> Column:
+    """Map confusable Cyrillic/Greek letters to their Latin skeletons —
+    run BEFORE fingerprint/minhash so homoglyph-swapped spam collides
+    with its Latin original.  Single ``translate`` call: per-row
+    codegen, zero shuffle, and byte-identical semantics in DuckDB's
+    ``translate`` (both substitute per-character, 1:1)."""
+    return F.translate(text, _HG_FROM, _HG_TO)
+
+
+def homoglyph_count(text: Column) -> Column:
+    """How many confusable characters the text carries — a spam signal
+    on top of script_profile: legitimate single-script text has ~0,
+    homoglyph-stuffed boilerplate has many."""
+    # translate with an EMPTY replacement deletes the matched chars in
+    # both Spark and DuckDB, so the length delta is the count
+    return (
+        F.length(text) - F.length(F.translate(text, _HG_FROM, ""))
+    ).cast("bigint")

@@ -399,3 +399,40 @@ def test_assign_identities_frontier_never_shuffles(spark):
     assert "BroadcastHashJoin" in plan
     non_broadcast = plan.count("Exchange") - plan.count("BroadcastExchange")
     assert non_broadcast == 1
+
+
+def test_homoglyph_fold_and_count(spark):
+    from legislation_scraper_spark.functions.text import (
+        fold_homoglyphs,
+        homoglyph_count,
+    )
+
+    rows = [
+        (1, "рауРal.com"),       # Cyrillic р,а,у,Р → paypal skeleton
+        (2, "normal latin"),
+        (3, "Ελλάδα"),            # Greek: only confusable caps/ο/ν fold
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: (r["f"], r["n"])
+        for r in df.select(
+            "doc_id",
+            fold_homoglyphs(F.col("text")).alias("f"),
+            homoglyph_count(F.col("text")).alias("n"),
+        ).collect()
+    }
+    assert got[1] == ("payPal.com", 4)
+    assert got[2] == ("normal latin", 0)
+    # 'Ε' folds to 'E'; lowercase ε/λ/δ are NOT confusables and stay
+    assert got[3][0].startswith("E") and got[3][1] == 1
+    # fold ∘ swap = identity on mapped chars: dedup fingerprints collide
+    a = spark.createDataFrame(
+        [("texto de lei",), ("tеxto dе lеi",)], "t string"  # Cyrillic е
+    )
+    fps = {
+        r["fp"]
+        for r in a.select(
+            F.md5(fold_homoglyphs(F.col("t"))).alias("fp")
+        ).collect()
+    }
+    assert len(fps) == 1
