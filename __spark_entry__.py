@@ -2104,6 +2104,21 @@ _ORACLE_B2: dict[str, str] = {
                     THEN NULL ELSE f.fts END AS refers_to_ts
         FROM c JOIN f ON c.digest = f.digest
     """,
+    "canonical_dedup": """
+        WITH base AS (
+          SELECT 'https://www.' || source || '.leg.br/norma/'
+                   || CAST(doc_id AS VARCHAR) AS b, doc_id
+          FROM documents),
+        pages AS (
+          SELECT b AS url, b AS cluster_key FROM base
+          UNION ALL
+          SELECT b || '?print=1' AS url, b AS cluster_key
+          FROM base WHERE doc_id % 2 = 0)
+        SELECT cluster_key,
+               CAST(COUNT(*) AS BIGINT) AS n_pages,
+               MIN(url) AS survivor
+        FROM pages GROUP BY cluster_key
+    """,
     "homoglyph_fold": """
         WITH m AS (
           SELECT doc_id, text,
@@ -3515,6 +3530,45 @@ def q_homoglyph_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rel=canonical-driven duplicate clustering: every document page
+    plus a ?print=1 variant that declares the base URL canonical
+    (operators/meta.parse_head_meta extracts it); cluster key =
+    coalesce(canonical, url), survivor = min url, one shuffle on the
+    cluster key."""
+    from legislation_scraper_spark.operators.meta import parse_head_meta
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    base = F.concat(
+        F.lit("https://www."),
+        F.col("source"),
+        F.lit(".leg.br/norma/"),
+        ds,
+    )
+    plain = d.select(
+        base.alias("url"),
+        F.lit("<html><head></head></html>").alias("html_text"),
+    )
+    print_view = d.filter(did % 2 == 0).select(
+        F.concat(base, F.lit("?print=1")).alias("url"),
+        F.concat(
+            F.lit('<html><head><link rel="canonical" href="'),
+            base,
+            F.lit('"></head></html>'),
+        ).alias("html_text"),
+    )
+    pages = plain.unionByName(print_view)
+    meta = parse_head_meta(pages).select(
+        "url", F.coalesce("canonical", "url").alias("cluster_key")
+    )
+    return meta.groupBy("cluster_key").agg(
+        F.count("*").cast("bigint").alias("n_pages"),
+        F.min("url").alias("survivor"),
+    )
+
+
 def q_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Largest-remainder division of a global 1000-fetch round quota
     across hosts weighted by backlog (operators/politeness.
@@ -4485,6 +4539,7 @@ _Q_B2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "budget_allocation": q_budget_allocation,
     "top_ngrams": q_top_ngrams,
     "homoglyph_fold": q_homoglyph_fold,
+    "canonical_dedup": q_canonical_dedup,
     "ficha_enrichment": q_ficha_enrichment,
     "pii_scrub": q_pii_scrub,
     "contamination_screen": q_contamination_screen,

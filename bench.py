@@ -117,6 +117,7 @@ HEADLINE_EXT = [
     "budget_allocation",
     "top_ngrams",
     "homoglyph_fold",
+    "canonical_dedup",
 ]
 
 
