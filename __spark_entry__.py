@@ -2104,6 +2104,15 @@ _ORACLE_B2: dict[str, str] = {
                     THEN NULL ELSE f.fts END AS refers_to_ts
         FROM c JOIN f ON c.digest = f.digest
     """,
+    "x_robots_tag": """
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0 THEN 'noindex'
+                    WHEN doc_id % 5 = 2 THEN 'none'
+                    ELSE NULL END AS header_tag,
+               (doc_id % 5 = 0 OR doc_id % 5 = 2) AS noindex,
+               (doc_id % 5 = 2 OR doc_id % 4 = 1) AS nofollow
+        FROM documents
+    """,
     "canonical_dedup": """
         WITH base AS (
           SELECT 'https://www.' || source || '.leg.br/norma/'
@@ -3569,6 +3578,61 @@ def q_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_x_robots_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-restrictive-wins robots directives across BOTH delivery
+    channels: the X-Robots-Tag HTTP header (parsed by
+    sources/http.parse_http_response from synthesized raw messages)
+    and the body's robots meta tag (operators/meta.parse_head_meta),
+    combined by operators/meta.effective_robots.  The oracle replays
+    the generating residues both parsers are separately proven to
+    recover."""
+    from legislation_scraper_spark.operators.meta import (
+        effective_robots,
+        parse_head_meta,
+    )
+    from legislation_scraper_spark.sources.http import parse_http_response
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    header = (
+        F.when(did % 5 == 0, F.lit("\r\nX-Robots-Tag: noindex"))
+        .when(did % 5 == 2, F.lit("\r\nX-Robots-Tag: none"))
+        .otherwise(F.lit(""))
+    )
+    body = F.concat(
+        F.lit("<html><head>"),
+        F.when(
+            did % 4 == 1,
+            F.lit('<meta name="robots" content="nofollow">'),
+        ).otherwise(F.lit("")),
+        F.lit("</head><body>corpo</body></html>"),
+    )
+    msg = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html"),
+        header,
+        F.lit("\r\n\r\n"),
+        body,
+    )
+    parsed = parse_http_response(
+        d.select("doc_id", F.encode(msg, "utf-8").alias("payload"))
+    )
+    meta = parse_head_meta(
+        parsed.withColumn("html_text", F.decode("http_body", "utf-8"))
+    ).select(
+        "doc_id",
+        F.col("noindex").alias("m_noindex"),
+        F.col("nofollow").alias("m_nofollow"),
+        F.element_at("http_headers", "x-robots-tag").alias("header_tag"),
+    )
+    return meta.select(
+        "doc_id",
+        "header_tag",
+        *effective_robots(
+            F.col("m_noindex"), F.col("m_nofollow"), F.col("header_tag")
+        ),
+    )
+
+
 def q_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Largest-remainder division of a global 1000-fetch round quota
     across hosts weighted by backlog (operators/politeness.
@@ -4540,6 +4604,7 @@ _Q_B2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_ngrams": q_top_ngrams,
     "homoglyph_fold": q_homoglyph_fold,
     "canonical_dedup": q_canonical_dedup,
+    "x_robots_tag": q_x_robots_tag,
     "ficha_enrichment": q_ficha_enrichment,
     "pii_scrub": q_pii_scrub,
     "contamination_screen": q_contamination_screen,

@@ -118,6 +118,7 @@ HEADLINE_EXT = [
     "top_ngrams",
     "homoglyph_fold",
     "canonical_dedup",
+    "x_robots_tag",
 ]
 
 

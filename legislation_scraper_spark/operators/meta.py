@@ -100,3 +100,34 @@ def apply_robots_meta(
         F.broadcast(nofollow_srcs), src_col, "left_anti"
     )
     return indexable, followable
+
+
+def robots_directive_flags(value: Column) -> list[Column]:
+    """(noindex, nofollow) booleans from a robots directive STRING —
+    shared by the two delivery channels a crawler must honor: the
+    ``<meta name="robots">`` content attribute (parse_head_meta) and
+    the ``X-Robots-Tag`` HTTP response header (RFC 9309's page-level
+    companion; reachable for non-HTML payloads like PDFs where no meta
+    tag can exist).  NULL input means no directive (both false);
+    ``none`` implies both."""
+    has = value.isNotNull()
+    none = has & _clause(value, "none")
+    return [
+        (has & (_clause(value, "noindex") | none)).alias("noindex"),
+        (has & (_clause(value, "nofollow") | none)).alias("nofollow"),
+    ]
+
+
+def effective_robots(
+    meta_noindex: Column,
+    meta_nofollow: Column,
+    header_value: Column,
+) -> list[Column]:
+    """Most-restrictive-wins combination of the meta-tag flags and the
+    X-Robots-Tag header (the rule search engines document: any channel
+    saying noindex/nofollow makes it so)."""
+    h_noindex, h_nofollow = robots_directive_flags(header_value)
+    return [
+        (meta_noindex | h_noindex).alias("noindex"),
+        (meta_nofollow | h_nofollow).alias("nofollow"),
+    ]

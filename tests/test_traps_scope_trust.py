@@ -436,3 +436,36 @@ def test_homoglyph_fold_and_count(spark):
         ).collect()
     }
     assert len(fps) == 1
+
+
+def test_robots_directive_flags_and_effective_combination(spark):
+    from legislation_scraper_spark.operators.meta import (
+        effective_robots,
+        robots_directive_flags,
+    )
+
+    rows = [
+        (1, "NOINDEX , nofollow", False, False),
+        (2, "none", False, False),
+        (3, None, True, False),     # meta says noindex, header silent
+        (4, None, False, False),
+        (5, "nofollow", False, True),
+    ]
+    df = spark.createDataFrame(
+        rows, "id int, header string, m_ni boolean, m_nf boolean"
+    )
+    flags = df.select(
+        "id", *robots_directive_flags(F.col("header"))
+    )
+    got = {r["id"]: (r["noindex"], r["nofollow"]) for r in flags.collect()}
+    assert got[1] == (True, True)
+    assert got[2] == (True, True)    # 'none' implies both
+    assert got[3] == (False, False)  # header silent
+    eff = df.select(
+        "id",
+        *effective_robots(F.col("m_ni"), F.col("m_nf"), F.col("header")),
+    )
+    g2 = {r["id"]: (r["noindex"], r["nofollow"]) for r in eff.collect()}
+    assert g2[3] == (True, False)    # meta channel alone suffices
+    assert g2[5] == (False, True)    # header alone suffices
+    assert g2[1] == (True, True)     # union of channels
