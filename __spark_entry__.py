@@ -2104,6 +2104,56 @@ _ORACLE_B2: dict[str, str] = {
                     THEN NULL ELSE f.fts END AS refers_to_ts
         FROM c JOIN f ON c.digest = f.digest
     """,
+    "sitemap_staleness": """
+        WITH entries AS (
+          SELECT 'https://www.' || source || '.leg.br/norma/'
+                   || CAST(doc_id AS VARCHAR) AS url,
+                 CASE WHEN doc_id % 11 <> 0 THEN
+                   make_timestamp(2024, doc_id % 12 + 1,
+                                  doc_id % 28 + 1, doc_id % 24, 0, 0)
+                 END AS lastmod
+          FROM documents),
+        visited AS (
+          SELECT 'https://www.' || source || '.leg.br/norma/'
+                   || CAST(doc_id AS VARCHAR) AS url,
+                 make_timestamp(2024, (doc_id + 3) % 12 + 1, 15, 12, 0, 0)
+                   AS fetched_ts
+          FROM documents WHERE doc_id % 17 <> 0)
+        SELECT e.url, e.lastmod, v.fetched_ts,
+               CASE WHEN v.fetched_ts IS NULL THEN 'unseen'
+                    WHEN e.lastmod IS NULL THEN 'unknown'
+                    WHEN e.lastmod > v.fetched_ts THEN 'stale'
+                    ELSE 'fresh' END AS status
+        FROM entries e LEFT JOIN visited v ON e.url = v.url
+    """,
+    "seed_hops": """
+        WITH e AS (
+          SELECT 'h' || CAST(doc_id % 31 AS VARCHAR) AS src,
+                 'h' || CAST((doc_id * 7 + 3) % 31 AS VARCHAR) AS dst
+          FROM documents
+          WHERE doc_id % 31 <> (doc_id * 7 + 3) % 31),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        d0 AS (SELECT node,
+                      CASE WHEN node IN ('h0','h7','h14','h21','h28')
+                           THEN CAST(0 AS BIGINT) END AS hops
+               FROM nodes),
+        c1 AS (SELECT e.dst, MIN(d0.hops) + 1 AS cand
+               FROM e JOIN d0 ON e.src = d0.node
+               WHERE d0.hops IS NOT NULL GROUP BY e.dst),
+        d1 AS (SELECT d0.node, least(d0.hops, c1.cand) AS hops
+               FROM d0 LEFT JOIN c1 ON d0.node = c1.dst),
+        c2 AS (SELECT e.dst, MIN(d1.hops) + 1 AS cand
+               FROM e JOIN d1 ON e.src = d1.node
+               WHERE d1.hops IS NOT NULL GROUP BY e.dst),
+        d2 AS (SELECT d1.node, least(d1.hops, c2.cand) AS hops
+               FROM d1 LEFT JOIN c2 ON d1.node = c2.dst),
+        c3 AS (SELECT e.dst, MIN(d2.hops) + 1 AS cand
+               FROM e JOIN d2 ON e.src = d2.node
+               WHERE d2.hops IS NOT NULL GROUP BY e.dst),
+        d3 AS (SELECT d2.node, least(d2.hops, c3.cand) AS hops
+               FROM d2 LEFT JOIN c3 ON d2.node = c3.dst)
+        SELECT node, CAST(hops AS BIGINT) AS hops FROM d3
+    """,
     "x_robots_tag": """
         SELECT doc_id,
                CASE WHEN doc_id % 5 = 0 THEN 'noindex'
@@ -3633,6 +3683,64 @@ def q_x_robots_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_seed_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS distance from the legislative seed set over the host graph
+    (operators/graph.seed_hops, 3 relaxation rounds; NULL = unreached);
+    oracle = the same rounds as chained CTEs (Spark and DuckDB `least`
+    both ignore NULLs)."""
+    from legislation_scraper_spark.operators.graph import seed_hops
+
+    seeds = spark.createDataFrame(
+        [("h0",), ("h7",), ("h14",), ("h21",), ("h28",)], "node string"
+    )
+    return seed_hops(_edge_synth(spark, sf_dir), seeds, max_hops=3)
+
+
+def q_sitemap_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-lastmod recrawl planning (sources/sitemap.
+    sitemap_staleness): unseen / stale / fresh / unknown per sitemap
+    URL against the visited log — publishers' freshness hints driving
+    refetch priority."""
+    from legislation_scraper_spark.sources.sitemap import (
+        sitemap_staleness,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://www."),
+        F.col("source"),
+        F.lit(".leg.br/norma/"),
+        did.cast("string"),
+    )
+    entries = d.select(
+        url.alias("url"),
+        F.when(
+            did % 11 != 0,
+            F.make_timestamp(
+                F.lit(2024),
+                did % 12 + 1,
+                did % 28 + 1,
+                did % 24,
+                F.lit(0),
+                F.lit(0),
+            ),
+        ).alias("lastmod"),
+    )
+    visited = d.filter(did % 17 != 0).select(
+        url.alias("url"),
+        F.make_timestamp(
+            F.lit(2024),
+            (did + 3) % 12 + 1,
+            F.lit(15),
+            F.lit(12),
+            F.lit(0),
+            F.lit(0),
+        ).alias("fetched_ts"),
+    )
+    return sitemap_staleness(entries, visited)
+
+
 def q_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Largest-remainder division of a global 1000-fetch round quota
     across hosts weighted by backlog (operators/politeness.
@@ -4605,6 +4713,8 @@ _Q_B2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "homoglyph_fold": q_homoglyph_fold,
     "canonical_dedup": q_canonical_dedup,
     "x_robots_tag": q_x_robots_tag,
+    "seed_hops": q_seed_hops,
+    "sitemap_staleness": q_sitemap_staleness,
     "ficha_enrichment": q_ficha_enrichment,
     "pii_scrub": q_pii_scrub,
     "contamination_screen": q_contamination_screen,

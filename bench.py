@@ -119,6 +119,8 @@ HEADLINE_EXT = [
     "homoglyph_fold",
     "canonical_dedup",
     "x_robots_tag",
+    "seed_hops",
+    "sitemap_staleness",
 ]
 
 

@@ -310,3 +310,60 @@ def trustrank(
         if checkpoint:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks
+
+
+def seed_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Minimum link distance from the trusted seed set (synchronous BFS
+    relaxation, ``max_hops`` rounds) — TrustRank's discrete cousin and
+    the classic frontier-prioritization signal: a URL five hops from
+    every seed is far likelier spam/trap than a seed's direct outlink,
+    and crawl schedulers budget by hop tier.
+
+    Returns ``(node, hops)``; nodes unreached within ``max_hops`` carry
+    NULL.  Semantics: hops(seed ∩ nodes) = 0; each round relaxes
+    ``hops(v) = min(hops(v), min over in-edges hops(u) + 1)``.
+
+    Plan shape: pagerank's loop — one (dst, min) aggregation shuffle
+    per round against the cached edge list, localCheckpoint per round
+    to cut lineage.  The seed set broadcasts once onto the node list.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    s = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
+    dist = nodes.join(
+        F.broadcast(s.withColumn("hops", F.lit(0).cast("bigint"))),
+        "node",
+        "left",
+    )
+    if checkpoint:
+        e = e.localCheckpoint(eager=False)
+        dist = dist.localCheckpoint(eager=False)
+    for _ in range(max_hops):
+        cand = (
+            e.join(
+                dist.filter(F.col("hops").isNotNull()).select(
+                    F.col("node").alias("src"), "hops"
+                ),
+                "src",
+            )
+            .groupBy("dst")
+            .agg((F.min("hops") + 1).alias("cand"))
+        )
+        dist = (
+            dist.join(cand, dist["node"] == cand["dst"], "left")
+            .select("node", F.least("hops", "cand").alias("hops"))
+        )
+        if checkpoint:
+            dist = dist.localCheckpoint(eager=False)
+    return dist

@@ -299,3 +299,43 @@ def robots_policy_table(
             F.lit(int(max_parallel)).alias("max_parallel"),
         )
     )
+
+
+def sitemap_staleness(
+    entries: DataFrame,
+    visited: DataFrame,
+    url_col: str = "url",
+    lastmod_col: str = "lastmod",
+    fetched_col: str = "fetched_ts",
+) -> DataFrame:
+    """Recrawl planning from sitemap ``<lastmod>``: classify every
+    sitemap URL against the visited log as ``unseen`` (never fetched),
+    ``stale`` (published lastmod newer than our fetch), ``fresh``
+    (fetch at/after lastmod) or ``unknown`` (no lastmod — the entry
+    gives no freshness signal; revisit falls back to the Poisson
+    change-rate estimate, operators/revisit.change_rates).
+
+    This closes the sitemap loop: robots.txt → Sitemap: directives
+    (sitemap_locs) → urlset parse (parse_sitemap) → THIS view → the
+    frontier, so publishers' freshness hints drive refetch priority
+    instead of blind revisit cycles.
+
+    Plan shape: ONE left equi-join on the URL key carrying (url,
+    lastmod) vs (url, fetched_ts) — co-located (shuffle-free) under
+    the repo's url-hash bucketing; classification is a per-row CASE.
+    """
+    v = visited.select(
+        F.col(url_col).alias(url_col), F.col(fetched_col).alias("_f")
+    )
+    j = entries.join(v, url_col, "left")
+    status = (
+        F.when(F.col("_f").isNull(), F.lit("unseen"))
+        .when(F.col(lastmod_col).isNull(), F.lit("unknown"))
+        .when(F.col(lastmod_col) > F.col("_f"), F.lit("stale"))
+        .otherwise(F.lit("fresh"))
+    )
+    return j.select(
+        *entries.columns,
+        F.col("_f").alias(fetched_col),
+        status.alias("status"),
+    )

@@ -455,3 +455,36 @@ def test_wat_record_shape_and_roundtrip(spark):
     assert [l["url"] for l in html["Links"]] == [
         "https://h/a", "https://h/b",
     ]
+
+
+def test_sitemap_staleness_classification(spark):
+    from datetime import datetime
+
+    from legislation_scraper_spark.sources.sitemap import (
+        sitemap_staleness,
+    )
+
+    t1 = datetime(2024, 1, 1)
+    t2 = datetime(2024, 6, 1)
+    entries = spark.createDataFrame(
+        [
+            ("u1", t2),    # lastmod after fetch → stale
+            ("u2", t1),    # lastmod before fetch → fresh
+            ("u3", t1),    # never fetched → unseen
+            ("u4", None),  # fetched, no lastmod → unknown
+            ("u5", t1),    # lastmod == fetch → fresh (not newer)
+        ],
+        "url string, lastmod timestamp",
+    )
+    visited = spark.createDataFrame(
+        [("u1", t1), ("u2", t2), ("u4", t1), ("u5", t1)],
+        "url string, fetched_ts timestamp",
+    )
+    got = {
+        r["url"]: r["status"]
+        for r in sitemap_staleness(entries, visited).collect()
+    }
+    assert got == {
+        "u1": "stale", "u2": "fresh", "u3": "unseen",
+        "u4": "unknown", "u5": "fresh",
+    }

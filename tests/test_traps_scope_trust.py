@@ -469,3 +469,24 @@ def test_robots_directive_flags_and_effective_combination(spark):
     assert g2[3] == (True, False)    # meta channel alone suffices
     assert g2[5] == (False, True)    # header alone suffices
     assert g2[1] == (True, True)     # union of channels
+
+
+def test_seed_hops_bfs_levels_and_unreached(spark):
+    from legislation_scraper_spark.operators.graph import seed_hops
+
+    edges = [
+        ("s", "a"), ("a", "b"), ("b", "c"), ("c", "d"),
+        ("x", "y"),                       # island, unreachable
+        ("b", "a"),                       # back edge must not lower a
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    seeds = spark.createDataFrame([("s",), ("ghost",)], "node string")
+    got = {
+        r["node"]: r["hops"]
+        for r in seed_hops(df, seeds, max_hops=3).collect()
+    }
+    assert got == {
+        "s": 0, "a": 1, "b": 2, "c": 3,
+        "d": None,                        # 4 hops > max_hops
+        "x": None, "y": None,             # disconnected island
+    }
