@@ -2104,6 +2104,43 @@ _ORACLE_B2: dict[str, str] = {
                     THEN NULL ELSE f.fts END AS refers_to_ts
         FROM c JOIN f ON c.digest = f.digest
     """,
+    "percent_normalize": """
+        WITH u AS (
+          SELECT doc_id,
+                 'https://www.' || source || '.leg.br/busca?q=%41rtigo%20'
+                 || CAST(doc_id AS VARCHAR)
+                 || CASE doc_id % 4
+                      WHEN 0 THEN '%7e'
+                      WHEN 1 THEN '%2fsub'
+                      WHEN 2 THEN '%gg'
+                      ELSE '' END AS url
+          FROM documents),
+        p AS (SELECT doc_id, url, string_split(url, '%') AS parts FROM u),
+        n AS (
+          SELECT doc_id, url,
+                 parts[1] || array_to_string(list_transform(
+                   list_slice(parts, 2, len(parts)),
+                   f -> CASE
+                     WHEN regexp_matches(f, '^[0-9A-Fa-f]{2}') THEN
+                       CASE WHEN regexp_matches(
+                              chr(CAST((strpos('0123456789ABCDEF',
+                                     upper(substr(f, 1, 1))) - 1) * 16
+                                  + strpos('0123456789ABCDEF',
+                                     upper(substr(f, 2, 1))) - 1 AS INT)),
+                              '^[A-Za-z0-9._~-]$')
+                            THEN chr(CAST((strpos('0123456789ABCDEF',
+                                     upper(substr(f, 1, 1))) - 1) * 16
+                                  + strpos('0123456789ABCDEF',
+                                     upper(substr(f, 2, 1))) - 1 AS INT))
+                                 || substr(f, 3)
+                            ELSE '%' || upper(substr(f, 1, 2))
+                                 || substr(f, 3)
+                       END
+                     ELSE '%' || f
+                   END), '') AS normalized
+          FROM p)
+        SELECT doc_id, url, normalized FROM n
+    """,
     "sitemap_staleness": """
         WITH entries AS (
           SELECT 'https://www.' || source || '.leg.br/norma/'
@@ -3741,6 +3778,32 @@ def q_sitemap_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sitemap_staleness(entries, visited)
 
 
+def q_percent_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 3986 §6.2.2 percent-encoding normalization
+    (functions/urls.percent_normalize): unreserved escapes decode,
+    surviving escapes uppercase, malformed ones pass through — over
+    URLs salted with decodable/reserved/malformed escapes."""
+    from legislation_scraper_spark.functions.urls import percent_normalize
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://www."),
+        F.col("source"),
+        F.lit(".leg.br/busca?q=%41rtigo%20"),
+        did.cast("string"),
+        F.when(did % 4 == 0, F.lit("%7e"))
+        .when(did % 4 == 1, F.lit("%2fsub"))
+        .when(did % 4 == 2, F.lit("%gg"))
+        .otherwise(F.lit("")),
+    )
+    return d.select(
+        "doc_id",
+        url.alias("url"),
+        percent_normalize(url).alias("normalized"),
+    )
+
+
 def q_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Largest-remainder division of a global 1000-fetch round quota
     across hosts weighted by backlog (operators/politeness.
@@ -4715,6 +4778,7 @@ _Q_B2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_robots_tag": q_x_robots_tag,
     "seed_hops": q_seed_hops,
     "sitemap_staleness": q_sitemap_staleness,
+    "percent_normalize": q_percent_normalize,
     "ficha_enrichment": q_ficha_enrichment,
     "pii_scrub": q_pii_scrub,
     "contamination_screen": q_contamination_screen,

@@ -121,6 +121,7 @@ HEADLINE_EXT = [
     "x_robots_tag",
     "seed_hops",
     "sitemap_staleness",
+    "percent_normalize",
 ]
 
 

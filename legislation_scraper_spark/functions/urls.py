@@ -214,3 +214,39 @@ def url_template(url: Column) -> Column:
         )
     )
     return F.concat(norm, F.lit("?"), keys)
+
+
+def percent_normalize(url: Column) -> Column:
+    """RFC 3986 §6.2.2 percent-encoding normalization — the URL-dedup
+    normalization ``canonicalize_url`` doesn't cover: decode escapes of
+    UNRESERVED characters (``%41`` → ``A``, ``%7E`` → ``~`` — encoding
+    them never changes identity) and uppercase the hex of every escape
+    that must stay (``%3a`` → ``%3A``).  Without it, the same page
+    arrives as three distinct frontier keys from three linking sites.
+
+    Pure in-row array algebra (split on ``%``, per-fragment conditional
+    decode, reassemble) — no UDF; malformed escapes (``%G1``, ``%`` at
+    end) pass through byte-identically, they are not errors at crawl
+    scale, just bytes.  The DuckDB oracle runs the same fragment walk
+    with the same hex/unreserved predicates.
+    """
+    parts = F.split(url, "%", -1)
+
+    def fix(f: Column) -> Column:
+        hexpair = F.upper(F.substring(f, 1, 2))
+        rest = F.substring(f, 3, F.lit(1 << 30))
+        is_hex = f.rlike("^[0-9A-Fa-f]{2}")
+        ch = F.chr(F.conv(hexpair, 16, 10).cast("bigint"))
+        decodable = ch.rlike("^[A-Za-z0-9._~-]$")
+        return F.when(
+            is_hex & decodable, F.concat(ch, rest)
+        ).when(
+            is_hex, F.concat(F.lit("%"), hexpair, rest)
+        ).otherwise(F.concat(F.lit("%"), f))
+
+    tail = F.transform(
+        F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0))), fix
+    )
+    return F.concat(
+        F.element_at(parts, 1), F.array_join(tail, "")
+    )

@@ -490,3 +490,27 @@ def test_seed_hops_bfs_levels_and_unreached(spark):
         "d": None,                        # 4 hops > max_hops
         "x": None, "y": None,             # disconnected island
     }
+
+
+def test_percent_normalize_rfc3986(spark):
+    from legislation_scraper_spark.functions.urls import percent_normalize
+
+    cases = {
+        "https://h/%41bc": "https://h/Abc",
+        "https://h/a%3ab": "https://h/a%3Ab",
+        "https://h/%7Euser": "https://h/~user",
+        "https://h/a%2Fb": "https://h/a%2Fb",        # reserved stays
+        "https://h/100%25off": "https://h/100%25off",  # escaped % stays
+        "https://h/bad%G1x": "https://h/bad%G1x",    # malformed intact
+        "https://h/trail%": "https://h/trail%",
+        "no-escapes": "no-escapes",
+        "https://h/%e7%81%af": "https://h/%E7%81%AF",  # utf-8 bytes upper
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "u string")
+    got = {
+        r["u"]: r["n"]
+        for r in df.select(
+            "u", percent_normalize(F.col("u")).alias("n")
+        ).collect()
+    }
+    assert got == cases
