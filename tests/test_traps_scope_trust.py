@@ -514,3 +514,44 @@ def test_percent_normalize_rfc3986(spark):
         ).collect()
     }
     assert got == cases
+
+
+def test_percent_normalize_matches_python_twin_on_random_strings(spark):
+    """Seeded adversarial generator: random ASCII with dense '%'
+    clusters, compared against an independent straight-line twin."""
+    import random
+    import re as _re
+
+    rng = random.Random(20240817)
+    alphabet = list("abzAZ09-._~%253AfFgG/ ?&=")
+
+    def gen():
+        return "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 24)))
+
+    def twin(u: str) -> str:
+        parts = u.split("%")
+        out = [parts[0]]
+        for f in parts[1:]:
+            if _re.match(r"^[0-9A-Fa-f]{2}", f):
+                h = f[:2].upper()
+                ch = chr(int(h, 16))
+                if _re.match(r"^[A-Za-z0-9._~-]$", ch):
+                    out.append(ch + f[2:])
+                else:
+                    out.append("%" + h + f[2:])
+            else:
+                out.append("%" + f)
+        return "".join(out)
+
+    from legislation_scraper_spark.functions.urls import percent_normalize
+
+    cases = [gen() for _ in range(300)]
+    df = spark.createDataFrame([(c,) for c in cases], "u string")
+    got = {
+        r["u"]: r["n"]
+        for r in df.select(
+            "u", percent_normalize(F.col("u")).alias("n")
+        ).collect()
+    }
+    for c in cases:
+        assert got[c] == twin(c), repr(c)
