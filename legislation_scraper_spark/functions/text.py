@@ -149,18 +149,24 @@ def simhash16(text: Column) -> Column:
     oracle parity.
     """
     def vote_fn(j: int):
-        return lambda acc, t: acc + F.when(
-            F.substring(F.md5(t), j + 1, 1) >= F.lit("8"), 1
+        return lambda acc, h: acc + F.when(
+            F.substring(h, j + 1, 1) >= F.lit("8"), 1
         ).otherwise(-1)
 
-    def bits_fn(w: Column) -> Column:
+    def bits_fn(hs: Column) -> Column:
+        # hs = the let-bound per-token digest array: md5 runs ONCE per
+        # token and all 16 bit-folds read cached hex strings (unbound,
+        # each fold would recompute md5 per token — measured ~16× the
+        # digest work on real corpora)
         bits = []
         for j in range(16):
-            vote = F.aggregate(w, F.lit(0), vote_fn(j))
+            vote = F.aggregate(hs, F.lit(0), vote_fn(j))
             bits.append(F.when(vote >= 0, F.lit("1")).otherwise(F.lit("0")))
         return F.concat(*bits)
 
-    return let(words(text), bits_fn)
+    return let(
+        F.transform(words(text), lambda t: F.md5(t)), bits_fn
+    )
 
 
 def hamming16(a: Column, b: Column) -> Column:

@@ -474,6 +474,7 @@ def dup_span_coverage(
     text_col: str = "text",
     id_col: str = "doc_id",
     gram_words: int = 8,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Cross-document repeated-span coverage — the ExactSubstr dedup
     signal (Lee et al. 2022, *Deduplicating Training Data Makes
@@ -504,6 +505,13 @@ def dup_span_coverage(
        interval union costs zero extra shuffle and no per-doc window.
     Positions are bounded by document length, so the collected array
     is the same order of magnitude as the document itself.
+
+    ``checkpoint`` localCheckpoints the per-doc gram-array frame so the
+    dup-set aggregation and the occurrence probe read ONE
+    materialization of the (expensive) token/gram hashing instead of
+    executing it once per consumer; state is the gram arrays — the
+    same order as the token stream, which at cluster scale is the
+    standard cache-vs-recompute tradeoff this flag exposes.
     """
     k = gram_words
 
@@ -537,8 +545,11 @@ def dup_span_coverage(
             ).alias("grams"),
         ),
     )
+    base = df.select(F.col(id_col).alias("id"), packed.alias("p"))
+    if checkpoint:
+        base = base.localCheckpoint(eager=False)
     g = (
-        df.select(F.col(id_col).alias("id"), packed.alias("p"))
+        base
         .select(
             "id",
             F.col("p.n").alias("n_tokens"),

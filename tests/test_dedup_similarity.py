@@ -201,3 +201,36 @@ def test_multimodal_plumbing(spark):
     assert frames.count() == 10
     with pytest.raises(NotImplementedError):
         multimodal.sample_frames(df, decode_stub=False)
+
+
+def test_simhash_pairs_capped_and_join_free(spark):
+    from legislation_scraper_spark.operators.dedup import simhash_pairs
+
+    # identical docs pair at hamming 0; the unrelated doc pairs with
+    # nothing under a tight budget
+    df = spark.createDataFrame(
+        [
+            (1, "lei de ajuste fiscal do estado"),
+            (2, "lei de ajuste fiscal do estado"),
+            (3, "zzz completamente diferente qqq www eee rrr"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["a_id"], r["b_id"]): r["hamming"]
+        for r in simhash_pairs(df, max_hamming=3).collect()
+    }
+    assert got.get((1, 2)) == 0
+    assert all(3 not in k for k in got)
+    # saturated buckets are DROPPED by the cap: with max_bucket=1 no
+    # bucket may pair anything
+    assert simhash_pairs(df, max_hamming=3, max_bucket=1).collect() == []
+    # plan shape: no self-join — the only join-like node is none; the
+    # pipeline is groupBy + explode of the in-array expansion
+    plan = (
+        simhash_pairs(df, max_hamming=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan

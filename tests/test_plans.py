@@ -87,7 +87,10 @@ def test_jaccard_hash_path_has_no_dictionary(spark):
     # force the large-vocab path (max_bitset_bits=0): web-scale corpora
     # always land here
     plan = _explain(
-        ngram_jaccard_pairs(df, ["source"], threshold=0.8, max_bitset_bits=0)
+        ngram_jaccard_pairs(
+            df, ["source"], threshold=0.8, max_bitset_bits=0,
+            checkpoint=False,
+        )
     )
     assert "xxhash64" in plan
     assert "monotonically_increasing" not in plan
@@ -105,7 +108,9 @@ def test_jaccard_bitset_dict_join_is_broadcast(spark):
         [(i, "g", "alfa bravo carga delta eco") for i in range(6)],
         "doc_id long, source string, text string",
     )
-    plan = _explain(ngram_jaccard_pairs(df, ["source"], threshold=0.8))
+    plan = _explain(
+        ngram_jaccard_pairs(df, ["source"], threshold=0.8, checkpoint=False)
+    )
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
 
