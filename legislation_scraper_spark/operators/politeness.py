@@ -92,12 +92,16 @@ def rank_per_host_range(
        position − min(position) over the host + 1, where the per-host
        minimum is a broadcast dim (hosts ≪ rows).
 
-    Cost: the range shuffle runs twice (counts pass + final pass —
-    plan re-execution, deliberately NOT persisted so the caller
-    controls memory) over politeness-bounded METADATA, in exchange for
-    no per-host sort straggler at any skew.  Use when per-host budgets
-    are large/unbounded; with small budgets the plain window +
-    WindowGroupLimit map-side prune is cheaper.
+    The sorted stream is materialized ONCE (``localCheckpoint``)
+    before the counts collect: positions are reconstructed from
+    per-partition offsets measured on one execution, so the final pass
+    MUST see the identical range boundaries and row order.  Without
+    the checkpoint the plan would execute twice, and any
+    non-determinism in the input (sampling, round-robin repartition,
+    AQE re-planning between jobs) would silently shift offsets —
+    gaps/duplicate ranks → per-host budget violations (r3 ADVICE).
+    Storage cost is one pass of politeness-bounded metadata rows
+    (MEMORY_AND_DISK blocks, freed when the frame is GC'd).
     """
     spark = candidates.sparkSession
     n = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -106,6 +110,7 @@ def rank_per_host_range(
         candidates.repartitionByRange(n, *[F.col(c) for c in cols])
         .sortWithinPartitions(*cols)
         .withColumn("_mid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=True)
     )
     pid = F.shiftright(F.col("_mid"), 33).cast("int")
     lidx = F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))

@@ -92,19 +92,21 @@ def lsh_topk(
     multiprobe: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    max_bucket: int = 100_000,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: sign-bucket blocking + 1-bit multi-probe +
     exact rerank within candidates.
 
-    Corpus buckets larger than ``max_bucket`` are dropped before the
-    candidate join (same degenerate-bucket discipline as
+    ``max_bucket`` (opt-in) drops corpus buckets larger than the cap
+    before the candidate join (same degenerate-bucket discipline as
     ``dedup.minhash_lsh_pairs`` / ``dedup.cap_buckets``): with
     correlated embeddings one hot sign-bucket can hold a large corpus
     fraction, and Q queries probing it cost O(Q × |bucket|).  The cap
-    bounds per-probe cost; queries that land only in dropped buckets
-    lose recall — raise ``bits`` (smaller buckets) or the cap instead
-    of uncapping.
+    bounds per-probe cost at the price of SILENT recall loss for
+    queries whose only matching bucket was dropped — which is why it
+    defaults to OFF (r3 ADVICE): the caller must choose the recall/
+    cost trade explicitly at scale (prefer raising ``bits`` — smaller
+    buckets — before capping).
     """
     from .dedup import cap_buckets
 
@@ -113,7 +115,8 @@ def lsh_topk(
         F.col(vec_col).alias("cv"),
         sign_bucket(vec_col, bits).alias("bucket"),
     )
-    c = cap_buckets(c, "bucket", max_bucket)
+    if max_bucket is not None:
+        c = cap_buckets(c, "bucket", max_bucket)
     qb = queries.select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("qv"),

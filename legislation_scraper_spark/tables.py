@@ -454,9 +454,16 @@ class BucketedLog(Table):
                 i = int(f.split("-", 2)[1])
                 stem, dot, ext = f.partition(".")
                 staged.append((f, f"{stem}_{i:05d}{dot}{ext}"))
-            if mode != "append":
-                for f in self._data_files():
-                    os.remove(os.path.join(self.data_dir, f))
+            # Overwrite renames the staged files IN first and deletes
+            # the replaced files only after the manifest claim succeeds
+            # (below): a crash between the two steps leaves the current
+            # snapshot's file_sets fully readable (stray new files are
+            # invisible — every read path goes through file_sets).  The
+            # old order (delete → rename) had a window where the live
+            # snapshot pointed at deleted files (r3 ADVICE).
+            old_files = (
+                self._data_files() if mode != "append" else set()
+            )
             for src, dst in staged:
                 os.rename(
                     os.path.join(staging, src),
@@ -494,11 +501,24 @@ class BucketedLog(Table):
             }
 
         # retries=1: a bucketed log is SINGLE-WRITER by contract — the
-        # file-diff attribution above (before/after the insertInto)
-        # cannot distinguish a concurrent writer's files from its own,
-        # so a lost claim means attribution is already suspect and the
-        # commit must fail loudly rather than serialize.
-        return self._claim_version(build, retries=1)
+        # staged-rename scheme assumes no concurrent writer is renaming
+        # files into data_dir, so a lost claim means another writer
+        # exists and the commit must fail loudly rather than serialize.
+        try:
+            v = self._claim_version(build, retries=1)
+        except Exception:
+            # claim lost/failed: roll the rename back so the directory
+            # matches the (still-current) previous snapshot exactly
+            for f in new_files:
+                try:
+                    os.remove(os.path.join(self.data_dir, f))
+                except OSError:
+                    pass
+            raise
+        # manifest now points at new_files only — drop replaced files
+        for f in sorted(old_files - set(new_files)):
+            os.remove(os.path.join(self.data_dir, f))
+        return v
 
     def read(self, version: int | None = None) -> DataFrame | None:
         snap = self.snapshot(version)
