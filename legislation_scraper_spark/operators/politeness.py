@@ -145,6 +145,7 @@ def schedule_round(
     fetch_partitions: int | None = None,
     round_window_ms: int | None = None,
     rank_impl: str = "window",
+    host_budgets: DataFrame | None = None,
 ) -> DataFrame:
     """Full politeness pass: robots gate → rank → budget → salted
     repartition for the fetch stage.
@@ -152,8 +153,24 @@ def schedule_round(
     ``rank_impl='window'`` (default): per-host window rank — cheapest
     with bounded budgets (WindowGroupLimit map-side prune).
     ``rank_impl='range'``: :func:`rank_per_host_range` — skew-safe for
-    mega-hosts when budgets are large/unbounded."""
+    mega-hosts when budgets are large/unbounded.
+
+    ``host_budgets`` (optional, (host, budget) rows — typically
+    :func:`allocate_budgets` output) caps each host's robots budget
+    from above: ``min(robots_budget, allocated)``.  Politeness is never
+    RELAXED by an allocation — robots limits stay binding — and the
+    frame is politeness metadata (one row per host), broadcast like the
+    robots dim.  Hosts absent from the allocation keep their robots
+    budget."""
     gated = apply_robots(candidates, robots, round_window_ms)
+    if host_budgets is not None:
+        alloc = host_budgets.select(
+            "host", F.col("budget").cast("int").alias("_alloc")
+        )
+        gated = gated.join(F.broadcast(alloc), "host", "left").withColumn(
+            "budget",
+            F.least(F.col("budget"), F.coalesce("_alloc", F.col("budget"))),
+        ).drop("_alloc")
     ranked = (
         rank_per_host_range(gated)
         if rank_impl == "range"

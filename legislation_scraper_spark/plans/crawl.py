@@ -104,6 +104,21 @@ class CrawlConfig:
     # link stream never shuffles for it.
     scope_rules: tuple[tuple[str, bool], ...] | None = None
     scope_default_allow: bool = True
+    # Global round quota (SURVEY §2.11 C6 / operators.politeness.
+    # allocate_budgets): when set, each round divides this cluster-wide
+    # fetch budget across hosts by largest-remainder proportional share,
+    # weighted by backlog (pending URLs per host) — optionally scaled by
+    # the crawl's own TrustRank (budget_weights='trust_backlog', needs
+    # record_host_edges) so trusted regions of the web get quota first.
+    # Robots budgets stay binding: the allocation only CAPS them.
+    # None disables (default: ordering parity with the simulator).
+    global_round_budget: int | None = None
+    budget_weights: str = "backlog"  # 'backlog' | 'trust_backlog'
+    # Accumulate a host-level link graph (src_host → dst_host edge
+    # counts per round) in a `host_edges` table — the input to
+    # trust_scores().  Off by default (one extra tiny agg + append).
+    record_host_edges: bool = False
+    trust_iters: int = 2
 
 
 class CrawlEngine:
@@ -133,6 +148,11 @@ class CrawlEngine:
         self.errors = catalog.table("fetch_errors")
         self.visited = catalog.table("visited")
         self.crawl_log = catalog.table("crawl_log")
+        self.host_edges = (
+            catalog.table("host_edges")
+            if self.cfg.record_host_edges
+            else None
+        )
         self.seen = SeenSet(
             catalog.table("seen"),
             self.cfg.n_shards,
@@ -180,10 +200,19 @@ class CrawlEngine:
     def pending(self) -> DataFrame | None:
         """Discovered ∖ attempted, deduped to one row per canonical URL
         (earliest discovery wins — deterministic)."""
+        best = self._best_frontier()
+        if best is None:
+            return None
+        return self.seen.filter_unseen(best, "canon_url")
+
+    def _best_frontier(self) -> DataFrame | None:
+        """One row per canonical URL in the frontier log (earliest
+        discovery wins), seen-or-not — the admission view `pending()`
+        filters and `revisit_selection()` re-admits from."""
         log = self.frontier.read()
         if log is None:
             return None
-        best = log.groupBy("canon_url").agg(
+        return log.groupBy("canon_url").agg(
             F.min(
                 F.struct(
                     "priority", "discovered_round", "depth", "url",
@@ -201,7 +230,6 @@ class CrawlEngine:
             F.col("b.depth").alias("depth"),
             F.col("b.discovered_round").alias("discovered_round"),
         )
-        return self.seen.filter_unseen(best, "canon_url")
 
     def cooled_hosts(self, r: int) -> DataFrame | None:
         """Hosts in error cooldown at round ``r``: ≥ threshold errors
@@ -219,6 +247,89 @@ class CrawlEngine:
             .filter(F.col("n_err") >= self.cfg.cooldown_error_threshold)
             .select("host")
         )
+
+    def trust_scores(self) -> DataFrame | None:
+        """TrustRank over the crawl's OWN accumulated host graph
+        (``host_edges``, recorded when cfg.record_host_edges), seeded by
+        the seed-list hosts — trust flows out of the configured sources
+        along observed links (operators/graph.trustrank; Gyöngyi et al.
+        VLDB'04).  Returns (host, trust) or None before any edges exist.
+
+        Scale: the host graph is orders of magnitude smaller than the
+        URL frontier (10^7 hosts vs 10^10 URLs at the north-star tier);
+        per-round edge folds are pre-aggregated counts."""
+        if self.host_edges is None:
+            return None
+        edges = self.host_edges.read()
+        if edges is None:
+            return None
+        e = edges.groupBy("src_host", "dst_host").agg(
+            F.sum("n").alias("n")
+        )
+        from ..operators.graph import trustrank
+
+        seed_hosts = self.seeds.select(
+            F.regexp_extract("seed_url", r"https?://([^/]+)", 1).alias(
+                "host"
+            )
+        ).distinct()
+        return trustrank(
+            e, seed_hosts, iters=self.cfg.trust_iters,
+            src="src_host", dst="dst_host",
+        ).select(F.col("node").alias("host"), F.col("rank").alias("trust"))
+
+    def _host_budgets(self, pending: DataFrame) -> DataFrame:
+        """Split cfg.global_round_budget across hosts proportional to
+        backlog (pending URLs per host), optionally scaled by TrustRank
+        (cfg.budget_weights='trust_backlog').  Output feeds
+        schedule_round(host_budgets=...), which takes
+        min(robots_budget, allocation) — robots stays binding."""
+        backlog = pending.groupBy("host").agg(
+            F.count("*").cast("double").alias("weight")
+        )
+        if self.cfg.budget_weights == "trust_backlog":
+            trust = self.trust_scores()
+            if trust is not None:
+                # +epsilon keeps zero-trust hosts schedulable (they get
+                # leftover quota after trusted backlog is funded)
+                backlog = backlog.join(
+                    F.broadcast(trust), "host", "left"
+                ).select(
+                    "host",
+                    (
+                        F.col("weight")
+                        * (F.coalesce("trust", F.lit(0.0)) + F.lit(1e-6))
+                    ).alias("weight"),
+                )
+        return politeness.allocate_budgets(
+            backlog, self.cfg.global_round_budget
+        )
+
+    def revisit_selection(
+        self,
+        captures: DataFrame,
+        budget: int,
+        horizon_days: float = 7.0,
+        key: str = "canon_url",
+    ) -> DataFrame | None:
+        """Recrawl admission: estimate per-URL change rates from capture
+        history (operators/revisit.change_rates, Cho & Garcia-Molina
+        Poisson estimator), keep the top-``budget`` stalest
+        (revisit_priorities), and rebuild frontier-shaped rows for them
+        from the frontier log — pass the result to
+        ``round(r, extra_pending=...)``.  The seen filter is bypassed by
+        construction (these URLs were crawled before; that is the
+        point), so the caller owns revisit cadence."""
+        from ..operators.revisit import change_rates, revisit_priorities
+
+        rates = change_rates(captures, key=key, horizon_days=horizon_days)
+        picks = revisit_priorities(rates, budget, key=key)
+        best = self._best_frontier()
+        if best is None:
+            return None
+        # picks ≤ budget rows → broadcast semi-join, no shuffle of the
+        # frontier view beyond its own dedup
+        return best.join(F.broadcast(picks.select(key)), key, "left_semi")
 
     def _maintain(self) -> None:
         """Compact many-commit tables (Iceberg rewrite_data_files
@@ -252,9 +363,16 @@ class CrawlEngine:
                 keep_checkpoints=cfg.expire_keep_checkpoints,
             )
 
-    def round(self, r: int) -> dict:
+    def round(self, r: int, extra_pending: DataFrame | None = None) -> dict:
         """Execute crawl round ``r``; returns the round's metrics
-        (including per-phase wall times under ``timings``)."""
+        (including per-phase wall times under ``timings``).
+
+        ``extra_pending`` (frontier-shaped rows, typically
+        :meth:`revisit_selection` output) is unioned into the round's
+        candidate set AFTER the seen filter — the recrawl admission
+        path.  Caller contract: rows are already deduped against the
+        fresh pending set (revisits are seen by definition, so the two
+        sets are disjoint by construction)."""
         import time as _time
 
         timings: dict[str, float] = {}
@@ -271,6 +389,11 @@ class CrawlEngine:
         pending = self.pending()
         metrics = {"round": r, "selected": 0, "fetched": 0, "errors": 0,
                    "new_urls": 0, "pages": 0, "timings": timings}
+        if extra_pending is not None:
+            pending = (
+                extra_pending if pending is None
+                else pending.unionByName(extra_pending)
+            )
         if pending is None:
             return metrics
         cooled = self.cooled_hosts(r)
@@ -278,10 +401,15 @@ class CrawlEngine:
             # blocked-host back-off: broadcast anti-join (the cooled set
             # is tiny — hosts, not URLs)
             pending = pending.join(F.broadcast(cooled), "host", "left_anti")
+        host_budgets = (
+            self._host_budgets(pending)
+            if self.cfg.global_round_budget is not None
+            else None
+        )
         selected = politeness.schedule_round(
             pending, self.robots, self.cfg.salt_buckets,
             self.cfg.fetch_partitions, self.cfg.round_window_ms,
-            self.cfg.rank_impl,
+            self.cfg.rank_impl, host_budgets=host_budgets,
         )
         raw = fetch(
             selected, self.pages_raw, self.cfg.policy, self.cfg.transport
@@ -466,11 +594,28 @@ class CrawlEngine:
                 )
             )
 
-        with ThreadPoolExecutor(max_workers=6) as pool:
-            futs = [
-                pool.submit(fn)
-                for fn in (w_pages, w_errors, w_seen, w_visited, w_log)
-            ]
+        def w_edges():
+            # host-level link graph: src = linking page's host, dst =
+            # target URL's host, pre-aggregated to edge counts (the
+            # trust_scores() input).  Post-scope links — the graph the
+            # crawl actually follows.
+            from ..functions.urls import url_host
+
+            versions["host_edges"] = self.host_edges.append(
+                links.select(
+                    F.col("host").alias("src_host"),
+                    url_host(F.col("url")).alias("dst_host"),
+                )
+                .groupBy("src_host", "dst_host")
+                .agg(F.count("*").alias("n"))
+                .withColumn("round", F.lit(r))
+            )
+
+        sinks = [w_pages, w_errors, w_seen, w_visited, w_log]
+        if self.host_edges is not None:
+            sinks.append(w_edges)
+        with ThreadPoolExecutor(max_workers=7) as pool:
+            futs = [pool.submit(fn) for fn in sinks]
             n_new = pool.submit(w_links).result()
             for f in futs:
                 f.result()  # surface the first failure

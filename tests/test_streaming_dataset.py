@@ -139,3 +139,55 @@ def test_hf_layout_export(spark, world, tmp_path):
     assert set(got.columns) == set(expect.columns)
     card = open(os.path.join(out, "README.md")).read()
     assert card.startswith("---\n") and "data/train-*" in card
+
+
+def test_streaming_crawl_multihop_bfs(spark, tmp_path):
+    """VERDICT r3 item 8: the foreachBatch loop must SUSTAIN BFS — many
+    micro-batches of frontier growth + seen-set feedback on a ≥3-hop
+    world (next-link pagination chains reach depth ≥3 before the last
+    docs are discovered), not just drain a one-shot frontier.  Equality
+    with the batch engine on pages + crawl ordering is the contract."""
+    w = synth_world(
+        spark, seed=19, docs_per_source=35, skew=2, n_sources=2,
+        partitions=4, budget_base=2,  # small budgets → many rounds
+    )
+    w = {k: v.cache() for k, v in w.items()}
+
+    batch_eng = CrawlEngine(
+        spark, Catalog(spark, str(tmp_path / "batch")),
+        w["pages_raw"], w["seeds"], w["robots"],
+        CrawlConfig(n_shards=8, fetch_partitions=4),
+    )
+    batch_rounds = batch_eng.run(max_rounds=60)
+
+    stream_eng = CrawlEngine(
+        spark, Catalog(spark, str(tmp_path / "stream")),
+        w["pages_raw"], w["seeds"], w["robots"],
+        CrawlConfig(n_shards=8, fetch_partitions=4),
+    )
+    metrics = stream_crawl(spark, stream_eng, tick_seconds=1, max_rounds=60)
+
+    # multi-round BFS actually happened: >3 productive micro-batches,
+    # frontier GREW mid-stream (discoveries beyond the seed set), and
+    # the world is ≥3 hops deep
+    productive = [m for m in metrics if m["selected"] > 0]
+    assert len(productive) > 3
+    assert any(m["new_urls"] > 0 for m in metrics[1:])
+    depth = stream_eng.frontier.read().agg(F.max("depth")).first()[0]
+    assert depth >= 3
+    assert metrics[-1]["selected"] == 0  # drained
+
+    def rows(eng, name, cols):
+        df = eng.catalog.table(name).read()
+        return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+    for name, cols in [
+        ("pages", ("document_url", "text_markdown")),
+        ("crawl_log", ("round", "host", "host_rank", "canon_url")),
+    ]:
+        assert rows(batch_eng, name, cols) == rows(stream_eng, name, cols)
+    # same number of productive rounds as the batch engine — the stream
+    # sustains the SAME BFS schedule, round for round
+    assert len(productive) == len(
+        [m for m in batch_rounds if m["selected"] > 0]
+    )
