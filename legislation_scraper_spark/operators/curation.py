@@ -174,21 +174,28 @@ def chunk_dedup(
     would silently collide across docs once idx ≥ K).
     """
     txt = F.col(text_col)
-    w = words(txt)
-    n_chunks = F.ceil(F.size(w) / F.lit(chunk_words)).cast("int")
-    # guard: sequence(0, -1) is DESCENDING in Spark, not empty — an
-    # empty document must yield zero chunks, not two
-    hashes = F.when(
-        n_chunks > 0,
-        F.transform(
-            F.sequence(F.lit(0), n_chunks - 1),
-            lambda i: F.md5(
-                F.array_join(
-                    F.slice(w, i * chunk_words + 1, chunk_words), " "
-                )
+
+    # words bound ONCE via let: the md5 lambda references the token
+    # array per chunk, and an unbound words(txt) re-splits the document
+    # PER CHUNK — O(words × chunks) per doc (measured 65.8 s for 63k
+    # sf1-scale docs in the round-4 rehearsal; ~4 s bound).  Guard:
+    # sequence(0, -1) is DESCENDING in Spark, not empty — an empty
+    # document must yield zero chunks, not two.
+    def chunks_of(w):
+        n_chunks = F.ceil(F.size(w) / F.lit(chunk_words)).cast("int")
+        return F.when(
+            n_chunks > 0,
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.md5(
+                    F.array_join(
+                        F.slice(w, i * chunk_words + 1, chunk_words), " "
+                    )
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+        ).otherwise(F.array().cast("array<string>"))
+
+    hashes = let(words(txt), chunks_of)
     ch = df.select(
         F.col(id_col).alias("id"), F.posexplode(hashes).alias("idx", "h")
     ).withColumn("skey", F.struct("id", "idx"))

@@ -423,21 +423,32 @@ def connected_components_star(
         e.select("u").unionByName(e.select(F.col("v").alias("u"))).distinct()
     )
 
+    # Both stars emit (x, m) STRUCTS built inside a transform with the
+    # neighborhood minimum let-bound: after the graph contracts to
+    # stars, a mega-component's center has degree = component size, and
+    # any unbound array_min reachable from the explode's output
+    # projection is re-evaluated PER EMITTED EDGE (CollapseProject
+    # inlines project exprs into/after the Generate) — O(deg²) on
+    # exactly the row that already dominates the round.  Measured on a
+    # 40k-doc template cluster: 150 s/round unbound, <3 s/round bound.
+    # functions/text.let is the repo-wide binder (no CSE in HOF
+    # lambdas); post-explode projection is pure struct-field access.
     def large_star(edges: DataFrame) -> DataFrame:
         sym = edges.unionByName(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
         g = sym.groupBy("u").agg(F.collect_set("v").alias("ns"))
-        m = F.least(F.col("u"), F.array_min("ns"))
+        pairs_arr = T.let(
+            F.least(F.col("u"), F.array_min("ns")),
+            lambda m: F.transform(
+                F.filter(F.col("ns"), lambda x: x > F.col("u")),
+                lambda x: F.struct(x.alias("x"), m.alias("m")),
+            ),
+        )
         return (
-            g.select(
-                F.explode(
-                    F.filter(F.col("ns"), lambda x: x > F.col("u"))
-                ).alias("x"),
-                m.alias("m"),
-            )
-            .filter(F.col("x") != F.col("m"))
-            .select(F.col("x").alias("u"), F.col("m").alias("v"))
+            g.select(F.explode(pairs_arr).alias("p"))
+            .filter(F.col("p.x") != F.col("p.m"))
+            .select(F.col("p.x").alias("u"), F.col("p.m").alias("v"))
             .distinct()
         )
 
@@ -450,19 +461,20 @@ def connected_components_star(
             .distinct()
         )
         g = d.groupBy("u").agg(F.collect_set("v").alias("ns"))
-        m = F.array_min("ns")
+        pairs_arr = T.let(
+            F.array_min("ns"),
+            lambda mn: F.transform(
+                F.array_union(
+                    F.filter(F.col("ns"), lambda x: x != mn),
+                    F.array(F.col("u")),
+                ),
+                lambda x: F.struct(x.alias("x"), mn.alias("m")),
+            ),
+        )
         return (
-            g.select(
-                F.explode(
-                    F.array_union(
-                        F.filter(F.col("ns"), lambda x: x != F.array_min("ns")),
-                        F.array(F.col("u")),
-                    )
-                ).alias("x"),
-                m.alias("m"),
-            )
-            .filter(F.col("x") != F.col("m"))
-            .select(F.col("x").alias("u"), F.col("m").alias("v"))
+            g.select(F.explode(pairs_arr).alias("p"))
+            .filter(F.col("p.x") != F.col("p.m"))
+            .select(F.col("p.x").alias("u"), F.col("p.m").alias("v"))
             .distinct()
         )
 

@@ -1,0 +1,185 @@
+#!/usr/bin/env python
+"""100×-shape rehearsal (r3 VERDICT item 5): one full
+crawl → curate → dedup → export run at the largest world the sandbox
+fits (default 8.19M URLs — 8× the bench world, ~1/1200 of the
+north-star frontier), with per-stage wall times and rows/s, next to the
+SAME stages on the 1.02M world — so any stage that anti-scales (rows/s
+dropping superlinearly with input size) is visible directly.
+
+Sizing rules exercised here (the latent-bottleneck tier the rehearsal
+exists to surface):
+- seen-set bloom shards: keys/shard must stay ≤ filter_keys_per_shard
+  or delta-bitmap FPP degrades — 8.19M URLs / 128 shards = 64k ≤ 128k.
+- bucketed frontier log: buckets scale with data (64 at 8M vs 32 at 1M)
+  so per-bucket file sizes stay in the same band.
+- fetch partitions: cores×3, independent of world size (politeness-
+  bounded rows per partition grow, which is the point — fewer, fuller
+  tasks).
+
+Usage: python scripts/rehearsal.py [docs_per_source ...]
+Defaults to `32000 256000` (1M then 8M). Prints one JSON line per world.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+WORDS_SCALE = 4  # bench-world parity
+
+
+def _session():
+    from legislation_scraper_spark.session import get_spark
+
+    local_dir = "/dev/shm/lss_spark_local"
+    os.makedirs(local_dir, exist_ok=True)
+    return get_spark(
+        "lss-rehearsal",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS * 2,
+        extra_conf={
+            "spark.local.dir": local_dir,
+            "spark.driver.memory": "48g",
+        },
+    )
+
+
+def _world(spark, docs: int) -> str:
+    from legislation_scraper_spark.synth import synth_world
+
+    world_dir = f"/dev/shm/lss_benchworld_d{docs}_w{WORDS_SCALE}"
+    marker = os.path.join(world_dir, "_COMPLETE")
+    if os.path.exists(marker):
+        return world_dir
+    shutil.rmtree(world_dir, ignore_errors=True)
+    w = synth_world(
+        spark, seed=42, docs_per_source=docs, skew=10,
+        partitions=CPUS * 8, words_scale=WORDS_SCALE,
+    )
+    w["pages_raw"].write.parquet(f"{world_dir}/pages_raw")
+    w["robots"].write.parquet(f"{world_dir}/robots")
+    w["golden_meta"].selectExpr(
+        "document_url AS seed_url", "source", "0 AS priority",
+        "1990 AS year_start",
+    ).write.parquet(f"{world_dir}/seeds")
+    open(marker, "w").close()
+    return world_dir
+
+
+def rehearse(spark, docs: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from legislation_scraper_spark.operators import dedup
+    from legislation_scraper_spark.operators.curation import (
+        chunk_dedup,
+        gopher_quality_verdict,
+    )
+    from legislation_scraper_spark.plans.crawl import CrawlConfig, CrawlEngine
+    from legislation_scraper_spark.plans.dataset_build import export_hf_layout
+    from legislation_scraper_spark.tables import Catalog
+
+    world_dir = _world(spark, docs)
+    pages_raw = spark.read.parquet(f"{world_dir}/pages_raw")
+    robots = spark.read.parquet(f"{world_dir}/robots").withColumn(
+        "max_parallel", F.lit(10**9)
+    )
+    seeds = spark.read.parquet(f"{world_dir}/seeds")
+
+    # shards/buckets scale with the world; fetch partitions with cores
+    scale = max(1, docs // 32000)
+    cfg = CrawlConfig(
+        n_shards=64 * min(scale, 4),
+        filter_keys_per_shard=65536 * min(scale, 4),
+        frontier_buckets=32 * min(scale, 2),
+        fetch_partitions=CPUS * 3,
+        salt_buckets=8,
+    )
+    out: dict = {"docs_per_source": docs, "cfg": {
+        "n_shards": cfg.n_shards,
+        "filter_keys_per_shard": cfg.filter_keys_per_shard,
+        "frontier_buckets": cfg.frontier_buckets,
+    }}
+    store = tempfile.mkdtemp(prefix=f"rehearsal_{docs}_", dir="/dev/shm")
+    try:
+        eng = CrawlEngine(spark, Catalog(spark, store), pages_raw, seeds,
+                          robots, cfg)
+        eng.bootstrap()
+        t0 = time.perf_counter()
+        m = eng.round(0)
+        dt = time.perf_counter() - t0
+        out["crawl"] = {
+            "seconds": round(dt, 1),
+            "urls": m["selected"],
+            "urls_per_sec": round(m["selected"] / dt, 1),
+            "pages": m["pages"],
+            "timings": m["timings"],
+        }
+
+        pages = eng.pages.read().select(
+            F.col("document_url").alias("doc_id"),
+            F.col("text_markdown").alias("text"),
+        ).localCheckpoint(eager=True)  # isolate stage timings from the scan
+        n_pages = pages.count()
+
+        def stage(name, df):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            out[name] = {
+                "seconds": round(dt, 1),
+                "rows_per_sec": round(n_pages / dt, 1),
+            }
+
+        stage("curate_gopher", gopher_quality_verdict(pages))
+        stage("dedup_chunks", chunk_dedup(pages))
+
+        t0 = time.perf_counter()
+        pairs = dedup.minhash_lsh_pairs(pages).localCheckpoint(eager=True)
+        n_pairs = pairs.count()
+        t1 = time.perf_counter()
+        comps = dedup.connected_components_star(pairs)
+        n_comp = comps.select("comp").distinct().count()
+        t2 = time.perf_counter()
+        out["neardup_minhash"] = {
+            "seconds": round(t1 - t0, 1),
+            "rows_per_sec": round(n_pages / (t1 - t0), 1),
+            "pairs": n_pairs,
+        }
+        out["neardup_cc"] = {
+            "seconds": round(t2 - t1, 1),
+            "components": n_comp,
+        }
+
+        hf_dir = os.path.join(store, "hf")
+        t0 = time.perf_counter()
+        export_hf_layout(eng.pages.read(), hf_dir, shard_rows=200_000)
+        dt = time.perf_counter() - t0
+        out["export_hf"] = {
+            "seconds": round(dt, 1),
+            "rows_per_sec": round(n_pages / dt, 1),
+        }
+        pages.unpersist()
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    return out
+
+
+def main() -> None:
+    sizes = [int(a) for a in sys.argv[1:]] or [32000, 256000]
+    spark = _session()
+    try:
+        for docs in sizes:
+            print(json.dumps(rehearse(spark, docs)), flush=True)
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
