@@ -32,13 +32,24 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-WORDS_SCALE = 4  # bench-world parity
+WORDS_SCALE = int(os.environ.get("LSS_REHEARSAL_WORDS", "2"))
+# words_scale=2 (not the bench world's 4): the 8M phase must fit
+# 125 GiB of RAM shared by the JVM heap, 32 retained Python
+# workers, AND the tmpfs world+stores — text mass is a constant
+# per-row factor, so rows/s comparisons between sizes stay valid
+# as long as BOTH sizes use the same scale.
 
 
 def _session():
     from legislation_scraper_spark.session import get_spark
 
-    local_dir = "/dev/shm/lss_spark_local"
+    # Spills go to the REAL disk, not tmpfs: on this VM a tmpfs
+    # spark.local.dir makes every "disk spill" consume RAM, so the 8M
+    # synth cache spilled itself straight into the OS OOM killer (two
+    # kills: 80g heap / 91 GB RSS, then 60g heap + 31 GB tmpfs + 22 GB
+    # retained Python workers).  Inputs (the world) stay on tmpfs for
+    # scan speed; only spill/shuffle overflow pays virtio latency.
+    local_dir = "/tmp/lss_rehearsal_local"
     os.makedirs(local_dir, exist_ok=True)
     return get_spark(
         "lss-rehearsal",
@@ -46,7 +57,7 @@ def _session():
         shuffle_partitions=CPUS * 2,
         extra_conf={
             "spark.local.dir": local_dir,
-            "spark.driver.memory": "48g",
+            "spark.driver.memory": os.environ.get("LSS_REHEARSAL_HEAP", "48g"),
         },
     )
 
@@ -140,17 +151,22 @@ def rehearse(spark, docs: int) -> dict:
         stage("curate_gopher", gopher_quality_verdict(pages))
         stage("dedup_chunks", chunk_dedup(pages))
 
+        # star edges, NOT the all-pairs expansion: the first 8M run
+        # measured 331.6M pairs from 8.0M pages (54x the 1M world's
+        # 6.1M — template-family pair counts grow quadratically) and
+        # 14.6 min of CC over them; bucket-star edges reach identical
+        # components (tests/test_dedup_similarity.py) in linear size
         t0 = time.perf_counter()
-        pairs = dedup.minhash_lsh_pairs(pages).localCheckpoint(eager=True)
-        n_pairs = pairs.count()
+        edges = dedup.minhash_lsh_edges(pages).localCheckpoint(eager=True)
+        n_edges = edges.count()
         t1 = time.perf_counter()
-        comps = dedup.connected_components_star(pairs)
+        comps = dedup.connected_components_star(edges)
         n_comp = comps.select("comp").distinct().count()
         t2 = time.perf_counter()
         out["neardup_minhash"] = {
             "seconds": round(t1 - t0, 1),
             "rows_per_sec": round(n_pages / (t1 - t0), 1),
-            "pairs": n_pairs,
+            "edges": n_edges,
         }
         out["neardup_cc"] = {
             "seconds": round(t2 - t1, 1),
@@ -172,13 +188,31 @@ def rehearse(spark, docs: int) -> dict:
 
 
 def main() -> None:
-    sizes = [int(a) for a in sys.argv[1:]] or [32000, 256000]
-    spark = _session()
-    try:
-        for docs in sizes:
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        docs = int(sys.argv[2])
+        spark = _session()
+        try:
             print(json.dumps(rehearse(spark, docs)), flush=True)
-    finally:
-        spark.stop()
+        finally:
+            spark.stop()
+        return
+    # one SUBPROCESS per size: a fresh JVM and fresh Python workers per
+    # phase — the workers retain their high-water allocation by design
+    # (session._tune_python_worker_allocators), so phases must not
+    # inherit each other's residency
+    import subprocess
+
+    sizes = [int(a) for a in sys.argv[1:]] or [32000, 256000]
+    for docs in sizes:
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker",
+             str(docs)],
+            capture_output=True, text=True, timeout=7200,
+        )
+        if p.returncode != 0:
+            sys.stderr.write(p.stderr[-4000:])
+            raise SystemExit(f"rehearsal worker {docs} failed")
+        print(p.stdout.strip().splitlines()[-1], flush=True)
 
 
 if __name__ == "__main__":
