@@ -76,3 +76,60 @@ def test_resume_equals_uninterrupted(spark, world, tmp_path):
         ("fetch_errors", ("canon_url", "error")),
     ]:
         assert _table_rows(a, name, cols) == _table_rows(b2, name, cols), name
+
+
+def test_bucketed_overwrite_crash_safety(spark, tmp_path):
+    """BucketedLog.overwrite orders rename-in BEFORE delete-old (r3
+    ADVICE): a lost manifest claim rolls the renames back and leaves
+    the previous snapshot byte-identical; stray un-manifested files
+    (the crash-between-rename-and-claim window) are invisible to
+    read()."""
+    import os
+
+    from legislation_scraper_spark.tables import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "store"))
+    log = cat.bucketed_log("t", "k", 4)
+    df1 = spark.range(100).select(
+        F.col("id").cast("string").alias("k"), F.lit("v1").alias("val")
+    )
+    log.append(df1)
+    before_files = sorted(log._data_files())
+    before_rows = sorted(
+        (r.k, r.val) for r in log.read().collect()
+    )
+
+    df2 = spark.range(50).select(
+        F.col("id").cast("string").alias("k"), F.lit("v2").alias("val")
+    )
+
+    # lost claim → overwrite must raise AND roll its renames back
+    real_claim = log._claim_version
+    log._claim_version = lambda *a, **kw: (_ for _ in ()).throw(
+        RuntimeError("claim lost")
+    )
+    with pytest.raises(RuntimeError, match="claim lost"):
+        log.overwrite(df2)
+    log._claim_version = real_claim
+
+    assert sorted(log._data_files()) == before_files, "renames not rolled back"
+    assert sorted((r.k, r.val) for r in log.read().collect()) == before_rows
+
+    # crash window: files renamed in, claim never happened — simulate
+    # by dropping a stray parquet into data_dir; read() must ignore it
+    stray = os.path.join(log.data_dir, "part-99999-deadbeef_00001.parquet")
+    df2.limit(1).write.mode("overwrite").parquet(str(tmp_path / "stray"))
+    src = next(
+        f for f in os.listdir(str(tmp_path / "stray"))
+        if f.startswith("part-")
+    )
+    os.rename(str(tmp_path / "stray" / src), stray)
+    assert sorted((r.k, r.val) for r in log.read().collect()) == before_rows
+    os.remove(stray)
+
+    # successful overwrite replaces content and prunes replaced files
+    log.overwrite(df2)
+    assert sorted((r.k, r.val) for r in log.read().collect()) == sorted(
+        (str(i), "v2") for i in range(50)
+    )
+    assert not (set(before_files) & log._data_files()), "old files not pruned"
