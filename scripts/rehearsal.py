@@ -207,7 +207,12 @@ def main() -> None:
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--worker",
              str(docs)],
-            capture_output=True, text=True, timeout=7200,
+            # no wall cap: the 8M phase alone runs >2h cold (world
+            # synthesis + six timed stages); a parent timeout would
+            # also sever the worker's stdout pipe and lose its one
+            # result line at print time
+            capture_output=True, text=True,
+            timeout=int(os.environ.get("LSS_REHEARSAL_TIMEOUT", "0")) or None,
         )
         if p.returncode != 0:
             sys.stderr.write(p.stderr[-4000:])
