@@ -1216,6 +1216,65 @@ _ORACLE_B2: dict[str, str] = {
         FROM w LEFT JOIN lm USING (w), st
         GROUP BY doc_id
     """,
+    "dsir_weights": f"""
+        WITH tok AS (SELECT doc_id, lang, {_DUCK_WORDS} AS ws
+                     FROM documents),
+        f AS (SELECT doc_id, (lang = 'en') AS tgt,
+                list_concat(ws,
+                  list_transform(range(1, len(ws)),
+                    i -> ws[i] || ' ' || ws[i + 1])) AS fs
+              FROM tok WHERE len(ws) > 0),
+        e AS (SELECT doc_id, tgt,
+                substring(md5(UNNEST(fs)), 1, 2) AS b FROM f),
+        db AS (SELECT doc_id, tgt, b, COUNT(*) AS n
+               FROM e GROUP BY 1, 2, 3),
+        bc AS (SELECT b, SUM(n) AS raw_cnt,
+                 SUM(CASE WHEN tgt THEN n ELSE 0 END) AS tgt_cnt
+               FROM db GROUP BY b),
+        st AS (SELECT CAST(SUM(raw_cnt) AS DOUBLE) AS total_raw,
+                      CAST(SUM(tgt_cnt) AS DOUBLE) AS total_tgt
+               FROM bc),
+        lm AS (SELECT b,
+                 log10((tgt_cnt + 1) / (total_tgt + 256))
+                 - log10((raw_cnt + 1) / (total_raw + 256)) AS lr
+               FROM bc, st)
+        SELECT doc_id AS id, SUM(n) AS n_feats,
+               ROUND(SUM(n * lr), 6) AS weight
+        FROM db JOIN lm USING (b)
+        GROUP BY doc_id
+    """,
+    "perplexity_buckets": f"""
+        WITH tok AS (SELECT doc_id, lang, {_DUCK_WORDS} AS ws
+                     FROM documents),
+        w AS (SELECT doc_id, lang, UNNEST(ws) AS w FROM tok
+              WHERE len(ws) > 0),
+        wc AS (SELECT w, COUNT(*) AS cnt FROM w GROUP BY w),
+        st AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total,
+                      CAST(COUNT(*) AS DOUBLE) AS vocab FROM wc),
+        top AS (SELECT w, cnt FROM wc ORDER BY cnt DESC, w LIMIT 200),
+        lm AS (SELECT w, log10((cnt + 1) / (total + vocab)) AS lp
+               FROM top, st),
+        sc AS (SELECT doc_id AS id, MIN(lang) AS lang,
+                      COUNT(*) AS n_words,
+                      ROUND(AVG(COALESCE(lm.lp,
+                            log10(1.0 / (st.total + st.vocab)))), 6)
+                        AS mean_logprob
+               FROM w LEFT JOIN lm USING (w), st
+               GROUP BY doc_id),
+        b AS (SELECT lang, ROUND(mean_logprob, 3) AS s3, COUNT(*) AS c
+              FROM sc GROUP BY 1, 2),
+        cb AS (SELECT lang, s3,
+                 SUM(c) OVER (PARTITION BY lang ORDER BY s3 DESC)
+                   AS cum,
+                 SUM(c) OVER (PARTITION BY lang) AS n FROM b),
+        bk AS (SELECT lang, s3,
+                 CASE WHEN cum <= CEIL(n / 3.0) THEN 'head'
+                      WHEN cum <= CEIL(2 * n / 3.0) THEN 'middle'
+                      ELSE 'tail' END AS bucket FROM cb)
+        SELECT sc.id, sc.lang, sc.n_words, sc.mean_logprob, bk.bucket
+        FROM sc JOIN bk
+          ON sc.lang = bk.lang AND ROUND(sc.mean_logprob, 3) = bk.s3
+    """,
     "viewstate_scan": """
         WITH src AS (SELECT DISTINCT source FROM documents),
         tok AS (
@@ -4675,6 +4734,32 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob_scores(d, top_k=200)
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weights (operators/curation.dsir_weights,
+    Xie et al. 2023): md5-hashed unigram+bigram bag scored by
+    log p_target − log p_raw over 256 fixed buckets; target = English
+    docs.  Both LMs from ONE bounded aggregation; the scoring dim
+    broadcasts at any corpus size."""
+    from legislation_scraper_spark.operators.curation import dsir_weights
+
+    d = _t(spark, sf_dir, "documents")
+    return dsir_weights(d, target=F.col("lang") == "en")
+
+
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail terciles per language
+    (operators/curation.perplexity_buckets) over the unigram-LM
+    perplexity proxy — tier thresholds from a bounded per-lang score
+    histogram (no per-lang global sort), docs tiered via broadcast
+    (lang, rounded-score) join."""
+    from legislation_scraper_spark.operators.curation import (
+        perplexity_buckets,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return perplexity_buckets(d, top_k=200)
+
+
 def q_viewstate_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5 ASP.NET VIEWSTATE two-request postback scan
     (espirito_santo.py:69-127) through the REAL stateful operator
@@ -4757,6 +4842,8 @@ _Q_B2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdx_parse": q_cdx_parse,
     "cdx_latest": q_cdx_latest,
     "unigram_logprob": q_unigram_logprob,
+    "dsir_weights": q_dsir_weights,
+    "perplexity_buckets": q_perplexity_buckets,
     "change_rates": q_change_rates,
     "revisit_topk": q_revisit_topk,
     "anchor_topk": q_anchor_topk,
@@ -5159,8 +5246,14 @@ _Q.update(_Q_B3)
 # query converges to a recent attestation over rounds.  Names are
 # unchanged — only iteration order moves.
 _ATTEST_PRIORITY: list[str] = [
-    # new this round (never sampled) — keep newest additions here
+    # new this round (never sampled) — keep newest additions here.
+    # The list is 51 entries vs the driver's 50-query sample:
+    # pivot_event_counts (last, r1-GREEN, merely stale) is the one
+    # deliberately left for the r5 rotation — every never-attested
+    # query stays inside the sample.
     "minhash_lsh_edges",
+    "dsir_weights",
+    "perplexity_buckets",
     # never driver-attested as of r3 (incl. the four stale r1 reds,
     # fixed in r2 and repo-green since: multimodal_features,
     # json_extract, sessionize_gap, token_bucket_admission)

@@ -132,6 +132,9 @@ HEADLINE_EXT = [
     "seed_hops",
     "sitemap_staleness",
     "percent_normalize",
+    # round-4 additions
+    "dsir_weights",
+    "perplexity_buckets",
 ]
 
 

@@ -753,3 +753,188 @@ def top_ngrams(
         .orderBy(F.col("cnt").desc(), F.col("gram").asc())
         .limit(k)
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: F.Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_hex_chars: int = 2,
+    ndigits: int = 6,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    by how much more likely its hashed-n-gram bag is under a TARGET
+    distribution (the data you want more of) than under the RAW corpus
+    distribution — ``weight = Σ_f log p_target(f) − log p_raw(f)`` over
+    the doc's unigram+bigram features hashed into a fixed bucket space.
+    Downstream, docs are resampled ∝ exp(weight); this operator emits
+    the log-weights, the part that touches the corpus.
+
+    The reference ships everything it scrapes (build_dataset.py:
+    204-248); targeted selection is table-stakes for a 100 TB pipeline
+    feeding a fixed token budget, so this joins the curation ladder as
+    a first-class oracled operator.
+
+    Spark-first shape, scale notes:
+
+    - the feature space is FIXED at ``16^bucket_hex_chars`` buckets
+      (default 256): bucket id = first hex chars of ``md5(feature)``,
+      the one hash both engines share, so the oracle reproduces it
+      byte-for-byte.  DSIR's own implementation uses exactly this
+      hashing trick (2^16 buckets) — the point is that both LMs are
+      O(buckets), never O(vocab);
+    - ONE exploded pass feeds everything: token occurrences collapse
+      to per-doc bucket counts ``(id, bucket, n)`` — map-side combine
+      bounds each doc's contribution at ≤256 rows BEFORE the only
+      corpus-wide shuffle — and that frame is materialized once
+      (``localCheckpoint``, the encode-once discipline from the
+      Jaccard/span operators) because both consumers below read it;
+    - BOTH LMs come from a second, tiny aggregation of the bucket
+      counts (≤256 keys; a conditional sum splits target from raw);
+      totals ride a 1-row broadcast crossJoin (house pattern — no
+      driver collect), add-one smoothing over the fixed bucket count;
+    - per-doc weights: bucket counts → BROADCAST log-ratio dim (≤256
+      rows, broadcastable at any corpus size) → one (id, sum)
+      aggregation of already-partitioned rows.
+
+    Docs with no tokens are dropped (same contract as
+    ``unigram_logprob_scores``).  ``target`` is any boolean Column over
+    the input row (e.g. ``F.col("lang") == "en"``); at the north-star
+    tier it would be a membership flag joined from a curated seed set.
+    """
+    n_buckets = 16**bucket_hex_chars
+    feats = df.select(
+        F.col(id_col).alias("id"),
+        target.alias("tgt"),
+        F.concat(
+            words(F.col(text_col)), word_shingles(F.col(text_col), 2)
+        ).alias("fs"),
+    ).filter(F.size("fs") > 0)
+    # hash in-row (transform) so only 2-char bucket ids cross the
+    # explode, never the feature strings; collapse occurrences to
+    # per-doc bucket counts in the same pass (map-side combine)
+    db = (
+        feats.select(
+            "id",
+            "tgt",
+            F.explode(
+                F.transform(
+                    "fs",
+                    lambda f: F.substring(F.md5(f), 1, bucket_hex_chars),
+                )
+            ).alias("b"),
+        )
+        .groupBy("id", "tgt", "b")
+        .agg(F.count("*").alias("n"))
+    )
+    if checkpoint:
+        db = db.localCheckpoint(eager=False)
+    bc = db.groupBy("b").agg(
+        F.sum("n").alias("raw_cnt"),
+        F.sum(F.when(F.col("tgt"), F.col("n")).otherwise(0)).alias(
+            "tgt_cnt"
+        ),
+    )
+    st = bc.agg(
+        F.sum("raw_cnt").cast("double").alias("total_raw"),
+        F.sum("tgt_cnt").cast("double").alias("total_tgt"),
+    )
+    lm = bc.crossJoin(F.broadcast(st)).select(
+        "b",
+        (
+            F.log10(
+                (F.col("tgt_cnt") + 1)
+                / (F.col("total_tgt") + F.lit(n_buckets))
+            )
+            - F.log10(
+                (F.col("raw_cnt") + 1)
+                / (F.col("total_raw") + F.lit(n_buckets))
+            )
+        ).alias("lr"),
+    )
+    return (
+        db.join(F.broadcast(lm), "b")
+        .groupBy("id")
+        .agg(
+            F.sum("n").alias("n_feats"),
+            F.round(F.sum(F.col("n") * F.col("lr")), ndigits).alias(
+                "weight"
+            ),
+        )
+    )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    top_k: int = 50_000,
+    ndigits: int = 6,
+) -> DataFrame:
+    """CCNet-style head/middle/tail quality tiers: per language, rank
+    documents by their LM score (here the ``unigram_logprob_scores``
+    perplexity proxy) and split into terciles — ``head`` = the
+    best-scoring third, the tier CCNet keeps outright; ``tail`` = the
+    third its ladder drops or routes to heavier filtering.
+
+    Spark-first shape, scale notes — the naive formulation is
+    ``ntile(3) OVER (PARTITION BY lang ORDER BY score)``, which at web
+    scale funnels EVERY doc of a language through one reducer (a
+    handful of giant partitions = the worst skew shape there is).
+    Instead the terciles come from a bounded histogram, the same
+    discipline as ``sketches.histogram_quantiles``:
+
+    - scores round to 3dp → ``groupBy(lang, s3)`` bin counts — the
+      dim is ≤ langs × O(1000) rows no matter the corpus size;
+    - cumulative counts (best-first) and per-lang totals via windows
+      over that TINY dim (single-partition warnings do not apply —
+      the frame is bounded by construction);
+    - a bin's tier is decided by its cumulative count against
+      ``ceil(N/3)`` / ``ceil(2N/3)`` — deterministic, no mid-bin
+      splits, identical arithmetic in the DuckDB oracle;
+    - docs pick up their tier through a BROADCAST join on
+      ``(lang, s3)`` — the corpus never sorts and never skew-shuffles.
+    """
+    from pyspark.sql import Window
+
+    scores = unigram_logprob_scores(
+        df, text_col=text_col, id_col=id_col, top_k=top_k,
+        ndigits=ndigits,
+    ).join(
+        df.select(
+            F.col(id_col).alias("id"), F.col(lang_col).alias("lang")
+        ),
+        "id",
+    )
+    bins = scores.select(
+        "lang", F.round(F.col("mean_logprob"), 3).alias("s3")
+    ).groupBy("lang", "s3").agg(F.count("*").alias("c"))
+    w_cum = Window.partitionBy("lang").orderBy(F.desc("s3"))
+    w_all = Window.partitionBy("lang")
+    tiers = bins.select(
+        "lang",
+        "s3",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    ).select(
+        "lang",
+        "s3",
+        F.when(
+            F.col("cum") <= F.ceil(F.col("n") / F.lit(3.0)), "head"
+        )
+        .when(
+            F.col("cum") <= F.ceil(F.lit(2.0) * F.col("n") / F.lit(3.0)),
+            "middle",
+        )
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+    return (
+        scores.withColumn("s3", F.round(F.col("mean_logprob"), 3))
+        .join(F.broadcast(tiers), ["lang", "s3"])
+        .select("id", "lang", "n_words", "mean_logprob", "bucket")
+    )

@@ -451,3 +451,72 @@ def test_top_ngrams_counts_and_partial_topk_plan(spark):
     assert got == [("a b c", 3), ("b c a", 1), ("b c d", 1)]
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_dsir_weights_favor_target_distribution(spark):
+    """Docs drawn from the target distribution must get higher
+    importance weights than docs from the off-target distribution,
+    and a mixed doc lands between them."""
+    from legislation_scraper_spark.operators.curation import dsir_weights
+
+    tgt = "lei norma artigo decreto lei norma"
+    off = "zzq xxw yyk qqz zzq xxw"
+    rows = [(i, tgt, "en") for i in range(6)]
+    rows += [(10 + i, off, "de") for i in range(6)]
+    rows += [(99, tgt + " " + off, "de")]  # mixed, off-target flag
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        r["id"]: (r["n_feats"], r["weight"])
+        for r in dsir_weights(df, target=F.col("lang") == "en").collect()
+    }
+    # unigrams (6) + bigrams (5) per pure doc
+    assert got[0][0] == 11
+    assert got[0][1] > got[99][1] > got[10][1]
+    # pure target docs score positive, pure off-target negative
+    assert got[0][1] > 0 > got[10][1]
+
+
+def test_dsir_weights_broadcast_lm_plan(spark):
+    """The log-ratio dim must broadcast — the corpus side never
+    shuffles for the scoring join."""
+    from legislation_scraper_spark.operators.curation import dsir_weights
+
+    df = spark.createDataFrame(
+        [(1, "lei norma", "en"), (2, "zzq xxw", "de")],
+        "doc_id long, text string, lang string",
+    )
+    plan = (
+        dsir_weights(df, target=F.col("lang") == "en")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_perplexity_buckets_tercile_order(spark):
+    """Within each language every head doc outscores every middle doc,
+    which outscores every tail doc; tier sizes honor the ceil(N/3)
+    cumulative cuts on the rounded-score grid."""
+    from legislation_scraper_spark.operators.curation import (
+        perplexity_buckets,
+    )
+
+    # 9 docs in one lang with strictly decreasing quality: common
+    # words repeated i times vs OOV filler
+    rows = []
+    for i in range(9):
+        text = " ".join(["lei norma artigo"] * (9 - i) + [f"zq{i}w"] * (i + 1))
+        rows.append((i, text, "pt"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = perplexity_buckets(df, top_k=3).collect()
+    assert len(out) == 9
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r["mean_logprob"])
+    assert set(by_bucket) == {"head", "middle", "tail"}
+    assert len(by_bucket["head"]) == 3
+    assert len(by_bucket["middle"]) == 3
+    assert len(by_bucket["tail"]) == 3
+    assert min(by_bucket["head"]) > max(by_bucket["middle"])
+    assert min(by_bucket["middle"]) > max(by_bucket["tail"])
