@@ -1399,6 +1399,26 @@ _ORACLE_B2: dict[str, str] = {
         SELECT a_id, b_id, ROUND(cos, 6) AS cosine
         FROM pairs WHERE cos >= 0.9
     """,
+    "semantic_dedup": f"""
+        WITH e AS (
+          SELECT vec_id AS id, embedding AS v,
+                 list_aggregate(list_transform(range(1, 9),
+                   i -> CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END),
+                   'string_agg', '') AS bucket
+          FROM embeddings),
+        pairs AS (
+          SELECT a.id AS a_id, b.id AS b_id,
+                 {{dot}}
+                 / (sqrt({{adot}}) * sqrt({{bdot}})) AS cos
+          FROM e a JOIN e b ON a.bucket = b.bucket AND a.id < b.id),
+        d AS (SELECT DISTINCT b_id AS id FROM pairs WHERE cos >= 0.9)
+        SELECT v.vec_id AS id, (d.id IS NULL) AS kept
+        FROM embeddings v LEFT JOIN d ON v.vec_id = d.id
+    """.format(
+        dot=_DUCK_DOT.format(a="a.v", b="b.v"),
+        adot=_DUCK_DOT.format(a="a.v", b="a.v"),
+        bdot=_DUCK_DOT.format(a="b.v", b="b.v"),
+    ),
     "similarity_lsh_buckets": """
         SELECT bucket, COUNT(*) AS cnt FROM (
           SELECT (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END)
@@ -4760,6 +4780,21 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perplexity_buckets(d, top_k=200)
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup survivors (operators/dedup.semantic_dedup, Abbas et
+    al. 2023): per embedding, kept=false iff a smaller-id neighbor
+    sits within cosine 0.9 in its sign-LSH bucket.  max_bucket
+    unbounded to mirror the cap-free DuckDB oracle (same convention
+    as q_dedup_embedding_cosine)."""
+    from legislation_scraper_spark.operators.dedup import semantic_dedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        e, vec_col="embedding", id_col="vec_id", threshold=0.9,
+        sign_bits=8, max_bucket=1 << 31,
+    )
+
+
 def q_viewstate_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5 ASP.NET VIEWSTATE two-request postback scan
     (espirito_santo.py:69-127) through the REAL stateful operator
@@ -4917,6 +4952,7 @@ _Q_B2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_ivf_full": q_similarity_ivf_full,
     "similarity_lsh_buckets": q_similarity_lsh_buckets,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "semantic_dedup": q_semantic_dedup,
     "multimodal_features": q_multimodal_features,
     "lang_id": q_lang_id,
     "quality_scores": q_quality_scores,
@@ -5247,13 +5283,14 @@ _Q.update(_Q_B3)
 # unchanged — only iteration order moves.
 _ATTEST_PRIORITY: list[str] = [
     # new this round (never sampled) — keep newest additions here.
-    # The list is 51 entries vs the driver's 50-query sample:
-    # pivot_event_counts (last, r1-GREEN, merely stale) is the one
-    # deliberately left for the r5 rotation — every never-attested
-    # query stays inside the sample.
+    # The list is 52 entries vs the driver's 50-query sample:
+    # value_percentiles + pivot_event_counts (last two, r1-GREEN,
+    # merely stale) are the ones deliberately left for the r5
+    # rotation — every never-attested query stays inside the sample.
     "minhash_lsh_edges",
     "dsir_weights",
     "perplexity_buckets",
+    "semantic_dedup",
     # never driver-attested as of r3 (incl. the four stale r1 reds,
     # fixed in r2 and repo-green since: multimodal_features,
     # json_extract, sessionize_gap, token_bucket_admission)

@@ -135,6 +135,7 @@ HEADLINE_EXT = [
     # round-4 additions
     "dsir_weights",
     "perplexity_buckets",
+    "semantic_dedup",
 ]
 
 

@@ -633,6 +633,55 @@ def embedding_cosine_pairs(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    sign_bits: int = 8,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): drop documents whose EMBEDDING has
+    a near-identical earlier neighbor — semantic duplicates that
+    lexical minhash/simhash misses (translations, paraphrases,
+    templated rewrites), the dedup tier the paper showed removes
+    20-50% of web corpora with no quality loss.
+
+    Survivor rule: a doc is KEPT iff no smaller-id doc sits within
+    ``threshold`` cosine in its LSH bucket — i.e. the earliest doc of
+    every duplicate pair survives.  On transitive chains (a~b, b~c,
+    a̸~c) this drops both b and c: strictly more aggressive than
+    greedy-sequential (which would re-admit c after dropping b) and
+    order-free, so it parallelizes without a sequential scan; the
+    paper's per-cluster variant is the same rule with cluster-centroid
+    distance as the tie-break.
+
+    Plan shape / scale: pair generation is
+    :func:`embedding_cosine_pairs` (sign-bucket LSH, capped buckets —
+    never all-pairs); the drop set is ``DISTINCT b_id`` of those
+    pairs, and the verdict lands as one id-keyed left join emitting
+    ``(id, kept)`` — rows, never vectors, cross that shuffle.
+    """
+    pairs = embedding_cosine_pairs(
+        df,
+        vec_col=vec_col,
+        id_col=id_col,
+        threshold=threshold,
+        sign_bits=sign_bits,
+        max_bucket=max_bucket,
+    )
+    dropped = (
+        pairs.select(F.col("b_id").alias("id"))
+        .distinct()
+        .withColumn("dup", F.lit(True))
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(dropped, "id", "left")
+        .select("id", F.coalesce(~F.col("dup"), F.lit(True)).alias("kept"))
+    )
+
+
 def host_overlap_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -257,3 +257,27 @@ def test_simhash_pairs_capped_and_join_free(spark):
         .toString()
     )
     assert "Join" not in plan
+
+
+def test_semantic_dedup_keeps_earliest_and_drops_chain(spark):
+    """SemDeDup survivor rule: earliest doc of every near-dup pair is
+    kept; on a transitive chain a~b, b~c, a!~c BOTH b and c drop
+    (order-free rule, documented as more aggressive than greedy)."""
+    import math
+
+    from legislation_scraper_spark.operators.dedup import semantic_dedup
+
+    def vec(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)] + [0.0] * 6
+
+    # cos(25 deg) ~ 0.906 >= 0.9; cos(50 deg) ~ 0.643 < 0.9; all
+    # components non-negative -> one sign bucket
+    rows = [(1, vec(0)), (2, vec(25)), (3, vec(50)), (9, vec(120))]
+    # vec(120) has a negative x component -> different bucket, no pairs
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["id"]: r["kept"]
+        for r in semantic_dedup(df, threshold=0.9).collect()
+    }
+    assert got == {1: True, 2: False, 3: False, 9: True}
