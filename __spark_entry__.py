@@ -4783,15 +4783,16 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup survivors (operators/dedup.semantic_dedup, Abbas et
     al. 2023): per embedding, kept=false iff a smaller-id neighbor
-    sits within cosine 0.9 in its sign-LSH bucket.  max_bucket
-    unbounded to mirror the cap-free DuckDB oracle (same convention
-    as q_dedup_embedding_cosine)."""
+    sits within cosine 0.9 in its sign-LSH bucket.  The operator's
+    bucket cap is opt-in-None by default (a capped bucket would
+    silently mark its members kept), which also mirrors the cap-free
+    DuckDB oracle."""
     from legislation_scraper_spark.operators.dedup import semantic_dedup
 
     e = _t(spark, sf_dir, "embeddings")
     return semantic_dedup(
         e, vec_col="embedding", id_col="vec_id", threshold=0.9,
-        sign_bits=8, max_bucket=1 << 31,
+        sign_bits=8,
     )
 
 

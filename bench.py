@@ -426,9 +426,13 @@ def main() -> None:
         cores, world_dir = int(sys.argv[2]), sys.argv[3]
         if PIN_CPUS:
             # before the JVM starts → every Spark thread + forked Python
-            # worker inherits the cpuset (children inherit affinity)
-            total = len(os.sched_getaffinity(0))
-            os.sched_setaffinity(0, set(range(min(2 * cores + 2, total))))
+            # worker inherits the cpuset (children inherit affinity).
+            # Slice the ALLOWED set, not range(n): under a container
+            # cpuset that doesn't start at CPU 0, range() would
+            # intersect the allowed set partially (skewed pin) or not
+            # at all (EINVAL, dead worker)
+            allowed = sorted(os.sched_getaffinity(0))
+            os.sched_setaffinity(0, set(allowed[: 2 * cores + 2]))
         print(json.dumps(_crawl_once(f"local[{cores}]", cores, world_dir)))
         return
     queries, queries_ext, queries_runs = run_headline_queries()

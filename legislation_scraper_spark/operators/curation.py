@@ -874,6 +874,7 @@ def perplexity_buckets(
     lang_col: str = "lang",
     top_k: int = 50_000,
     ndigits: int = 6,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """CCNet-style head/middle/tail quality tiers: per language, rank
     documents by their LM score (here the ``unigram_logprob_scores``
@@ -897,7 +898,11 @@ def perplexity_buckets(
       ``ceil(N/3)`` / ``ceil(2N/3)`` — deterministic, no mid-bin
       splits, identical arithmetic in the DuckDB oracle;
     - docs pick up their tier through a BROADCAST join on
-      ``(lang, s3)`` — the corpus never sorts and never skew-shuffles.
+      ``(lang, s3)`` — the corpus never sorts and never skew-shuffles;
+    - the scored frame feeds BOTH the tier histogram and the final
+      join, so it is materialized once (``localCheckpoint`` — the
+      encode-once discipline); without it the whole tokenize + LM +
+      per-doc scoring chain would execute twice per call.
     """
     from pyspark.sql import Window
 
@@ -910,6 +915,8 @@ def perplexity_buckets(
         ),
         "id",
     )
+    if checkpoint:
+        scores = scores.localCheckpoint(eager=False)
     bins = scores.select(
         "lang", F.round(F.col("mean_logprob"), 3).alias("s3")
     ).groupBy("lang", "s3").agg(F.count("*").alias("c"))

@@ -597,7 +597,7 @@ def embedding_cosine_pairs(
     id_col: str = "vec_id",
     threshold: float = 0.95,
     sign_bits: int = 8,
-    max_bucket: int = 1000,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Near-dup pairs by cosine ≥ threshold, blocked by sign-bit LSH.
 
@@ -617,7 +617,8 @@ def embedding_cosine_pairs(
     e = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), bits.alias("bucket")
     )
-    e = cap_buckets(e, "bucket", max_bucket)
+    if max_bucket is not None:
+        e = cap_buckets(e, "bucket", max_bucket)
     a = e.select("bucket", F.col("id").alias("a_id"), F.col("v").alias("a_v"))
     b = e.select("bucket", F.col("id").alias("b_id"), F.col("v").alias("b_v"))
     sim = _dot(F.col("a_v"), F.col("b_v")) / (
@@ -639,7 +640,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     threshold: float = 0.95,
     sign_bits: int = 8,
-    max_bucket: int = 1000,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): drop documents whose EMBEDDING has
     a near-identical earlier neighbor — semantic duplicates that
@@ -657,10 +658,18 @@ def semantic_dedup(
     distance as the tie-break.
 
     Plan shape / scale: pair generation is
-    :func:`embedding_cosine_pairs` (sign-bucket LSH, capped buckets —
-    never all-pairs); the drop set is ``DISTINCT b_id`` of those
-    pairs, and the verdict lands as one id-keyed left join emitting
-    ``(id, kept)`` — rows, never vectors, cross that shuffle.
+    :func:`embedding_cosine_pairs` (sign-bucket LSH); the drop set is
+    ``DISTINCT b_id`` of those pairs, and the verdict lands as one
+    id-keyed left join emitting ``(id, kept)`` — rows, never vectors,
+    cross that shuffle.
+
+    ``max_bucket`` defaults to None (opt-in, the ``lsh_topk``
+    convention from the r3 advice): a capped bucket here would mark
+    its entire membership kept=True — silently returning ~0% removal
+    on exactly the template families that needed dedup most.  Callers
+    at web scale should RAISE ``sign_bits`` (more, smaller buckets)
+    rather than cap, and treat a still-degenerate bucket as a signal
+    the corpus needs the minhash tier first.
     """
     pairs = embedding_cosine_pairs(
         df,

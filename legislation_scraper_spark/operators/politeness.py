@@ -164,8 +164,10 @@ def schedule_round(
     budget."""
     gated = apply_robots(candidates, robots, round_window_ms)
     if host_budgets is not None:
+        # long, not int: a cluster-wide quota can exceed 2^31 and a
+        # wrapped negative cap would silently zero out the biggest host
         alloc = host_budgets.select(
-            "host", F.col("budget").cast("int").alias("_alloc")
+            "host", F.col("budget").cast("long").alias("_alloc")
         )
         gated = gated.join(F.broadcast(alloc), "host", "left").withColumn(
             "budget",

@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import ascii_slug
+from ..functions.urls import url_host
 from ..operators import politeness
 from ..operators.extract import make_parse_page
 from ..operators.fetch import FetchPolicy, fetch
@@ -172,7 +173,11 @@ class CrawlEngine:
         f = with_url_key(
             self.seeds.select(
                 F.col("seed_url").alias("url"),
-                F.regexp_extract("seed_url", r"https?://([^/]+)", 1).alias("host"),
+                # url_host (lowercased, port-stripped) — the SAME
+                # normalization every other host key uses (politeness
+                # grouping, host_edges dst, trust seeds); a raw regexp
+                # here would make 'WWW.Host:443' a distinct graph node
+                url_host(F.col("seed_url")).alias("host"),
                 "source",
                 "priority",
             ),
@@ -268,10 +273,10 @@ class CrawlEngine:
         )
         from ..operators.graph import trustrank
 
+        # url_host normalization matches host_edges' src/dst keys —
+        # mixed-case or ported seed URLs must land on the same node
         seed_hosts = self.seeds.select(
-            F.regexp_extract("seed_url", r"https?://([^/]+)", 1).alias(
-                "host"
-            )
+            url_host(F.col("seed_url")).alias("host")
         ).distinct()
         return trustrank(
             e, seed_hosts, iters=self.cfg.trust_iters,
@@ -280,12 +285,46 @@ class CrawlEngine:
 
     def _host_budgets(self, pending: DataFrame) -> DataFrame:
         """Split cfg.global_round_budget across hosts proportional to
-        backlog (pending URLs per host), optionally scaled by TrustRank
-        (cfg.budget_weights='trust_backlog').  Output feeds
+        ABSORBABLE backlog — min(pending URLs, robots round capacity)
+        per host, disallowed hosts excluded — optionally scaled by
+        TrustRank (cfg.budget_weights='trust_backlog').  Output feeds
         schedule_round(host_budgets=...), which takes
-        min(robots_budget, allocation) — robots stays binding."""
+        min(robots_budget, allocation) — robots stays binding.
+
+        Capping the WEIGHT at capacity (not just the final budget)
+        keeps the global quota from being parked on hosts that cannot
+        spend it: a mega-host holding 30% of pending but robots-capped
+        at 2 fetches would otherwise absorb 30% of B and the round
+        would systematically under-fill; with capacity-capped weights
+        the Hamilton division hands that quota to hosts with real
+        headroom.  Residual waste is O(hosts) rounding units, never
+        O(B).  The capacity expression mirrors apply_robots (default
+        budget, crawl-delay window cap) so the two stay consistent."""
         backlog = pending.groupBy("host").agg(
-            F.count("*").cast("double").alias("weight")
+            F.count("*").cast("double").alias("backlog")
+        )
+        cap = F.coalesce(F.col("max_parallel"), F.lit(4)).cast("double")
+        if self.cfg.round_window_ms is not None:
+            cap = F.least(
+                cap,
+                F.greatest(
+                    F.lit(1),
+                    F.floor(
+                        F.lit(self.cfg.round_window_ms)
+                        / F.coalesce(F.col("crawl_delay_ms"), F.lit(1))
+                    ),
+                ).cast("double"),
+            )
+        r = self.robots.select(
+            "host", "allow", "crawl_delay_ms", "max_parallel"
+        )
+        backlog = (
+            backlog.join(F.broadcast(r), "host", "left")
+            .filter(F.coalesce(F.col("allow"), F.lit(True)))
+            .select(
+                "host",
+                F.least(F.col("backlog"), cap).alias("weight"),
+            )
         )
         if self.cfg.budget_weights == "trust_backlog":
             trust = self.trust_scores()
@@ -526,7 +565,14 @@ class CrawlEngine:
             )
         new_front = with_url_key(
             links.select(
-                "url", "host", "source", "priority",
+                "url",
+                # the CHILD's own host, not the linking page's — a
+                # cross-host link scheduled under the parent's host
+                # would evade the target host's politeness budget
+                # (links.host stays the parent host for the src side
+                # of host_edges below)
+                url_host(F.col("url")).alias("host"),
+                "source", "priority",
                 (F.col("depth") + 1).alias("depth"),
                 F.lit(r + 1).alias("discovered_round"),
             ),
@@ -599,8 +645,6 @@ class CrawlEngine:
             # target URL's host, pre-aggregated to edge counts (the
             # trust_scores() input).  Post-scope links — the graph the
             # crawl actually follows.
-            from ..functions.urls import url_host
-
             versions["host_edges"] = self.host_edges.append(
                 links.select(
                     F.col("host").alias("src_host"),

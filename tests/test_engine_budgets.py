@@ -58,13 +58,6 @@ def test_global_budget_caps_round(spark, world, tmp_path_factory):
 
     # independent expectation from the operators themselves
     pending = eng.pending()
-    backlog = pending.groupBy("host").agg(
-        F.count("*").cast("double").alias("weight")
-    )
-    alloc = {
-        r["host"]: r["budget"]
-        for r in allocate_budgets(backlog, B).collect()
-    }
     robots = {r["host"]: r.asDict() for r in world["robots"].collect()}
 
     def host_cap(h: int) -> int:
@@ -75,14 +68,27 @@ def test_global_budget_caps_round(spark, world, tmp_path_factory):
             return 0
         return rr["max_parallel"] if rr["max_parallel"] is not None else 4
 
+    # the engine allocates over ABSORBABLE backlog: weight =
+    # min(backlog, robots capacity), disallowed hosts excluded
+    counts = {
+        r["host"]: r["n"]
+        for r in pending.groupBy("host")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    weights = [
+        (h, float(min(n, host_cap(h))))
+        for h, n in counts.items()
+        if host_cap(h) > 0
+    ]
+    backlog = spark.createDataFrame(weights, "host string, weight double")
+    alloc = {
+        r["host"]: r["budget"]
+        for r in allocate_budgets(backlog, B).collect()
+    }
+
     expected = sum(
-        min(alloc.get(h, 0), host_cap(h), n)
-        for h, n in [
-            (r["host"], r["n"])
-            for r in pending.groupBy("host")
-            .agg(F.count("*").alias("n"))
-            .collect()
-        ]
+        min(alloc.get(h, 0), host_cap(h), n) for h, n in counts.items()
     )
 
     m = eng.round(0)
