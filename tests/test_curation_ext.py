@@ -520,3 +520,51 @@ def test_perplexity_buckets_tercile_order(spark):
     assert len(by_bucket["tail"]) == 3
     assert min(by_bucket["head"]) > max(by_bucket["middle"])
     assert min(by_bucket["middle"]) > max(by_bucket["tail"])
+
+
+def test_passage_chunks_semantics(spark):
+    """Window/stride math: ≤window → one chunk; total coverage with the
+    last chunk truncated at the doc end; fixed overlap between
+    consecutive chunks; empty docs yield zero rows."""
+    from legislation_scraper_spark.operators.curation import passage_chunks
+
+    toks = [f"t{i}" for i in range(23)]
+    rows = [
+        (0, ""),                      # empty → no chunks
+        (1, "  \n\t "),               # whitespace-only → no chunks
+        (2, " ".join(toks[:8])),      # n == window → 1 chunk
+        (3, " ".join(toks[:9])),      # n == window+1 → 2 chunks
+        (4, " ".join(toks)),          # 23 tokens → starts 0,5,10,15
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = passage_chunks(df, window=8, stride=5)
+    got = defaultdict(list)
+    for r in out.collect():
+        got[r["id"]].append((r["chunk_idx"], r["chunk_text"], r["n_tokens"]))
+    for v in got.values():
+        v.sort()
+    assert 0 not in got and 1 not in got
+    assert got[2] == [(0, " ".join(toks[:8]), 8)]
+    assert [c[0] for c in got[3]] == [0, 1]
+    assert got[3][1] == (1, " ".join(toks[5:9]), 4)  # truncated tail
+    # 23 tokens, window 8, stride 5 → ceil((23-8)/5)+1 = 4 chunks
+    chunks4 = got[4]
+    assert [c[0] for c in chunks4] == [0, 1, 2, 3]
+    for idx, text, n in chunks4:
+        lo = idx * 5
+        want = toks[lo:lo + 8]
+        assert text.split(" ") == want and n == len(want)
+    # consecutive chunks overlap by window - stride = 3 tokens
+    for a, b in zip(chunks4, chunks4[1:]):
+        assert a[1].split(" ")[-3:] == b[1].split(" ")[:3]
+    # coverage: union of chunk tokens == the document
+    covered = set()
+    for _, text, _ in chunks4:
+        covered.update(text.split(" "))
+    assert covered == set(toks)
+
+
+def test_passage_chunks_matches_oracle(spark):
+    from tests.conftest import SF_SMALL, compare_query
+
+    compare_query(spark, "passage_chunks", SF_SMALL)
