@@ -5287,10 +5287,29 @@ def q_passage_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of multi-probe sign-LSH (8 bits, 1-bit probes ==
+    Hamming ≤ 1 candidate buckets) vs exact brute force per query —
+    the ANN tuning measurement (operators/similarity.recall_at_k).
+    Queries vec_id < 10, corpus the rest; queries with no candidates
+    score 0."""
+    from legislation_scraper_spark.operators.similarity import (
+        lsh_topk,
+        recall_at_k,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    c = emb.filter(F.col("vec_id") >= 10)
+    approx = lsh_topk(q, c, k=3, bits=8, multiprobe=1)
+    return recall_at_k(q, c, approx, k=3)
+
+
 # appended AFTER the attestation head on purpose: new queries join the
 # priority list at the next rotation (see _ATTEST_PRIORITY note)
 _Q_B4 = {
     "passage_chunks": q_passage_chunks,
+    "ann_recall": q_ann_recall,
 }
 _Q.update(_Q_B4)
 
@@ -5314,6 +5333,65 @@ _ORACLE_B4 = {
                array_to_string(cw, ' ') AS chunk_text,
                CAST(len(cw) AS BIGINT) AS n_tokens
         FROM c
+    """,
+    "ann_recall": r"""
+        WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                   WHERE vec_id < 10),
+             c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+                   WHERE vec_id >= 10),
+             s AS (SELECT qid, cid,
+                     list_aggregate(list_transform(range(1, 65),
+                       i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)),
+                       'sum')
+                     / (sqrt(list_aggregate(list_transform(range(1, 65),
+                          i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)),
+                          'sum'))
+                        * sqrt(list_aggregate(list_transform(range(1, 65),
+                          i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)),
+                          'sum'))) AS sim
+                   FROM q, c),
+             exact AS (SELECT qid, cid FROM (
+               SELECT qid, cid, ROW_NUMBER() OVER (
+                 PARTITION BY qid ORDER BY sim DESC, cid) AS rnk FROM s)
+               WHERE rnk <= 3),
+             qb AS (SELECT qid,
+                      (CASE WHEN qe[1] >= 0 THEN '1' ELSE '0' END)
+                   || (CASE WHEN qe[2] >= 0 THEN '1' ELSE '0' END)
+                   || (CASE WHEN qe[3] >= 0 THEN '1' ELSE '0' END)
+                   || (CASE WHEN qe[4] >= 0 THEN '1' ELSE '0' END)
+                   || (CASE WHEN qe[5] >= 0 THEN '1' ELSE '0' END)
+                   || (CASE WHEN qe[6] >= 0 THEN '1' ELSE '0' END)
+                   || (CASE WHEN qe[7] >= 0 THEN '1' ELSE '0' END)
+                   || (CASE WHEN qe[8] >= 0 THEN '1' ELSE '0' END)
+                      AS bucket FROM q),
+             cb AS (SELECT cid,
+                      (CASE WHEN ce[1] >= 0 THEN '1' ELSE '0' END)
+                   || (CASE WHEN ce[2] >= 0 THEN '1' ELSE '0' END)
+                   || (CASE WHEN ce[3] >= 0 THEN '1' ELSE '0' END)
+                   || (CASE WHEN ce[4] >= 0 THEN '1' ELSE '0' END)
+                   || (CASE WHEN ce[5] >= 0 THEN '1' ELSE '0' END)
+                   || (CASE WHEN ce[6] >= 0 THEN '1' ELSE '0' END)
+                   || (CASE WHEN ce[7] >= 0 THEN '1' ELSE '0' END)
+                   || (CASE WHEN ce[8] >= 0 THEN '1' ELSE '0' END)
+                      AS bucket FROM c),
+             appx AS (SELECT qid, cid FROM (
+               SELECT s.qid, s.cid, ROW_NUMBER() OVER (
+                 PARTITION BY s.qid ORDER BY s.sim DESC, s.cid) AS rnk
+               FROM s
+               JOIN qb ON s.qid = qb.qid
+               JOIN cb ON s.cid = cb.cid
+                -- multiprobe=1 == all 1-bit-flip buckets == Hamming<=1
+                AND (SELECT COUNT(*) FROM UNNEST(generate_series(1, 8))
+                       AS g(i)
+                     WHERE substring(qb.bucket, i, 1)
+                           <> substring(cb.bucket, i, 1)) <= 1)
+               WHERE rnk <= 3),
+             hits AS (SELECT e.qid, COUNT(*) AS h
+                      FROM exact e JOIN appx a
+                        ON e.qid = a.qid AND e.cid = a.cid
+                      GROUP BY e.qid)
+        SELECT q.qid, ROUND(COALESCE(h, 0) / 3.0, 6) AS recall
+        FROM q LEFT JOIN hits ON q.qid = hits.qid
     """,
 }
 

@@ -197,3 +197,51 @@ def ivf_topk(
         .filter(F.col("rnk") <= k)
         .select("qid", "cid", "cosine", "rnk")
     )
+
+
+def recall_at_k(
+    queries: DataFrame,
+    corpus: DataFrame,
+    approx_topk: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall@k of an approximate top-k result against exact brute
+    force — the tuning loop for the ANN index family (`lsh_topk`
+    bits/multiprobe/cap, `ivf_topk` n_cells/nprobe): every knob above
+    trades recall for cost, and at corpus scale the trade must be
+    MEASURED on a query sample, not guessed.  ``approx_topk`` is any
+    frame with (qid, cid) — the output shape of ``lsh_topk``/
+    ``ivf_topk``.  Returns one row per query: (qid, recall), recall =
+    |approx ∩ exact_topk| / k, 0.0 for queries whose approx result was
+    empty (e.g. their only bucket was capped away).
+
+    Scale: the exact arm is the expensive part (a full query × corpus
+    scan), which is exactly why this runs on a SAMPLED query set —
+    recall is a corpus property, not a per-query one, so a few hundred
+    queries bound the cost while the estimate's error shrinks as
+    1/sqrt(n_queries).  The intersection is a (qid, cid)-keyed
+    left-semi join on two k-bounded frames (≤ |queries|·k rows each);
+    the per-query fold and the final left join are broadcast-size by
+    construction.
+    """
+    exact = brute_force_topk(
+        queries, corpus, k=k, vec_col=vec_col, id_col=id_col
+    )
+    hits = (
+        exact.select("qid", "cid")
+        .join(approx_topk.select("qid", "cid"), ["qid", "cid"], "left_semi")
+        .groupBy("qid")
+        .agg(F.count("*").alias("hits"))
+    )
+    return (
+        queries.select(F.col(id_col).alias("qid"))
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.round(
+                F.coalesce(F.col("hits"), F.lit(0)) / F.lit(k), 6
+            ).alias("recall"),
+        )
+    )

@@ -281,3 +281,48 @@ def test_semantic_dedup_keeps_earliest_and_drops_chain(spark):
         for r in semantic_dedup(df, threshold=0.9).collect()
     }
     assert got == {1: True, 2: False, 3: False, 9: True}
+
+
+def test_recall_at_k_fractions(spark):
+    """recall_at_k: exact arm == approx arm → 1.0; empty approx → 0.0;
+    partial overlap → hits/k; queries absent from approx score 0."""
+    import math
+
+    def vec(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)] + [0.0] * 6
+
+    corpus = spark.createDataFrame(
+        [(10, vec(5)), (11, vec(10)), (12, vec(15)), (13, vec(80))],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(0, vec(0)), (1, vec(90))],
+        "vec_id long, embedding array<double>",
+    )
+    # exact top-2 for q0: cids 10, 11; for q1: 13, 12
+    perfect = similarity.brute_force_topk(queries, corpus, k=2)
+    got = {
+        r["qid"]: r["recall"]
+        for r in similarity.recall_at_k(
+            queries, corpus, perfect, k=2
+        ).collect()
+    }
+    assert got == {0: 1.0, 1: 1.0}
+    # approx hits one of two for q0, nothing for q1
+    partial = spark.createDataFrame(
+        [(0, 11)], "qid long, cid long"
+    )
+    got = {
+        r["qid"]: r["recall"]
+        for r in similarity.recall_at_k(
+            queries, corpus, partial, k=2
+        ).collect()
+    }
+    assert got == {0: 0.5, 1: 0.0}
+
+
+def test_ann_recall_matches_oracle(spark):
+    from tests.conftest import SF_SMALL, compare_query
+
+    compare_query(spark, "ann_recall", SF_SMALL)
