@@ -136,6 +136,8 @@ HEADLINE_EXT = [
     "dsir_weights",
     "perplexity_buckets",
     "semantic_dedup",
+    "passage_chunks",
+    "ann_recall",
 ]
 
 
