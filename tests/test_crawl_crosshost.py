@@ -33,6 +33,7 @@ from legislation_scraper_spark.tables import Catalog
 ALPHA = "alpha.gov.br"
 BETA = "beta.leg.br"
 GAMMA = "gamma.gov.br"  # robots-disallowed
+DELTA = "delta.example.com"  # NO robots row: default-allow, budget 4
 
 SEARCH0 = f"https://{ALPHA}/busca?page=0"
 SEARCH1 = f"https://{ALPHA}/busca?page=1"
@@ -40,6 +41,7 @@ BETA1 = f"https://{BETA}/norma/1"
 BETA2 = f"https://{BETA}/norma/2"
 ALPHA3 = f"https://{ALPHA}/norma/3"
 GAMMA9 = f"https://{GAMMA}/norma/9"
+DELTA4 = f"https://{DELTA}/norma/4"
 
 # every discovered spelling is non-canonical on purpose
 SEED_SPELLING = "https://ALPHA.Gov.BR:443/busca?page=0"
@@ -55,6 +57,7 @@ SEARCH0_HTML = f"""<html><body><div class="resultados">
 
 SEARCH1_HTML = f"""<html><body><div class="resultados">
 <a class="res" href="{ALPHA3}">Doc 3</a>
+<a class="res" href="https://Delta.Example.COM/norma/4">Doc 4</a>
 </div>
 <span class="total">Total de registros: 4</span></body></html>"""
 
@@ -76,6 +79,7 @@ DOC_TEXTS = {
     BETA1: "texto da norma um. " * 20,
     BETA2: "texto da norma dois. " * 20,
     ALPHA3: "texto da norma tres. " * 20,
+    DELTA4: "texto da norma quatro. " * 20,
     GAMMA9: "nunca deve ser buscado. " * 20,
 }
 
@@ -126,7 +130,7 @@ def test_one_fetch_per_canonical_url(engine):
     urls = [u for u, _, _ in visits]
     # each canonical URL exactly once; variants collapsed; gamma never
     assert len(urls) == len(set(urls))
-    assert set(urls) == {SEARCH0, SEARCH1, BETA1, BETA2, ALPHA3}
+    assert set(urls) == {SEARCH0, SEARCH1, BETA1, BETA2, ALPHA3, DELTA4}
 
 
 def test_politeness_groups_spelling_variants(engine):
@@ -162,7 +166,7 @@ def test_seen_set_is_canonical(engine):
     seen = {
         r["canon_url"] for r in engine.seen.df().select("canon_url").collect()
     }
-    assert seen == {SEARCH0, SEARCH1, BETA1, BETA2, ALPHA3}
+    assert seen == {SEARCH0, SEARCH1, BETA1, BETA2, ALPHA3, DELTA4}
     for u in seen:
         assert u == u.strip() and "#" not in u and ":443" not in u
         host = u.split("://", 1)[1].split("/", 1)[0]
@@ -175,7 +179,7 @@ def test_extracted_docs_complete_and_error_free(engine):
         for r in engine.pages.read()
         .select("document_url", "text_markdown").collect()
     }
-    assert set(pages) == {BETA1, BETA2, ALPHA3}
+    assert set(pages) == {BETA1, BETA2, ALPHA3, DELTA4}
     for u in pages:
         assert DOC_TEXTS[u].strip().split(".")[0] in pages[u]
     errs = engine.errors.read()  # None: table never written to
@@ -197,3 +201,16 @@ def test_host_edges_use_normalized_keys(engine):
     assert agg[(ALPHA, GAMMA)] == 1
     # the mixed-case next link self-edge normalized to alpha→alpha
     assert agg.get((ALPHA, ALPHA), 0) >= 1
+    # robots-rowless host still appears as a normalized dst
+    assert agg[(ALPHA, DELTA)] == 1
+
+
+def test_no_robots_row_defaults_to_allow(engine):
+    """A host absent from the robots table is crawled with the
+    default-allow / budget-4 policy (left join + coalesce in
+    operators/politeness.apply_robots), not silently dropped."""
+    log = [
+        r for r in engine.crawl_log.read().collect()
+        if r["host"] == DELTA
+    ]
+    assert [(r["canon_url"], r["fetched"]) for r in log] == [(DELTA4, True)]
