@@ -132,6 +132,11 @@ def rehearse(spark, docs: int) -> dict:
             "pages": m["pages"],
             "timings": m["timings"],
         }
+        # LSS_REHEARSAL_STAGES=crawl → stop after the crawl stage (the
+        # north-rule metric); lets a 2× world run inside a bounded wall
+        # window without the ~2h curate/dedup/export tail
+        if os.environ.get("LSS_REHEARSAL_STAGES", "all") == "crawl":
+            return out
 
         pages = eng.pages.read().select(
             F.col("document_url").alias("doc_id"),
