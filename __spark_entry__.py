@@ -5307,9 +5307,29 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # appended AFTER the attestation head on purpose: new queries join the
 # priority list at the next rotation (see _ATTEST_PRIORITY note)
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (Sennrich 2016) over the documents
+    corpus: 12 merges learned from the distinct-word/freq table
+    (operators/tokenize.bpe_train — one corpus pass, then iterations
+    over the vocabulary only).  Returns the merge table — the model
+    artifact.  Oracle: an independent straight-line trainer
+    (scripts/gen_bpe_fixture.py, fixture-backed like
+    multimodal_features)."""
+    from legislation_scraper_spark.operators.tokenize import bpe_train
+
+    d = _t(spark, sf_dir, "documents")
+    merges = bpe_train(d, n_merges=12)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, lhs string, rhs string, merged string,"
+        " freq bigint",
+    )
+
+
 _Q_B4 = {
     "passage_chunks": q_passage_chunks,
     "ann_recall": q_ann_recall,
+    "bpe_merges": q_bpe_merges,
 }
 _Q.update(_Q_B4)
 
@@ -5392,6 +5412,10 @@ _ORACLE_B4 = {
                       GROUP BY e.qid)
         SELECT q.qid, ROUND(COALESCE(h, 0) / 3.0, 6) AS recall
         FROM q LEFT JOIN hits ON q.qid = hits.qid
+    """,
+    "bpe_merges": """
+        SELECT merge_rank, lhs, rhs, merged, freq
+        FROM '/root/repo/fixtures/bpe_merges_sf0.01.parquet'
     """,
 }
 
@@ -5692,6 +5716,11 @@ def ensure_oracle_fixtures(sf_dir: str = "/root/testdata/sf0.01") -> None:
             "scripts/gen_token_bucket_fixture.py",
             "events.parquet",
             f"fixtures/token_bucket_{tag}.parquet",
+        ),
+        (
+            "scripts/gen_bpe_fixture.py",
+            "documents.parquet",
+            f"fixtures/bpe_merges_{tag}.parquet",
         ),
     ]
 

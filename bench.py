@@ -138,6 +138,7 @@ HEADLINE_EXT = [
     "semantic_dedup",
     "passage_chunks",
     "ann_recall",
+    "bpe_merges",
 ]
 
 
