@@ -5326,10 +5326,30 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus encoding under the learned BPE model: per-document token
+    counts after applying the 12 trained merges
+    (operators/tokenize.bpe_token_counts — distinct-word
+    factorization: the merge fold runs once per VOCAB word, the
+    corpus only pays an explode + broadcast dim join).  Oracle: independent
+    straight-line train+encode (scripts/gen_bpe_encode_fixture.py)."""
+    from legislation_scraper_spark.operators.tokenize import (
+        bpe_token_counts,
+        bpe_train,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    merges = bpe_train(d, n_merges=12)
+    return bpe_token_counts(d, merges).select(
+        F.col("id").alias("doc_id"), "n_tokens"
+    )
+
+
 _Q_B4 = {
     "passage_chunks": q_passage_chunks,
     "ann_recall": q_ann_recall,
     "bpe_merges": q_bpe_merges,
+    "bpe_encode": q_bpe_encode,
 }
 _Q.update(_Q_B4)
 
@@ -5416,6 +5436,10 @@ _ORACLE_B4 = {
     "bpe_merges": """
         SELECT merge_rank, lhs, rhs, merged, freq
         FROM '/root/repo/fixtures/bpe_merges_sf0.01.parquet'
+    """,
+    "bpe_encode": """
+        SELECT doc_id, n_tokens
+        FROM '/root/repo/fixtures/bpe_encode_sf0.01.parquet'
     """,
 }
 
@@ -5721,6 +5745,11 @@ def ensure_oracle_fixtures(sf_dir: str = "/root/testdata/sf0.01") -> None:
             "scripts/gen_bpe_fixture.py",
             "documents.parquet",
             f"fixtures/bpe_merges_{tag}.parquet",
+        ),
+        (
+            "scripts/gen_bpe_encode_fixture.py",
+            "documents.parquet",
+            f"fixtures/bpe_encode_{tag}.parquet",
         ),
     ]
 

@@ -139,6 +139,7 @@ HEADLINE_EXT = [
     "passage_chunks",
     "ann_recall",
     "bpe_merges",
+    "bpe_encode",
 ]
 
 

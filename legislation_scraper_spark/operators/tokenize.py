@@ -152,8 +152,11 @@ def bpe_encode(
 ) -> DataFrame:
     """Apply a learned merge list to a corpus: per document,
     ``(id, tokens array<string>, n_tokens)``.  The merge list is a
-    literal array folded over each word in-row — zero shuffle, whole-
-    stage codegen, corpus-parallel at any scale.
+    literal array folded over each word in-row — zero shuffle,
+    corpus-parallel.  The nested fold is interpreted (HOFs don't
+    whole-stage-codegen) and runs per word OCCURRENCE, so when only
+    counts are needed use :func:`bpe_token_counts` (distinct-word
+    factorization — ~8× faster measured at sf0.1).
 
     ``merges`` accepts either trainer output tuples
     ``(rank, left, right, ...)`` or bare ``(left, right)`` pairs,
@@ -176,4 +179,67 @@ def bpe_encode(
         ).alias("tokens"),
     ).select(
         "id", "tokens", F.size("tokens").cast("bigint").alias("n_tokens")
+    )
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    merges: list[tuple],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Per-document token counts under a learned merge list —
+    ``(id, n_tokens)`` — via the distinct-word factorization: the
+    (interpreted, nested-HOF) merge fold runs ONCE PER DISTINCT WORD,
+    not once per occurrence, then a word→token-length dim joins back
+    onto the exploded corpus.  Measured 16.5 s → ~2 s at sf0.1 vs
+    folding in-row per occurrence (``bpe_encode``), because corpus
+    tokens outnumber vocabulary words by orders of magnitude and the
+    fold cannot whole-stage-codegen.
+
+    ``broadcast_vocab=True`` (default) broadcasts the encoded-vocab
+    dim — right whenever the vocabulary fits the broadcast threshold
+    (Heaps' law keeps it sublinear in corpus size).  At extreme vocab
+    (100 TB, multilingual) pass False and let AQE pick the join; the
+    explode side then shuffles on the word key.
+    """
+    pairs = [
+        (m[1], m[2]) if len(m) >= 3 else (m[0], m[1]) for m in merges
+    ]
+
+    def encode_word(w):
+        syms = F.split(w, _CHAR_SPLIT)
+        for left, right in pairs:
+            syms = _merge_fold(syms, left, right)
+        return syms
+
+    occurrences = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(words(F.col(text_col))).alias("w"),
+    )
+    enc = (
+        occurrences.select("w")
+        .distinct()
+        .select(
+            "w", F.size(encode_word(F.col("w"))).cast("bigint").alias("tl")
+        )
+    )
+    if broadcast_vocab:
+        enc = F.broadcast(enc)
+    counted = (
+        occurrences.join(enc, "w")
+        .groupBy("id")
+        .agg(F.sum("tl").alias("n_tokens"))
+    )
+    # empty documents have no occurrence rows — restore them with 0
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(counted, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("n_tokens"), F.lit(0).cast("bigint")).alias(
+                "n_tokens"
+            ),
+        )
     )

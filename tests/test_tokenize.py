@@ -101,3 +101,30 @@ def test_bpe_merges_matches_oracle(spark):
     from tests.conftest import SF_SMALL, compare_query
 
     compare_query(spark, "bpe_merges", SF_SMALL)
+
+
+def test_bpe_token_counts_equals_encode(spark):
+    """The distinct-word factorization returns the same per-doc counts
+    as the in-row encode, including 0 for empty documents."""
+    from legislation_scraper_spark.operators.tokenize import (
+        bpe_token_counts,
+    )
+
+    rows = CORPUS + [(9, ""), (10, "   ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = bpe_train(df, n_merges=6)
+    via_encode = {
+        r["id"]: r["n_tokens"] for r in bpe_encode(df, merges).collect()
+    }
+    via_counts = {
+        r["id"]: r["n_tokens"]
+        for r in bpe_token_counts(df, merges).collect()
+    }
+    assert via_counts == via_encode
+    assert via_counts[9] == 0 and via_counts[10] == 0
+
+
+def test_bpe_encode_query_matches_oracle(spark):
+    from tests.conftest import SF_SMALL, compare_query
+
+    compare_query(spark, "bpe_encode", SF_SMALL)
