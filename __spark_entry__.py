@@ -5443,6 +5443,68 @@ _ORACLE_B4 = {
     """,
 }
 
+
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the embeddings table (k=8, 2 assignment
+    passes; operators/clustering.kmeans_assign): hash-sample init,
+    zero-shuffle in-row argmin assignment, partial-aggregated centroid
+    update.  The SemDeDup-paper pre-clustering tier (Abbas et al. 2023
+    §3.1).  Oracle: the same two Lloyd passes unrolled as SQL CTEs."""
+    from legislation_scraper_spark.operators.clustering import (
+        kmeans_assign,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_assign(emb, k=8, iters=2).select(
+        F.col("id").alias("vec_id"), "cluster"
+    )
+
+
+_Q_B5 = {
+    "kmeans_clusters": q_kmeans_clusters,
+}
+_Q.update(_Q_B5)
+
+# squared-L2 fold shared by both unrolled Lloyd passes
+_KM_D = (
+    "list_aggregate(list_transform(range(1, 65),"
+    " i -> (v.v[i] - {c}.c[i]) * (v.v[i] - {c}.c[i])), 'sum')"
+)
+
+_ORACLE_B5 = {
+    "kmeans_clusters": f"""
+        WITH v AS (
+          SELECT vec_id AS id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        c0 AS (
+          SELECT CAST(ROW_NUMBER() OVER (
+                   ORDER BY md5(CAST(id AS VARCHAR)), id) AS INT)
+                   AS cluster, v AS c
+          FROM (SELECT id, v FROM v
+                ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 8)),
+        a0 AS (
+          SELECT id, v, cluster FROM (
+            SELECT v.id, v.v, c0.cluster,
+                   ROW_NUMBER() OVER (PARTITION BY v.id ORDER BY
+                     {_KM_D.format(c="c0")}, c0.cluster) AS rn
+            FROM v, c0) WHERE rn = 1),
+        c1 AS (
+          SELECT cluster, list(m ORDER BY i) AS c FROM (
+            SELECT cluster, i, AVG(v[i]) AS m
+            FROM a0, range(1, 65) t(i)
+            GROUP BY cluster, i)
+          GROUP BY cluster),
+        a1 AS (
+          SELECT id, cluster FROM (
+            SELECT v.id, c1.cluster,
+                   ROW_NUMBER() OVER (PARTITION BY v.id ORDER BY
+                     {_KM_D.format(c="c1")}, c1.cluster) AS rn
+            FROM v, c1) WHERE rn = 1)
+        SELECT id AS vec_id, CAST(cluster AS INT) AS cluster FROM a1
+    """,
+}
+
 # --- driver-attestation ordering -------------------------------------
 # The correctness driver samples the FIRST 50 registry entries in
 # iteration order (verified: CORRECTNESS_r03's 50 keys == the first 50
@@ -5698,6 +5760,7 @@ _ORACLE_B2["inverted_index_salted"] = _ORACLE_B2["inverted_index"]
 _ORACLE.update(_ORACLE_B2)
 _ORACLE.update(_ORACLE_B3)
 _ORACLE.update(_ORACLE_B4)
+_ORACLE.update(_ORACLE_B5)
 
 
 def entry(spark: SparkSession) -> DataFrame:
