@@ -5460,8 +5460,27 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fuzzy_title_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage fuzzy join (operators/fuzzy.fuzzy_pairs): titles
+    (first 3 words of each document) within edit distance ≤ 3, blocked
+    on the lowercased first token — capped in-array expansion, JVM
+    levenshtein, one shuffle.  Oracle: brute-force blocked self-join
+    with DuckDB's levenshtein (identical unit-cost edit distance)."""
+    from legislation_scraper_spark.operators.fuzzy import fuzzy_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    titles = d.select(
+        "doc_id",
+        F.array_join(
+            F.slice(F.split(F.trim("text"), r"\s+"), 1, 3), " "
+        ).alias("title"),
+    )
+    return fuzzy_pairs(titles, text_col="title", max_dist=3)
+
+
 _Q_B5 = {
     "kmeans_clusters": q_kmeans_clusters,
+    "fuzzy_title_pairs": q_fuzzy_title_pairs,
 }
 _Q.update(_Q_B5)
 
@@ -5502,6 +5521,23 @@ _ORACLE_B5 = {
                      {_KM_D.format(c="c1")}, c1.cluster) AS rn
             FROM v, c1) WHERE rn = 1)
         SELECT id AS vec_id, CAST(cluster AS INT) AS cluster FROM a1
+    """,
+    "fuzzy_title_pairs": r"""
+        WITH t AS (
+          SELECT doc_id,
+                 array_to_string(
+                   (string_split_regex(trim(text), '\s+'))[1:3], ' ')
+                   AS title
+          FROM documents),
+        p AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                 levenshtein(a.title, b.title) AS dist
+          FROM t a JOIN t b
+            ON lower(split_part(a.title, ' ', 1))
+               = lower(split_part(b.title, ' ', 1))
+           AND a.doc_id < b.doc_id)
+        SELECT a_id, b_id, CAST(dist AS INT) AS dist
+        FROM p WHERE dist <= 3
     """,
 }
 
