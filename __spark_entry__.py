@@ -5478,9 +5478,48 @@ def q_fuzzy_title_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_pairs(titles, text_col="title", max_dist=3)
 
 
+def q_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding repair (functions/text.fix_mojibake): accented
+    Portuguese is injected into each document, corrupted the way a
+    Latin-1 re-save corrupts UTF-8 ("ação" → "aÃ§Ã£o"), then repaired
+    — per doc the mojibake-sequence count and whether the repair is
+    byte-exact.  Oracle: the same derivation as literal replace chains
+    in DuckDB (byte-identical replace semantics)."""
+    from legislation_scraper_spark.functions.text import (
+        MOJIBAKE_PAIRS,
+        fix_mojibake,
+        mojibake_count,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    accented = F.col("text")
+    for src, dst in _MOJI_WORDS:
+        accented = F.replace(accented, F.lit(src), F.lit(dst))
+    corrupt = accented
+    bad = {g: b for b, g in MOJIBAKE_PAIRS}
+    # '§' first: corrupting 'ç' emits 'Ã§', and a later '§' pass would
+    # double-corrupt that inner byte (observed: repair then isn't
+    # byte-exact — correct single-pass behavior, wrong test intent)
+    for ch in "§çãºá":
+        corrupt = F.replace(corrupt, F.lit(ch), F.lit(bad[ch]))
+    return d.select(
+        "doc_id",
+        mojibake_count(corrupt).alias("n_bad"),
+        (fix_mojibake(corrupt) == accented).alias("repaired"),
+    )
+
+
+_MOJI_WORDS = [
+    ("agg", "ação"),
+    ("row", "nº"),
+    ("fast", "rápido"),
+    ("table", "parágrafo§"),
+]
+
 _Q_B5 = {
     "kmeans_clusters": q_kmeans_clusters,
     "fuzzy_title_pairs": q_fuzzy_title_pairs,
+    "mojibake_repair": q_mojibake_repair,
 }
 _Q.update(_Q_B5)
 
@@ -5538,6 +5577,30 @@ _ORACLE_B5 = {
            AND a.doc_id < b.doc_id)
         SELECT a_id, b_id, CAST(dist AS INT) AS dist
         FROM p WHERE dist <= 3
+    """,
+    "mojibake_repair": """
+        WITH a AS (
+          SELECT doc_id,
+            replace(replace(replace(replace(text,
+              'agg', 'ação'), 'row', 'nº'), 'fast', 'rápido'),
+              'table', 'parágrafo§') AS acc
+          FROM documents),
+        c AS (
+          SELECT doc_id, acc,
+            replace(replace(replace(replace(replace(acc,
+              '§', 'Â§'), 'ç', 'Ã§'), 'ã', 'Ã£'), 'º', 'Âº'),
+              'á', 'Ã¡') AS cor
+          FROM a),
+        f AS (
+          SELECT doc_id, acc, cor,
+            replace(replace(replace(replace(replace(cor,
+              'Ã¡', 'á'), 'Ã£', 'ã'), 'Ã§', 'ç'), 'Âº', 'º'),
+              'Â§', '§') AS fix
+          FROM c)
+        SELECT doc_id,
+               CAST(length(cor) - length(fix) AS BIGINT) AS n_bad,
+               fix = acc AS repaired
+        FROM f
     """,
 }
 

@@ -552,3 +552,47 @@ def homoglyph_count(text: Column) -> Column:
     return (
         F.length(text) - F.length(F.translate(text, _HG_FROM, ""))
     ).cast("bigint")
+
+
+# --- mojibake repair (UTF-8 read as Latin-1) -------------------------
+# The single most common web-text encoding fault: a UTF-8 page served
+# or re-saved as Latin-1/cp1252, turning every non-ASCII char into a
+# two-char "Ã©"-style sequence ("não" → "nÃ£o").  Crawled Brazilian
+# legal text is full of these (diario PDFs → HTML round-trips), and a
+# corpus keeps BOTH forms of the same document unless repaired before
+# dedup.  The repair table is pure Unicode arithmetic — for each char
+# c, the mojibake form IS c.encode('utf-8').decode('latin-1') — so the
+# pairs are derived, not hand-typed, and cover the FULL Latin-1
+# repertoire (U+0080–U+00FF): every 2-byte UTF-8 sequence whose bytes
+# are Latin-1-expressible.  One application peels exactly one
+# corruption level; nested (double/triple) mojibake decodes under
+# repeated application (asserted in tests).
+#
+# Ordering is load-bearing: the two patterns whose REPLACEMENT is a
+# lead byte ('Ã\x83'→Ã, 'Ã\x82'→Â) run LAST — otherwise the emitted
+# Ã/Â could concatenate with an already-repaired neighbor and a later
+# pattern would peel a second level mid-pass (e.g. legitimate text
+# "Ã£" singly corrupted must repair to "Ã£", not over-peel to "ã").
+_MOJI_CHARS = [
+    chr(cp) for cp in range(0x80, 0x100) if cp not in (0xC2, 0xC3)
+] + ["Â", "Ã"]
+MOJIBAKE_PAIRS: list[tuple[str, str]] = [
+    (c.encode("utf-8").decode("latin-1"), c) for c in _MOJI_CHARS
+]
+
+
+def fix_mojibake(text: Column) -> Column:
+    """Repair Latin-1-decoded UTF-8 sequences via a chained literal
+    ``replace`` (JVM codegen, zero shuffle; DuckDB's ``replace`` chain
+    is byte-identical), in the fixed ``MOJIBAKE_PAIRS`` order — exact
+    one-level-per-pass semantics (see the table comment)."""
+    out = text
+    for bad, good in MOJIBAKE_PAIRS:
+        out = F.replace(out, F.lit(bad), F.lit(good))
+    return out
+
+
+def mojibake_count(text: Column) -> Column:
+    """Number of mojibake sequences in the text: each repair collapses
+    two chars into one, so the length delta counts occurrences."""
+    return (F.length(text) - F.length(fix_mojibake(text))).cast("bigint")

@@ -555,3 +555,59 @@ def test_percent_normalize_matches_python_twin_on_random_strings(spark):
     }
     for c in cases:
         assert got[c] == twin(c), repr(c)
+
+
+def test_mojibake_roundtrip_full_charset(spark):
+    """Every char in the repair table roundtrips: corrupt via the
+    Unicode identity (utf-8 bytes read as latin-1), repair, compare."""
+    from legislation_scraper_spark.functions.text import (
+        MOJIBAKE_PAIRS,
+        fix_mojibake,
+        mojibake_count,
+    )
+
+    rows = [
+        (i, f"x{good}y", f"x{bad}y")
+        for i, (bad, good) in enumerate(MOJIBAKE_PAIRS)
+    ]
+    df = spark.createDataFrame(rows, "i int, clean string, dirty string")
+    out = df.select(
+        "i",
+        "clean",
+        fix_mojibake(F.col("dirty")).alias("fixed"),
+        mojibake_count(F.col("dirty")).alias("n"),
+    ).collect()
+    for r in out:
+        assert r["fixed"] == r["clean"], r
+        assert r["n"] == 1, r
+
+
+def test_mojibake_double_corruption_two_passes(spark):
+    from legislation_scraper_spark.functions.text import fix_mojibake
+
+    double = "não".encode("utf-8").decode("latin-1")
+    double = double.encode("utf-8").decode("latin-1")  # twice-corrupted
+    df = spark.createDataFrame([(double,)], "t string")
+    once = df.select(fix_mojibake(F.col("t")).alias("f"))
+    assert once.first()["f"] != "não"  # one pass peels one level
+    twice = once.select(fix_mojibake(F.col("f")).alias("f"))
+    assert twice.first()["f"] == "não"
+
+
+def test_mojibake_clean_text_untouched(spark):
+    from legislation_scraper_spark.functions.text import (
+        fix_mojibake,
+        mojibake_count,
+    )
+
+    df = spark.createDataFrame(
+        [("plain ascii",), ("já ação nº 1º §2º coração",)], "t string"
+    )
+    out = df.select(
+        "t",
+        fix_mojibake(F.col("t")).alias("f"),
+        mojibake_count(F.col("t")).alias("n"),
+    ).collect()
+    for r in out:
+        assert r["f"] == r["t"]
+        assert r["n"] == 0
