@@ -5516,10 +5516,42 @@ _MOJI_WORDS = [
     ("table", "parágrafo§"),
 ]
 
+def q_soft404_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-404 classifier (operators/traps.soft404_flags): 200-status
+    pages whose body says "not found" (incl. mojibake-corrupted
+    Portuguese) or is a sub-40-char stub.  Pages synthesized over
+    documents: hard 404s (doc_id%17==3), three soft-404 body shapes
+    (doc_id%11∈{0,1,2}), real text otherwise.  Oracle: same synth +
+    predicate in SQL."""
+    from legislation_scraper_spark.operators.traps import soft404_flags
+
+    d = _t(spark, sf_dir, "documents")
+    status = F.when(F.col("doc_id") % 17 == 3, 404).otherwise(200)
+    body = (
+        F.when(
+            F.col("doc_id") % 11 == 0, F.lit("PÃ¡gina nÃ£o encontrada")
+        )
+        .when(
+            F.col("doc_id") % 11 == 1,
+            F.lit(
+                "Página não encontrada - o documento solicitado"
+                " não existe neste servidor"
+            ),
+        )
+        .when(F.col("doc_id") % 11 == 2, F.lit("ok"))
+        .otherwise(F.col("text"))
+    )
+    pages = d.select(
+        "doc_id", status.alias("status"), body.alias("text")
+    )
+    return soft404_flags(pages).select("doc_id", "status", "soft404")
+
+
 _Q_B5 = {
     "kmeans_clusters": q_kmeans_clusters,
     "fuzzy_title_pairs": q_fuzzy_title_pairs,
     "mojibake_repair": q_mojibake_repair,
+    "soft404_detect": q_soft404_detect,
 }
 _Q.update(_Q_B5)
 
@@ -5600,6 +5632,34 @@ _ORACLE_B5 = {
         SELECT doc_id,
                CAST(length(cor) - length(fix) AS BIGINT) AS n_bad,
                fix = acc AS repaired
+        FROM f
+    """,
+    "soft404_detect": """
+        WITH p AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 17 = 3 THEN 404 ELSE 200 END
+                   AS status,
+                 CASE WHEN doc_id % 11 = 0
+                        THEN 'PÃ¡gina nÃ£o encontrada'
+                      WHEN doc_id % 11 = 1
+                        THEN 'Página não encontrada - o documento'
+                             || ' solicitado não existe neste servidor'
+                      WHEN doc_id % 11 = 2 THEN 'ok'
+                      ELSE text END AS body
+          FROM documents),
+        f AS (
+          SELECT doc_id, status,
+                 replace(replace(body, 'Ã¡', 'á'), 'Ã£', 'ã') AS fixed
+          FROM p)
+        SELECT doc_id, status,
+               (status = 200) AND (
+                 regexp_matches(lower(fixed),
+                   'página não encontrada|pagina nao encontrada'
+                   || '|page not found|404 not found|erro 404'
+                   || '|nenhum registro encontrado|no documents found'
+                   || '|documento não disponível'
+                   || '|the requested url was not found')
+                 OR length(trim(fixed)) < 40) AS soft404
         FROM f
     """,
 }

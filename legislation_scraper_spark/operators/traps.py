@@ -98,3 +98,53 @@ def flag_trap_urls(
         .withColumn("is_trap", F.coalesce("is_trap", F.lit(False)))
         .drop("template")
     )
+
+
+# --- soft-404 detection ----------------------------------------------
+# Phrase patterns a "200 OK but actually missing" page carries.  The
+# "404" token alone is deliberately absent (a legal text citing
+# "Lei 404" must not match); phrases only, plus the tiny-body rule.
+SOFT404_PHRASES = (
+    "página não encontrada",
+    "pagina nao encontrada",
+    "page not found",
+    "404 not found",
+    "erro 404",
+    "nenhum registro encontrado",
+    "no documents found",
+    "documento não disponível",
+    "the requested url was not found",
+)
+
+
+def soft404_flags(
+    pages: DataFrame,
+    status_col: str = "status",
+    text_col: str = "text",
+    min_chars: int = 40,
+    repair_encoding: bool = True,
+) -> DataFrame:
+    """Flag soft 404s: HTTP 200 whose body says (or implies) "not
+    found" — the single biggest source of junk rows in an open crawl,
+    because every downstream tier (extract, dedup, index) treats a 200
+    as content.  Hard 404s are already routed by status; this is the
+    content-layer backstop the reference never needs (its fixed site
+    classes return real listings; an open frontier meets millions of
+    parked/moved pages).
+
+    Signal = phrase match (on the lowercased, optionally
+    mojibake-repaired body — crawled Brazilian pages frequently serve
+    "PÃ¡gina nÃ£o encontrada") OR a sub-``min_chars`` body.  Adds a
+    ``soft404`` boolean; pure in-row codegen, zero shuffle, no Python.
+    """
+    from ..functions.text import fix_mojibake
+
+    body = F.col(text_col)
+    if repair_encoding:
+        body = fix_mojibake(body)
+    low = F.lower(body)
+    pat = "|".join(SOFT404_PHRASES)
+    hit = low.rlike(pat) | (F.length(F.trim(body)) < min_chars)
+    return pages.withColumn(
+        "soft404", (F.col(status_col) == 200) & hit
+    )

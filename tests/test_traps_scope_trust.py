@@ -611,3 +611,31 @@ def test_mojibake_clean_text_untouched(spark):
     for r in out:
         assert r["f"] == r["t"]
         assert r["n"] == 0
+
+
+def test_soft404_flags(spark):
+    from legislation_scraper_spark.operators.traps import soft404_flags
+
+    long_pad = " conteúdo real da norma estadual" * 5
+    rows = [
+        (1, 200, "Página não encontrada" + long_pad),   # phrase hit
+        (2, 200, "PÃ¡gina nÃ£o encontrada" + long_pad),  # mojibake hit
+        (3, 404, "Página não encontrada"),               # hard 404: not soft
+        (4, 200, "A Lei 404 de 1990 dispõe sobre" + long_pad),  # legit
+        (5, 200, "ok"),                                  # stub body
+        (6, 200, ""),                                    # empty body
+    ]
+    df = spark.createDataFrame(rows, "id int, status int, text string")
+    got = {
+        r["id"]: r["soft404"] for r in soft404_flags(df).collect()
+    }
+    assert got == {1: True, 2: True, 3: False, 4: False, 5: True, 6: True}
+
+
+def test_soft404_no_repair_misses_mojibake(spark):
+    from legislation_scraper_spark.operators.traps import soft404_flags
+
+    body = "PÃ¡gina nÃ£o encontrada" + " x" * 40
+    df = spark.createDataFrame([(1, 200, body)], "id int, status int, text string")
+    assert soft404_flags(df, repair_encoding=False).first()["soft404"] is False
+    assert soft404_flags(df).first()["soft404"] is True
