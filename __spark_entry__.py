@@ -5547,11 +5547,58 @@ def q_soft404_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return soft404_flags(pages).select("doc_id", "status", "soft404")
 
 
+def q_date_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Publication-date extraction (functions/dates.extract_date_pt):
+    legal-header bodies are synthesized from orders in the three real
+    formats — "DE 2 DE MARÇO DE 2004" headers (okey%3==0),
+    dd/mm/yyyy mastheads (%3==1), ISO API dates (else), plus dateless
+    text (%7==0) — then parsed back.  Oracle: ground truth by
+    construction (the date each body was built FROM), so any parsing
+    defect mismatches."""
+    from legislation_scraper_spark.functions.dates import (
+        PT_MONTHS,
+        extract_date_pt,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    d = F.dayofmonth("o_orderdate")
+    m = F.month("o_orderdate")
+    y = F.year("o_orderdate")
+    mname = F.element_at(F.array(*[F.lit(n) for n in PT_MONTHS]), m)
+    textual = F.concat(
+        F.lit("LEI Nº "),
+        F.col("o_orderkey").cast("string"),
+        F.lit(", DE "),
+        d.cast("string"),
+        F.lit(" DE "),
+        F.upper(mname),
+        F.lit(" DE "),
+        y.cast("string"),
+    )
+    slashed = F.concat(
+        F.lit("Publicado no DOU em "),
+        F.format_string("%02d/%02d/%04d", d, m, y),
+    )
+    iso = F.concat(
+        F.lit("data: "), F.date_format("o_orderdate", "yyyy-MM-dd")
+    )
+    body = (
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("texto sem data"))
+        .when(F.col("o_orderkey") % 3 == 0, textual)
+        .when(F.col("o_orderkey") % 3 == 1, slashed)
+        .otherwise(iso)
+    )
+    return o.select(
+        "o_orderkey", extract_date_pt(body).alias("pub_date")
+    )
+
+
 _Q_B5 = {
     "kmeans_clusters": q_kmeans_clusters,
     "fuzzy_title_pairs": q_fuzzy_title_pairs,
     "mojibake_repair": q_mojibake_repair,
     "soft404_detect": q_soft404_detect,
+    "date_extract": q_date_extract,
 }
 _Q.update(_Q_B5)
 
@@ -5661,6 +5708,12 @@ _ORACLE_B5 = {
                    || '|the requested url was not found')
                  OR length(trim(fixed)) < 40) AS soft404
         FROM f
+    """,
+    "date_extract": """
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                    ELSE CAST(o_orderdate AS DATE) END AS pub_date
+        FROM orders
     """,
 }
 
