@@ -140,6 +140,11 @@ HEADLINE_EXT = [
     "ann_recall",
     "bpe_merges",
     "bpe_encode",
+    "kmeans_clusters",
+    "fuzzy_title_pairs",
+    "mojibake_repair",
+    "soft404_detect",
+    "date_extract",
 ]
 
 
