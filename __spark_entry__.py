@@ -5593,12 +5593,70 @@ def q_date_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_feed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS/Atom feed source (sources/feed.parse_feed): one feed per
+    source host — RSS 2.0 for even-length host names, Atom for odd —
+    each carrying its documents as items; format-sniffing from_xml
+    parse back to (source, url, title, published) rows.  Oracle:
+    ground truth by construction."""
+    from legislation_scraper_spark.sources.feed import parse_feed
+
+    d = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    url = F.concat(F.lit("http://"), F.col("source"), F.lit("/doc/"), sid)
+    pub = F.concat(
+        F.lit("2024-"),
+        F.lpad((F.col("doc_id") % 12 + 1).cast("string"), 2, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+    )
+    item = F.concat(
+        F.lit("<item><title>Doc "), sid, F.lit("</title><link>"),
+        url, F.lit("</link><pubDate>"), pub,
+        F.lit("</pubDate></item>"),
+    )
+    entry = F.concat(
+        F.lit("<entry><title>Doc "), sid,
+        F.lit('</title><link href="'), url, F.lit('"/><updated>'),
+        pub, F.lit("</updated></entry>"),
+    )
+    feeds = (
+        d.select(
+            "source", item.alias("ri"), entry.alias("ai")
+        )
+        .groupBy("source")
+        .agg(
+            F.concat_ws("", F.collect_list("ri")).alias("ris"),
+            F.concat_ws("", F.collect_list("ai")).alias("ais"),
+        )
+    )
+    xml = F.when(
+        F.length("source") % 2 == 0,
+        F.concat(
+            F.lit('<rss version="2.0"><channel><title>'),
+            F.col("source"), F.lit("</title>"), F.col("ris"),
+            F.lit("</channel></rss>"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit('<feed xmlns="http://www.w3.org/2005/Atom"><title>'),
+            F.col("source"), F.lit("</title>"), F.col("ais"),
+            F.lit("</feed>"),
+        )
+    )
+    return (
+        feeds.select("source", F.explode(parse_feed(xml)).alias("e"))
+        .select("source", "e.url", "e.title", "e.published")
+    )
+
+
 _Q_B5 = {
     "kmeans_clusters": q_kmeans_clusters,
     "fuzzy_title_pairs": q_fuzzy_title_pairs,
     "mojibake_repair": q_mojibake_repair,
     "soft404_detect": q_soft404_detect,
     "date_extract": q_date_extract,
+    "feed_parse": q_feed_parse,
 }
 _Q.update(_Q_B5)
 
@@ -5714,6 +5772,16 @@ _ORACLE_B5 = {
                CASE WHEN o_orderkey % 7 = 0 THEN NULL
                     ELSE CAST(o_orderdate AS DATE) END AS pub_date
         FROM orders
+    """,
+    "feed_parse": """
+        SELECT source,
+               'http://' || source || '/doc/' || CAST(doc_id AS VARCHAR)
+                 AS url,
+               'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+               '2024-' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0')
+               || '-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                 AS published
+        FROM documents
     """,
 }
 

@@ -488,3 +488,58 @@ def test_sitemap_staleness_classification(spark):
         "u1": "stale", "u2": "fresh", "u3": "unseen",
         "u4": "unknown", "u5": "fresh",
     }
+
+
+def test_feed_parse_rss_and_atom(spark):
+    from legislation_scraper_spark.sources.feed import parse_feed
+
+    rss = (
+        '<rss version="2.0"><channel><title>s</title>'
+        "<item><title>A</title><link>http://h/1</link>"
+        "<pubDate>Tue, 10 Jun 2003 04:00:00 GMT</pubDate></item>"
+        "<item><title>B</title><link>http://h/2</link>"
+        "<pubDate>2024-01-02</pubDate></item></channel></rss>"
+    )
+    atom = (
+        '<feed xmlns="http://www.w3.org/2005/Atom"><title>s</title>'
+        '<entry><title>C</title><link href="http://h/3"/>'
+        "<updated>2024-04-05T00:00:00Z</updated></entry></feed>"
+    )
+    df = spark.createDataFrame([(1, rss), (2, atom)], "i int, xml string")
+    out = (
+        df.select("i", F.explode(parse_feed(F.col("xml"))).alias("e"))
+        .select("i", "e.url", "e.title", "e.published")
+        .collect()
+    )
+    got = {(r["i"], r["url"], r["title"], r["published"]) for r in out}
+    assert got == {
+        (1, "http://h/1", "A", "Tue, 10 Jun 2003 04:00:00 GMT"),
+        (1, "http://h/2", "B", "2024-01-02"),
+        (2, "http://h/3", "C", "2024-04-05T00:00:00Z"),
+    }
+
+
+def test_feed_parse_non_feed_is_null(spark):
+    from legislation_scraper_spark.sources.feed import parse_feed
+
+    rows = [
+        (1, "<html><body>not a feed</body></html>"),
+        (2, "totally not xml <<<"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "i int, xml string")
+    out = df.select("i", parse_feed(F.col("xml")).alias("e")).collect()
+    assert all(r["e"] is None for r in out)
+
+
+def test_feed_parse_missing_fields_kept_null(spark):
+    from legislation_scraper_spark.sources.feed import parse_feed
+
+    rss = (
+        '<rss version="2.0"><channel><title>s</title>'
+        "<item><link>http://h/1</link></item></channel></rss>"
+    )
+    df = spark.createDataFrame([(rss,)], "xml string")
+    e = df.select(F.explode(parse_feed(F.col("xml"))).alias("e")).first()["e"]
+    assert e["url"] == "http://h/1"
+    assert e["title"] is None and e["published"] is None
