@@ -5650,6 +5650,52 @@ def q_feed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# (magic-prefix hex, expected format, expected media_type) per
+# doc_id%11 residue; 9/10 are text payloads (html/json)
+_SNIFF_CASES = [
+    ("89504E470D0A1A0A", "png", "image"),
+    ("FFD8FFE0", "jpeg", "image"),
+    ("47494638", "gif", "image"),
+    ("25504446", "pdf", "document"),
+    ("1F8B08", "gzip", "archive"),
+    ("504B0304", "zip", "archive"),
+    ("52494646AABBCCDD57454250", "webp", "image"),
+    ("52494646AABBCCDD57415645", "wav", "audio"),
+    ("0000001866747970", "mp4", "video"),
+]
+
+
+def q_content_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte content-type sniffing over a binary payload column
+    (operators/multimodal.attach_media_meta): 11 payload shapes
+    synthesized from documents — 9 binary magics + html + json bodies
+    — classified without trusting any header.  Oracle: ground truth
+    by construction."""
+    from legislation_scraper_spark.operators.multimodal import (
+        attach_media_meta,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    res = F.col("doc_id") % 11
+    payload = F.when(
+        res == 9,
+        F.encode(F.concat(F.lit("<html><body>"), F.col("text")), "utf-8"),
+    ).when(
+        res == 10,
+        F.encode(F.concat(F.lit('{"text": "'), F.col("text")), "utf-8"),
+    )
+    for i, (magic, _, _) in enumerate(_SNIFF_CASES):
+        payload = payload.when(
+            res == i,
+            F.concat(
+                F.unhex(F.lit(magic)), F.encode(F.col("text"), "utf-8")
+            ),
+        )
+    return attach_media_meta(
+        d.select("doc_id", payload.alias("payload"))
+    ).select("doc_id", "format", "media_type")
+
+
 _Q_B5 = {
     "kmeans_clusters": q_kmeans_clusters,
     "fuzzy_title_pairs": q_fuzzy_title_pairs,
@@ -5657,6 +5703,7 @@ _Q_B5 = {
     "soft404_detect": q_soft404_detect,
     "date_extract": q_date_extract,
     "feed_parse": q_feed_parse,
+    "content_sniff": q_content_sniff,
 }
 _Q.update(_Q_B5)
 
@@ -5781,6 +5828,24 @@ _ORACLE_B5 = {
                '2024-' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0')
                || '-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
                  AS published
+        FROM documents
+    """,
+    "content_sniff": """
+        SELECT doc_id,
+               CASE doc_id % 11
+                 WHEN 0 THEN 'png'  WHEN 1 THEN 'jpeg'
+                 WHEN 2 THEN 'gif'  WHEN 3 THEN 'pdf'
+                 WHEN 4 THEN 'gzip' WHEN 5 THEN 'zip'
+                 WHEN 6 THEN 'webp' WHEN 7 THEN 'wav'
+                 WHEN 8 THEN 'mp4'  WHEN 9 THEN 'html'
+                 ELSE 'json' END AS format,
+               CASE doc_id % 11
+                 WHEN 0 THEN 'image'    WHEN 1 THEN 'image'
+                 WHEN 2 THEN 'image'    WHEN 3 THEN 'document'
+                 WHEN 4 THEN 'archive'  WHEN 5 THEN 'archive'
+                 WHEN 6 THEN 'image'    WHEN 7 THEN 'audio'
+                 WHEN 8 THEN 'video'    WHEN 9 THEN 'document'
+                 ELSE 'document' END AS media_type
         FROM documents
     """,
 }

@@ -35,19 +35,51 @@ MEDIA_META_SCHEMA = (
 
 
 def attach_media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Sniff magic bytes → typed metadata struct (JVM-side, no decode)."""
-    head = F.hex(F.substring(F.col(payload_col), 1, 4))
+    """Sniff magic bytes → typed metadata struct (JVM-side, no decode).
+
+    Covers the formats a mixed crawl actually lands: images
+    (png/jpeg/gif/webp), audio (wav/ogg/mp3), video (mp4/avi),
+    documents (pdf/html/json) and archives (gzip/zip — the WARC and
+    sitemap.xml.gz path).  RIFF containers disambiguate on bytes 9–12
+    (WEBP/AVI /else wav); a server's Content-Type header is NOT
+    trusted at web scale (mislabeled payloads are routine), the bytes
+    are.  Everything is a hex-prefix CASE over ``substring`` — pure
+    codegen, zero shuffle, NULL-safe (NULL payload → unknown)."""
+    head = F.hex(F.substring(F.col(payload_col), 1, 8))
+    riff_tag = F.hex(F.substring(F.col(payload_col), 9, 4))
     fmt = (
         F.when(head.startswith("89504E47"), F.lit("png"))
         .when(head.startswith("FFD8"), F.lit("jpeg"))
-        .when(head.startswith("52494646"), F.lit("wav"))
+        .when(head.startswith("47494638"), F.lit("gif"))
+        .when(head.startswith("25504446"), F.lit("pdf"))
+        .when(head.startswith("1F8B"), F.lit("gzip"))
+        .when(head.startswith("504B0304"), F.lit("zip"))
+        .when(
+            head.startswith("52494646"),
+            F.when(riff_tag == "57454250", F.lit("webp"))
+            .when(riff_tag == "41564920", F.lit("avi"))
+            .otherwise(F.lit("wav")),
+        )
+        .when(head.startswith("4F676753"), F.lit("ogg"))
+        .when(head.startswith("494433"), F.lit("mp3"))
         .when(head.startswith("00000018"), F.lit("mp4"))
+        # ftyp box at offset 4 (size-prefixed mp4 variants)
+        .when(F.hex(F.substring(F.col(payload_col), 5, 4)) == "66747970",
+              F.lit("mp4"))
+        .when(
+            head.startswith("3C21") | head.startswith("3C68")
+            | head.startswith("3C48"),
+            F.lit("html"),
+        )
+        .when(head.startswith("7B"), F.lit("json"))
         .otherwise(F.lit("unknown"))
     )
     mtype = (
-        F.when(fmt.isin("png", "jpeg"), F.lit("image"))
-        .when(fmt == "wav", F.lit("audio"))
-        .when(fmt == "mp4", F.lit("video"))
+        F.when(fmt.isin("png", "jpeg", "gif", "webp"), F.lit("image"))
+        .when(fmt.isin("wav", "ogg", "mp3"), F.lit("audio"))
+        .when(fmt.isin("mp4", "avi"), F.lit("video"))
+        .when(fmt.isin("pdf", "html", "json"), F.lit("document"))
+        .when(fmt.isin("gzip", "zip"), F.lit("archive"))
         .otherwise(F.lit("unknown"))
     )
     return df.withColumn("format", fmt).withColumn("media_type", mtype)
