@@ -145,6 +145,8 @@ HEADLINE_EXT = [
     "mojibake_repair",
     "soft404_detect",
     "date_extract",
+    "feed_parse",
+    "content_sniff",
 ]
 
 
