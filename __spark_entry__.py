@@ -5696,6 +5696,25 @@ def q_content_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "format", "media_type")
 
 
+def q_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized cosine top-3 (operators/similarity.
+    quantized_topk): max-abs symmetric quantization (4× lighter
+    vectors through every exchange), integer dot products, scale-free
+    cosine ranking.  Codes are bit-identical across engines (IEEE
+    max/÷/floor steps), so the oracle is integer-exact — no
+    float-ordering risk.  Queries vec_id < 10, corpus the rest."""
+    from legislation_scraper_spark.operators.similarity import (
+        quantized_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return quantized_topk(
+        emb.filter(F.col("vec_id") < 10),
+        emb.filter(F.col("vec_id") >= 10),
+        k=3,
+    )
+
+
 _Q_B5 = {
     "kmeans_clusters": q_kmeans_clusters,
     "fuzzy_title_pairs": q_fuzzy_title_pairs,
@@ -5704,6 +5723,7 @@ _Q_B5 = {
     "date_extract": q_date_extract,
     "feed_parse": q_feed_parse,
     "content_sniff": q_content_sniff,
+    "quantized_ann": q_quantized_ann,
 }
 _Q.update(_Q_B5)
 
@@ -5847,6 +5867,45 @@ _ORACLE_B5 = {
                  WHEN 8 THEN 'video'    WHEN 9 THEN 'document'
                  ELSE 'document' END AS media_type
         FROM documents
+    """,
+    "quantized_ann": """
+        WITH e AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        qz AS (
+          SELECT vec_id, v,
+                 list_aggregate(list_transform(v, x -> abs(x)), 'max')
+                 / 127.0 AS s
+          FROM e),
+        cz AS (
+          SELECT vec_id,
+                 CASE WHEN s = 0 THEN list_transform(v, x -> 0)
+                      ELSE list_transform(v,
+                             x -> CAST(floor(x / s + 0.5) AS INT))
+                 END AS codes
+          FROM qz),
+        q AS (SELECT vec_id AS qid, codes AS qc FROM cz
+              WHERE vec_id < 10),
+        c AS (SELECT vec_id AS cid, codes AS cc FROM cz
+              WHERE vec_id >= 10),
+        s AS (
+          SELECT qid, cid,
+            CAST(list_aggregate(list_transform(range(1, 65),
+              i -> CAST(qc[i] AS BIGINT) * cc[i]), 'sum') AS DOUBLE)
+              AS num,
+            sqrt(CAST(list_aggregate(list_transform(range(1, 65),
+              i -> CAST(qc[i] AS BIGINT) * qc[i]), 'sum') AS DOUBLE))
+            * sqrt(CAST(list_aggregate(list_transform(range(1, 65),
+              i -> CAST(cc[i] AS BIGINT) * cc[i]), 'sum') AS DOUBLE))
+              AS den
+          FROM q, c)
+        SELECT qid, cid, CAST(rnk AS INT) AS rnk FROM (
+          SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY CASE WHEN den = 0 THEN 0 ELSE num / den END DESC,
+                     cid) AS rnk
+          FROM s)
+        WHERE rnk <= 3
     """,
 }
 

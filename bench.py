@@ -147,6 +147,7 @@ HEADLINE_EXT = [
     "date_extract",
     "feed_parse",
     "content_sniff",
+    "quantized_ann",
 ]
 
 

@@ -245,3 +245,86 @@ def recall_at_k(
             ).alias("recall"),
         )
     )
+
+
+# --- int8 scalar quantization -----------------------------------------
+# At 10^10-vector scale the embedding column dominates shuffle and
+# memory: 64 × float32 = 256 B/vector, while max-abs int8 quantization
+# stores 64 B + one scale — 4× less through every exchange, and the
+# dot product becomes integer arithmetic.  Cosine over quantized
+# vectors is SCALE-FREE (the per-vector scales cancel in the ratio),
+# so ranking needs only the int codes; bit-exact across engines
+# (max/÷/floor(+0.5) are identical IEEE-double steps in Spark and
+# DuckDB, making the oracle integer-exact — no float-ordering risk).
+
+
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Max-abs symmetric int8 codes: scale = max|x|/127, code_i =
+    floor(x_i/scale + 0.5) ∈ [-127, 127] (round-half-up, engine-
+    neutral).  A zero vector gets all-zero codes and scale 0.
+    Returns (id, codes array<int>, scale double); pure in-row
+    codegen."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    maxabs = F.aggregate(
+        v, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x))
+    )
+    scale = maxabs / F.lit(127.0)
+    codes = F.when(scale == 0.0, F.transform(v, lambda x: F.lit(0))).otherwise(
+        F.transform(v, lambda x: F.floor(x / scale + 0.5).cast("int"))
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        codes.alias("codes"),
+        scale.alias("scale"),
+    )
+
+
+def quantized_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force top-k cosine over int8 codes → (qid, cid, rnk).
+
+    The inner loop is an integer dot product (zip_with + aggregate
+    over int codes — JVM codegen); cosine = Σqa·qb /
+    (√Σqa²·√Σqb²), scales cancelled.  Zero-norm rows score 0.
+    Same exhaustive plan shape as ``brute_force_topk`` (the oracle
+    tier); the production path buckets first (``lsh_topk`` /
+    ``ivf_topk``) and swaps its exact rerank for this 4×-lighter
+    arithmetic."""
+    q = quantize_int8(queries, vec_col, id_col).select(
+        F.col("id").alias("qid"),
+        F.col("codes").alias("qc"),
+    )
+    c = quantize_int8(corpus, vec_col, id_col).select(
+        F.col("id").alias("cid"),
+        F.col("codes").alias("cc"),
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, z: acc + z,
+        )
+
+    num = dot(F.col("qc"), F.col("cc")).cast("double")
+    den = F.sqrt(dot(F.col("qc"), F.col("qc")).cast("double")) * F.sqrt(
+        dot(F.col("cc"), F.col("cc")).cast("double")
+    )
+    sim = F.when(den == 0.0, F.lit(0.0)).otherwise(num / den)
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
+    return (
+        q.crossJoin(c)
+        .withColumn("sim", sim)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "cid", F.col("rnk").cast("int").alias("rnk"))
+    )

@@ -326,3 +326,42 @@ def test_ann_recall_matches_oracle(spark):
     from tests.conftest import SF_SMALL, compare_query
 
     compare_query(spark, "ann_recall", SF_SMALL)
+
+
+def test_quantize_int8_codes_bounded_and_zero_safe(spark):
+    rows = [
+        (1, [1.0, -2.0, 0.5, 127.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),
+        (3, [-0.003, 0.001, 0.002, -0.001]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["id"]: r for r in similarity.quantize_int8(df).collect()}
+    for r in out.values():
+        assert all(-127 <= c <= 127 for c in r["codes"])
+    assert out[1]["codes"][3] == 127  # max element hits full scale
+    assert out[2]["codes"] == [0, 0, 0, 0] and out[2]["scale"] == 0.0
+    # tiny magnitudes still spread across the int range
+    assert out[3]["codes"][0] == -127
+
+
+def test_quantized_topk_matches_exact_ranking(spark, emb):
+    """int8 cosine ranking ≈ exact float ranking: recall@5 ≥ 0.9 over
+    the fixture embeddings (64-dim, well-separated)."""
+    q = emb.filter(F.col("vec_id") < 20)
+    c = emb.filter(F.col("vec_id") >= 20)
+    approx = similarity.quantized_topk(q, c, k=5)
+    rec = similarity.recall_at_k(q, c, approx, k=5)
+    mean_rec = rec.agg(F.avg("recall")).first()[0]
+    assert mean_rec >= 0.9, mean_rec
+
+
+def test_quantized_topk_zero_norm_scores_zero(spark):
+    rows = [(0, [1.0, 0.0])]
+    qdf = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cdf = spark.createDataFrame(
+        [(10, [0.0, 0.0]), (11, [1.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = similarity.quantized_topk(qdf, cdf, k=2).collect()
+    ranks = {r["cid"]: r["rnk"] for r in out}
+    assert ranks[11] == 1 and ranks[10] == 2  # zero vector ranks last
