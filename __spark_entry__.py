@@ -5909,6 +5909,361 @@ _ORACLE_B5 = {
     """,
 }
 
+
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style page cleaning (operators/curation.c4_line_filter;
+    Raffel et al. 2020 §2.2): multi-line pages are synthesized per
+    document — three retainable prose lines (one conditional), a menu
+    line, a short line, a javascript line, plus lorem-ipsum
+    (doc_id%13==0) and curly-brace (doc_id%17==5) page killers — then
+    the line-retention + page-kill rules run as one in-row
+    higher-order chain.  Oracle: same synthesis + rules in DuckDB list
+    lambdas."""
+    from legislation_scraper_spark.operators.curation import c4_line_filter
+
+    d = _t(spark, sf_dir, "documents")
+    lid = F.col("doc_id").cast("string")
+    page = F.concat_ws(
+        "\n",
+        F.concat(
+            F.lit("Artigo "), lid,
+            F.lit(" estabelece as normas gerais aplicaveis ao processo."),
+        ),
+        F.concat(
+            F.col("text"), F.lit(" conforme publicado no diario oficial.")
+        ),
+        F.when(
+            F.col("doc_id") % 5 != 0,
+            F.lit(
+                "Esta secao descreve os procedimentos administrativos"
+                " em vigor?"
+            ),
+        ),
+        F.lit("Home | Contato | Sobre"),
+        F.lit("Leia mais."),
+        F.lit("Please enable javascript to view this content properly."),
+        F.when(F.col("doc_id") % 13 == 0, F.lit("lorem ipsum dolor sit amet.")),
+        F.when(F.col("doc_id") % 17 == 5, F.lit("var cfg = { enabled: true };")),
+    )
+    return c4_line_filter(
+        d.select("doc_id", page.alias("text")), id_col="doc_id"
+    )
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document
+    (functions/text.char_entropy): the gibberish/low-information
+    quality signal — in-row codegen over a sorted alphabet so the
+    float fold order is identical in both engines."""
+    from legislation_scraper_spark.functions.text import char_entropy
+
+    d = _t(spark, sf_dir, "documents")
+    chars = F.filter(F.split(F.col("text"), ""), lambda c: c != F.lit(""))
+    return d.select(
+        "doc_id",
+        F.round(char_entropy(F.col("text")), 6).alias("entropy"),
+        F.size(F.array_distinct(chars)).alias("n_alphabet"),
+    )
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle-containment pairs (operators/dedup.
+    containment_pairs; Broder 1997 containment, PPJoin prefix-filter
+    candidates): a 12-word quote excerpt is synthesized for every
+    doc_id%10==7 document (quote bigrams ⊆ source bigrams by
+    construction) and every pair with |S(A)∩S(B)|/|S(A)| ≥ 0.9 within
+    a source block is emitted.  Oracle: brute-force blocked self-join
+    with list_intersect."""
+    from legislation_scraper_spark.operators.dedup import containment_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    quotes = d.filter(F.col("doc_id") % 10 == 7).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.array_join(
+            F.slice(
+                F.filter(
+                    F.split(F.trim("text"), r"\s+"),
+                    lambda w: w != F.lit(""),
+                ),
+                1,
+                12,
+            ),
+            " ",
+        ).alias("text"),
+        "source",
+    )
+    corpus = d.select("doc_id", "text", "source").unionByName(quotes)
+    return containment_pairs(
+        corpus, block_cols=["source"], shingle_n=2, threshold=0.9
+    )
+
+
+def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realized precision/recall of the MinHash-LSH candidate
+    generator vs exact 3-shingle Jaccard ≥ 0.5 ground truth on the
+    duplicated corpus (operators/dedup.lsh_pair_eval) — the dedup
+    analogue of ann_recall, measuring the banding theorem's capture
+    curve on actual data.  Pairs restricted to within-source blocks on
+    both sides (same pair universe)."""
+    from legislation_scraper_spark.operators.dedup import lsh_pair_eval
+
+    c = _dup_corpus(spark, sf_dir)
+    return lsh_pair_eval(
+        c,
+        block_cols=["source"],
+        shingle_n=3,
+        num_hashes=8,
+        bands=4,
+        jaccard_threshold=0.5,
+    )
+
+
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UT1-style blocklist verdicts (operators/traps.
+    blocklist_verdicts): URLs synthesized per document — ads.
+    subdomain for doc_id%5==4, /casino/ path for doc_id%7==2 — gated
+    by a domain blocklist (sources with length%3==0, category 'ads';
+    matched at the REGISTERED domain so subdomain evasion still hits)
+    and a keyword tier ('casino', 'poker'); domain beats pattern.
+    Oracle: ground truth by construction."""
+    from legislation_scraper_spark.operators.traps import blocklist_verdicts
+
+    d = _t(spark, sf_dir, "documents")
+    host = F.concat(
+        F.when(F.col("doc_id") % 5 == 4, F.lit("ads.")).otherwise(
+            F.lit("www.")
+        ),
+        F.col("source"),
+        F.lit(".leg.br"),
+    )
+    path = F.when(F.col("doc_id") % 7 == 2, F.lit("casino/")).otherwise(
+        F.lit("norma/")
+    )
+    url = F.concat(
+        F.lit("https://"), host, F.lit("/"), path,
+        F.col("doc_id").cast("string"),
+    )
+    urls = d.select("doc_id", url.alias("url"))
+    blocked = (
+        d.select("source")
+        .distinct()
+        .filter(F.length("source") % 3 == 0)
+        .select(
+            F.concat(F.col("source"), F.lit(".leg.br")).alias("domain"),
+            F.lit("ads").alias("category"),
+        )
+    )
+    return blocklist_verdicts(urls, blocked, patterns=("casino", "poker"))
+
+
+def q_saturation_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discovery-saturation curve (operators/revisit.saturation_curve):
+    per event_type, new users first seen each day and the cumulative
+    total — the diminishing-returns signal a crawl scheduler reads to
+    throttle exhausted hosts.  One partial-aggregated groupBy + a
+    window over the day-level rollup."""
+    from legislation_scraper_spark.operators.revisit import saturation_curve
+
+    e = _t(spark, sf_dir, "events")
+    return saturation_curve(e, "event_type", "user_id", "ts")
+
+
+_Q_B6 = {
+    "c4_clean": q_c4_clean,
+    "char_entropy": q_char_entropy,
+    "containment_pairs": q_containment_pairs,
+    "minhash_recall": q_minhash_recall,
+    "blocklist_filter": q_blocklist_filter,
+    "saturation_curve": q_saturation_curve,
+}
+_Q.update(_Q_B6)
+
+_ORACLE_B6 = {
+    "c4_clean": r"""
+        WITH pages AS (
+          SELECT doc_id,
+                 concat_ws(chr(10),
+                   'Artigo ' || CAST(doc_id AS VARCHAR)
+                     || ' estabelece as normas gerais aplicaveis'
+                     || ' ao processo.',
+                   text || ' conforme publicado no diario oficial.',
+                   CASE WHEN doc_id % 5 <> 0 THEN
+                     'Esta secao descreve os procedimentos'
+                     || ' administrativos em vigor?' END,
+                   'Home | Contato | Sobre',
+                   'Leia mais.',
+                   'Please enable javascript to view this content'
+                     || ' properly.',
+                   CASE WHEN doc_id % 13 = 0
+                        THEN 'lorem ipsum dolor sit amet.' END,
+                   CASE WHEN doc_id % 17 = 5
+                        THEN 'var cfg = { enabled: true };' END
+                 ) AS page
+          FROM documents),
+        k AS (
+          SELECT doc_id,
+                 list_filter(
+                   list_transform(string_split(page, chr(10)),
+                     l -> trim(regexp_replace(l, '\s+', ' ', 'g'))),
+                   l -> regexp_matches(l, '[.!?"”]$')
+                        AND len(list_filter(string_split(l, ' '),
+                                            w -> w <> '')) >= 5
+                        AND NOT contains(lower(l), 'javascript'))
+                   AS kept_lines,
+                 (contains(lower(page), 'lorem ipsum')
+                  OR contains(page, '{')) AS page_bad
+          FROM pages)
+        SELECT doc_id,
+               (NOT page_bad AND len(kept_lines) >= 3) AS kept,
+               CAST(len(kept_lines) AS INT) AS n_lines_kept,
+               CASE WHEN NOT page_bad AND len(kept_lines) >= 3
+                    THEN array_to_string(kept_lines, chr(10))
+               END AS clean_text
+        FROM k
+    """,
+    "char_entropy": r"""
+        WITH c AS (
+          SELECT doc_id,
+                 list_transform(range(1, len(text) + 1),
+                                i -> substring(text, CAST(i AS INT), 1))
+                   AS chars
+          FROM documents),
+        a AS (SELECT doc_id, chars,
+                     list_sort(list_distinct(chars)) AS alpha
+              FROM c)
+        SELECT doc_id,
+               ROUND(COALESCE(ABS(list_aggregate(list_transform(alpha,
+                 ch -> (CAST(len(list_filter(chars, x -> x = ch))
+                             AS DOUBLE) / len(chars))
+                       * log2(CAST(len(list_filter(chars, x -> x = ch))
+                                   AS DOUBLE) / len(chars))),
+                 'sum')), 0.0), 6) AS entropy,
+               CAST(len(alpha) AS INT) AS n_alphabet
+        FROM a
+    """,
+    "containment_pairs": r"""
+        WITH corpus AS (
+          SELECT doc_id, text, source FROM documents
+          UNION ALL
+          SELECT doc_id + 3000000,
+                 array_to_string(list_slice(
+                   list_filter(regexp_split_to_array(trim(text), '\s+'),
+                               x -> x <> ''), 1, 12), ' '),
+                 source
+          FROM documents WHERE doc_id % 10 = 7),
+        tok AS (
+          SELECT doc_id, source,
+                 list_distinct(list_transform(range(1, len(w)),
+                   i -> array_to_string(list_slice(w, i, i + 1), ' ')))
+                   AS shs
+          FROM (SELECT doc_id, source,
+                  list_filter(regexp_split_to_array(trim(text), '\s+'),
+                              x -> x <> '') AS w
+                FROM corpus)
+          WHERE len(w) >= 2)
+        SELECT a_id, b_id, ROUND(raw, 6) AS containment FROM (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                 CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+                   / len(a.shs) AS raw
+          FROM tok a JOIN tok b
+            ON a.source = b.source AND a.doc_id <> b.doc_id)
+        WHERE raw >= 0.9
+    """,
+    "minhash_recall": _CORPUS_SQL
+    + r"""
+        , tok AS (SELECT doc_id, source,
+                    list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                x -> x <> '') AS w
+                  FROM corpus),
+        shr AS (SELECT doc_id, source,
+                  list_transform(range(1, len(w) - 1),
+                    i -> array_to_string(list_slice(w, i, i + 2), ' '))
+                    AS sh
+                FROM tok WHERE len(w) >= 3),
+        truth AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM (SELECT doc_id, source, list_distinct(sh) AS shs FROM shr) a
+          JOIN (SELECT doc_id, source, list_distinct(sh) AS shs FROM shr) b
+            ON a.source = b.source AND a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+                / (len(a.shs) + len(b.shs)
+                   - len(list_intersect(a.shs, b.shs))) >= 0.5),
+        dg AS (SELECT doc_id, source,
+                 list_transform(sh,
+                   x -> md5(x || ':0') || md5(x || ':1')) AS ds
+               FROM shr WHERE len(sh) > 0),
+        sig AS (SELECT doc_id, source,
+                 list_aggregate(list_transform(ds,
+                   d -> substring(d, 1, 8)), 'min') AS m0,
+                 list_aggregate(list_transform(ds,
+                   d -> substring(d, 9, 8)), 'min') AS m1,
+                 list_aggregate(list_transform(ds,
+                   d -> substring(d, 17, 8)), 'min') AS m2,
+                 list_aggregate(list_transform(ds,
+                   d -> substring(d, 25, 8)), 'min') AS m3,
+                 list_aggregate(list_transform(ds,
+                   d -> substring(d, 33, 8)), 'min') AS m4,
+                 list_aggregate(list_transform(ds,
+                   d -> substring(d, 41, 8)), 'min') AS m5,
+                 list_aggregate(list_transform(ds,
+                   d -> substring(d, 49, 8)), 'min') AS m6,
+                 list_aggregate(list_transform(ds,
+                   d -> substring(d, 57, 8)), 'min') AS m7
+                FROM dg),
+        bands AS (SELECT doc_id, source,
+                    unnest(['0#' || md5(m0 || '|' || m1),
+                            '1#' || md5(m2 || '|' || m3),
+                            '2#' || md5(m4 || '|' || m5),
+                            '3#' || md5(m6 || '|' || m7)]) AS bk
+                  FROM sig),
+        cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                 FROM bands a JOIN bands b
+                   ON a.bk = b.bk AND a.source = b.source
+                      AND a.doc_id < b.doc_id),
+        stats AS (SELECT
+          (SELECT COUNT(*) FROM truth) AS n_true,
+          (SELECT COUNT(*) FROM cand) AS n_cand,
+          (SELECT COUNT(*) FROM truth t JOIN cand c
+             ON t.a_id = c.a_id AND t.b_id = c.b_id) AS n_hit)
+        SELECT n_true, n_cand, n_hit,
+               ROUND(CASE WHEN n_cand > 0
+                          THEN CAST(n_hit AS DOUBLE) / n_cand
+                          ELSE 0.0 END, 6) AS precision,
+               ROUND(CASE WHEN n_true > 0
+                          THEN CAST(n_hit AS DOUBLE) / n_true
+                          ELSE 0.0 END, 6) AS recall
+        FROM stats
+    """,
+    "blocklist_filter": r"""
+        SELECT doc_id,
+               'https://' || CASE WHEN doc_id % 5 = 4 THEN 'ads.'
+                                  ELSE 'www.' END
+                 || source || '.leg.br/'
+                 || CASE WHEN doc_id % 7 = 2 THEN 'casino/'
+                         ELSE 'norma/' END
+                 || CAST(doc_id AS VARCHAR) AS url,
+               (length(source) % 3 = 0 OR doc_id % 7 = 2) AS blocked,
+               CASE WHEN length(source) % 3 = 0 THEN 'domain:ads'
+                    WHEN doc_id % 7 = 2 THEN 'pattern:casino'
+               END AS reason
+        FROM documents
+    """,
+    "saturation_curve": """
+        WITH first AS (
+          SELECT event_type AS key, user_id,
+                 MIN(CAST(ts AS DATE)) AS day
+          FROM events GROUP BY event_type, user_id),
+        daily AS (
+          SELECT key, day, COUNT(*) AS new_entities
+          FROM first GROUP BY key, day)
+        SELECT key, day, new_entities,
+               SUM(new_entities) OVER (
+                 PARTITION BY key ORDER BY day
+                 ROWS UNBOUNDED PRECEDING) AS cum_entities
+        FROM daily
+    """,
+}
+
 # --- driver-attestation ordering -------------------------------------
 # The correctness driver samples the FIRST 50 registry entries in
 # iteration order (verified: CORRECTNESS_r03's 50 keys == the first 50
@@ -6165,6 +6520,7 @@ _ORACLE.update(_ORACLE_B2)
 _ORACLE.update(_ORACLE_B3)
 _ORACLE.update(_ORACLE_B4)
 _ORACLE.update(_ORACLE_B5)
+_ORACLE.update(_ORACLE_B6)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -148,6 +148,12 @@ HEADLINE_EXT = [
     "feed_parse",
     "content_sniff",
     "quantized_ann",
+    "c4_clean",
+    "char_entropy",
+    "containment_pairs",
+    "minhash_recall",
+    "blocklist_filter",
+    "saturation_curve",
 ]
 
 

@@ -596,3 +596,40 @@ def mojibake_count(text: Column) -> Column:
     """Number of mojibake sequences in the text: each repair collapses
     two chars into one, so the length delta counts occurrences."""
     return (F.length(text) - F.length(fix_mojibake(text))).cast("bigint")
+
+
+def char_entropy(text: Column) -> Column:
+    """Shannon entropy (bits/char) of the character distribution — the
+    gibberish / low-information detector of web-corpus quality ladders
+    (binary-junk and keyboard-mash pages sit far from prose entropy;
+    cf. the RefinedWeb/MassiveText repetition+entropy filters).
+
+    Pure in-row codegen: char split → sorted distinct alphabet →
+    per-symbol count fold → −Σ p·log2(p).  Cost is O(|alphabet|·len)
+    per row with no allocation beyond the two arrays; zero shuffle,
+    zero Python.  The alphabet is ``array_sort``-ed so the summation
+    order is deterministic and IDENTICAL in the DuckDB oracle (float
+    sums are order-sensitive; sorting makes the fold bit-reproducible
+    across engines).  Empty/single-symbol text → 0.0.
+    """
+    return let(
+        F.filter(F.split(text, ""), lambda c: c != F.lit("")),
+        lambda chars: let(
+            F.array_sort(F.array_distinct(chars)),
+            # abs ≡ negation here (every p·log2 p term is ≤ 0) and maps
+            # the all-one-symbol −0.0 to a clean +0.0 in both engines
+            lambda alpha: F.coalesce(
+                F.abs(F.aggregate(
+                    alpha,
+                    F.lit(0.0),
+                    lambda acc, c: acc
+                    + let(
+                        F.size(F.filter(chars, lambda x: x == c))
+                        / F.size(chars),
+                        lambda p: p * F.log2(p),
+                    ),
+                )),
+                F.lit(0.0),
+            ),
+        ),
+    )

@@ -1015,3 +1015,81 @@ def perplexity_buckets(
         .join(F.broadcast(tiers), ["lang", "s3"])
         .select("id", "lang", "n_words", "mean_logprob", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# C4-style line-level page cleaning (Raffel et al. 2020, JMLR 21 §2.2)
+# ---------------------------------------------------------------------------
+
+#: a retained line must end in a terminal punctuation mark (period,
+#: exclamation, question mark, or closing quotation mark) — C4 rule 1
+C4_TERMINAL_RE = '[.!?"”]$'
+#: minimum words for a line to be retained — C4 rule ("at least 5 words")
+C4_MIN_WORDS_PER_LINE = 5
+#: minimum retained lines for the page to survive (C4 drops pages with
+#: fewer than 3 sentences; retained-line count is the deterministic
+#: cross-engine proxy for the paper's nltk sentence count)
+C4_MIN_LINES = 3
+#: page-level kill markers — C4 drops pages containing curly braces
+#: (code) or the lorem-ipsum placeholder; the paper's "bad words" list
+#: is descoped (no vendored list in this environment)
+C4_PAGE_KILL = ("lorem ipsum", "{")
+
+
+def c4_line_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4 cleaning pass: line-level retention rules plus page-level
+    kill rules, exactly the heuristics of Raffel et al. 2020 §2.2
+    (the C4 corpus build) restated as a deterministic cross-engine
+    spec.  Per page: split on newlines, whitespace-normalize each
+    line, retain lines that (a) end in terminal punctuation, (b) have
+    ≥ 5 words, (c) do not contain the word "javascript"
+    (case-insensitive); drop the whole page when it mentions
+    "lorem ipsum" or contains ``{``, or when fewer than 3 lines
+    survive.
+
+    Returns ``(id_col, kept, n_lines_kept, clean_text)`` —
+    ``clean_text`` is the retained lines re-joined with newlines, NULL
+    for dropped pages.
+
+    Scale/plan: the whole pass is ONE in-row higher-order chain
+    (``split`` → ``transform`` → ``filter`` → ``array_join``) — zero
+    shuffle, zero Python, fuses into the scan that feeds it.  At
+    100 TB this is a map-only stage whose cost is the scan itself.
+    The regex lives in the Java∩RE2 dialect so the DuckDB oracle runs
+    the same pattern.
+    """
+    text = F.col(text_col)
+
+    def keep_line(line):
+        ws = F.filter(F.split(line, " "), lambda w: w != F.lit(""))
+        return (
+            F.regexp_like(line, F.lit(C4_TERMINAL_RE))
+            & (F.size(ws) >= C4_MIN_WORDS_PER_LINE)
+            & ~F.contains(F.lower(line), F.lit("javascript"))
+        )
+
+    lines = F.transform(
+        F.split(text, "\n"),
+        lambda l: F.trim(F.regexp_replace(l, r"\s+", " ")),
+    )
+    page_bad = F.contains(F.lower(text), F.lit(C4_PAGE_KILL[0])) | F.contains(
+        text, F.lit(C4_PAGE_KILL[1])
+    )
+    bound = let(
+        F.filter(lines, keep_line),
+        lambda kept: F.struct(
+            (~page_bad & (F.size(kept) >= C4_MIN_LINES)).alias("kept"),
+            F.size(kept).alias("n_lines_kept"),
+            F.when(
+                ~page_bad & (F.size(kept) >= C4_MIN_LINES),
+                F.array_join(kept, "\n"),
+            ).alias("clean_text"),
+        ),
+    )
+    return df.select(F.col(id_col), bound.alias("_c4")).select(
+        id_col, "_c4.kept", "_c4.n_lines_kept", "_c4.clean_text"
+    )

@@ -764,3 +764,202 @@ def host_overlap_pairs(
         )
         .agg(F.count("*").cast("bigint").alias("shared"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric shingle containment (quote / near-inclusion detection)
+# ---------------------------------------------------------------------------
+
+
+def containment_pairs(
+    df: DataFrame,
+    block_cols: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 2,
+    threshold: float = 0.9,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Directional containment pairs: emit ``(a_id, b_id, containment)``
+    whenever |S(A) ∩ S(B)| / |S(A)| ≥ threshold over distinct
+    ``shingle_n``-word shingles — A is (near-)INCLUDED in B.  The
+    asymmetric cousin of Jaccard: a short quote, syndicated excerpt, or
+    page embedded in a larger template scores ~1.0 here while its
+    Jaccard stays low, so this is the quote/inclusion detector of
+    web-corpus provenance pipelines (cf. Broder 1997's resemblance vs
+    containment split).
+
+    Candidate generation is SSJoin/PPJoin prefix filtering (Chaudhuri
+    2006; Xiao 2008): each doc's shingle set is canonically sorted and
+    only its PREFIX of ⌊(1−t)·|A|⌋+1 shingles is exploded into the
+    probe side — if A⊆~B shares ≥⌈t|A|⌉ shingles with B, at least one
+    lies in that prefix, so no qualifying pair is missed (classic
+    pigeonhole).  The index side carries all shingles.  Ordering is
+    lexicographic over the shingle strings rather than
+    ascending-document-frequency: correctness is order-independent
+    (any fixed total order works for the pigeonhole), df-order only
+    tightens pruning; lexicographic keeps the op one-pass with no df
+    precomputation.
+
+    Plan shape at 100 TB: one explode+equi-join on (block, shingle) —
+    the probe side is the small prefix fraction of the corpus — then
+    one distinct and two id-equi-joins back to the (localCheckpoint'd)
+    shingle-set table for the exact ``array_intersect`` verify.
+    Blocking keys bound the join fan-out exactly as in
+    :func:`ngram_jaccard_pairs`; a stopword-shingle hot key is shared
+    template text, which blocking plus AQE skew-split absorbs.
+    """
+    tok = df.select(
+        *block_cols,
+        F.col(id_col).alias("id"),
+        F.array_sort(
+            F.array_distinct(T.word_shingles(F.col(text_col), shingle_n))
+        ).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    if checkpoint:
+        tok = tok.localCheckpoint(eager=False)
+    # prefix length |A| − ⌈t·|A|⌉ + 1  (≥1 always)
+    plen = (
+        F.size("sh") - F.ceil(F.lit(threshold) * F.size("sh")).cast("int") + 1
+    )
+    probe = tok.select(
+        *block_cols,
+        F.col("id").alias("a_id"),
+        F.explode(F.slice("sh", 1, plen)).alias("s"),
+    )
+    index = tok.select(
+        *block_cols,
+        F.col("id").alias("b_id"),
+        F.explode("sh").alias("s"),
+    )
+    cand = (
+        probe.join(index, [*block_cols, "s"])
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select(*block_cols, "a_id", "b_id")
+        .distinct()
+    )
+    a = tok.select(*block_cols, F.col("id").alias("a_id"), F.col("sh").alias("a_sh"))
+    b = tok.select(*block_cols, F.col("id").alias("b_id"), F.col("sh").alias("b_sh"))
+    return (
+        cand.join(a, [*block_cols, "a_id"])
+        .join(b, [*block_cols, "b_id"])
+        .select(
+            "a_id",
+            "b_id",
+            (
+                F.size(F.array_intersect("a_sh", "b_sh")) / F.size("a_sh")
+            ).alias("_raw"),
+        )
+        # threshold on the RAW ratio (rounding first could pull a
+        # sub-threshold pair over the bar), round only for output
+        .filter(F.col("_raw") >= threshold)
+        .select("a_id", "b_id", F.round("_raw", 6).alias("containment"))
+    )
+
+
+def lsh_pair_eval(
+    df: DataFrame,
+    block_cols: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Precision/recall of the MinHash-LSH candidate generator against
+    exact shingle-set Jaccard ground truth — the dedup-tuning
+    measurement (the banding theorem gives the EXPECTED capture curve
+    s^(1/bands); this measures the realized one on actual data, the
+    same role :func:`~..operators.similarity.recall_at_k` plays for
+    ANN).  Returns ONE row: ``(n_true, n_cand, n_hit, precision,
+    recall)``.
+
+    Ground truth is a brute-force within-block self-join (quadratic
+    per block) — this is an EVAL-tier operator like brute-force ANN:
+    run it on a sampled block, not the corpus.  Candidates come from
+    the production generator (:func:`minhash_lsh_pairs`, uncapped so
+    the measurement sees the generator itself, not the cap) and are
+    restricted to within-block pairs so both sides range over the same
+    pair universe.  Precision/recall of an empty denominator is 0.
+    """
+    sh = df.select(
+        *block_cols,
+        F.col(id_col).alias("id"),
+        F.array_sort(
+            F.array_distinct(T.word_shingles(F.col(text_col), shingle_n))
+        ).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    sh = sh.localCheckpoint(eager=False)
+    a = sh.select(
+        *block_cols, F.col("id").alias("a_id"), F.col("sh").alias("a_sh")
+    )
+    b = sh.select(
+        *block_cols, F.col("id").alias("b_id"), F.col("sh").alias("b_sh")
+    )
+    truth = (
+        a.join(b, block_cols)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            (
+                F.size(F.array_intersect("a_sh", "b_sh"))
+                / (
+                    F.size("a_sh")
+                    + F.size("b_sh")
+                    - F.size(F.array_intersect("a_sh", "b_sh"))
+                )
+            ).alias("j"),
+        )
+        .filter(F.col("j") >= jaccard_threshold)
+        .select("a_id", "b_id")
+    )
+    ids = sh.select(*block_cols, F.col("id"))
+    cand = (
+        minhash_lsh_pairs(
+            df,
+            text_col=text_col,
+            id_col=id_col,
+            shingle_n=shingle_n,
+            num_hashes=num_hashes,
+            bands=bands,
+            max_bucket=1 << 31,
+        )
+        .join(ids.select(*block_cols, F.col("id").alias("a_id")), "a_id")
+        .join(
+            ids.select(
+                *[F.col(c).alias(f"_b_{c}") for c in block_cols],
+                F.col("id").alias("b_id"),
+            ),
+            "b_id",
+        )
+    )
+    # same-block restriction (conjunction over block cols)
+    for c in block_cols:
+        cand = cand.filter(F.col(c) == F.col(f"_b_{c}"))
+    cand = cand.select("a_id", "b_id")
+    joined = truth.withColumn("t", F.lit(1)).join(
+        cand.withColumn("c", F.lit(1)), ["a_id", "b_id"], "full_outer"
+    )
+    return joined.agg(
+        F.count("t").alias("n_true"),
+        F.count("c").alias("n_cand"),
+        F.count(F.when(F.col("t").isNotNull() & F.col("c").isNotNull(), 1)).alias(
+            "n_hit"
+        ),
+    ).select(
+        "n_true",
+        "n_cand",
+        "n_hit",
+        F.round(
+            F.when(F.col("n_cand") > 0, F.col("n_hit") / F.col("n_cand"))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("precision"),
+        F.round(
+            F.when(F.col("n_true") > 0, F.col("n_hit") / F.col("n_true"))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("recall"),
+    )

@@ -32,7 +32,7 @@ Spark-first & scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 SECS_PER_DAY = 86400
@@ -148,4 +148,41 @@ def snapshot_diff(
         .when(F.col("old_digest") == F.col("new_digest"), F.lit("unchanged"))
         .otherwise(F.lit("changed"))
         .alias("change"),
+    )
+
+
+def saturation_curve(
+    df: DataFrame,
+    key_col: str,
+    entity_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Discovery-saturation curve: per key, the count of NEW entities
+    first seen each day and the cumulative total — the
+    diminishing-returns signal a crawl scheduler reads to throttle
+    exhausted hosts (new-URL yield per crawl day flattening ⇒ the
+    host's reachable set is saturated; cf. the frontier-yield plots in
+    the IRLbot and ClueWeb crawl reports) and a budget input to
+    :func:`~.politeness.allocate_budgets`.
+
+    Plan: first-seen day per (key, entity) is ONE partial-aggregated
+    groupBy (min over the date — entities pre-combine map-side);
+    per-day counts ride the same exchange's second agg, and the
+    cumulative sum is a per-key window over the DAY-level rollup —
+    O(days) rows per key, never O(events), so the window sort is over
+    a tiny frame even for a 10^10-event log.
+    """
+    first = df.groupBy(
+        F.col(key_col).alias("key"), F.col(entity_col).alias("entity")
+    ).agg(F.min(F.to_date(F.col(ts_col))).alias("day"))
+    daily = first.groupBy("key", "day").agg(
+        F.count("*").alias("new_entities")
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.withColumn(
+        "cum_entities", F.sum("new_entities").over(w)
     )

@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.urls import url_host, url_template
+from ..functions.urls import registered_domain, url_host, url_template
 
 
 def template_stats(
@@ -147,4 +147,70 @@ def soft404_flags(
     hit = low.rlike(pat) | (F.length(F.trim(body)) < min_chars)
     return pages.withColumn(
         "soft404", (F.col(status_col) == 200) & hit
+    )
+
+
+def blocklist_verdicts(
+    urls: DataFrame,
+    blocked_domains: DataFrame,
+    patterns: tuple[str, ...],
+    url_col: str = "url",
+) -> DataFrame:
+    """UT1/URLhaus-style blocklist filtering — the policy tier of a
+    web-corpus URL pipeline (RefinedWeb §3.1 and FineWeb both gate the
+    frontier on the UT1 category lists before any fetch).  Two tiers:
+
+    1. **domain tier** — the URL's registered (pay-level) domain is
+       looked up in ``blocked_domains(domain, category)``; a hit marks
+       the URL ``blocked`` with reason ``domain:<category>``.  Matching
+       at the REGISTERED domain absorbs subdomain evasion
+       (``a.b.bad.com`` still hits ``bad.com``), which host-exact lists
+       miss.
+    2. **pattern tier** — the first of ``patterns`` found in the
+       lowercased URL marks it ``pattern:<keyword>`` (UT1 ships keyword
+       lists beside domain lists for exactly the URLs whose domain is
+       clean but whose path is not).
+
+    Domain beats pattern when both hit (the domain lists are curated;
+    keywords are heuristic).  Clean URLs pass through with
+    ``blocked = false, reason = NULL``.
+
+    Scale/plan: the blocklist is config-sized (UT1's adult list, the
+    largest, is ~4M rows ≈ tens of MB) → ``F.broadcast`` hash join, no
+    shuffle of the URL table; the keyword tier is an in-row
+    ``filter`` over a literal array — pure codegen.  One map-side
+    stage end to end.
+    """
+    host = F.lower(
+        F.regexp_extract(F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1)
+    )
+    pat_arr = F.array(*[F.lit(p) for p in patterns])
+    # F.get (not element_at): NULL on empty match list under ANSI mode
+    pat_hit = F.get(
+        F.filter(
+            pat_arr, lambda p: F.contains(F.lower(F.col(url_col)), p)
+        ),
+        0,
+    )
+    dom = blocked_domains.select(
+        F.col("domain").alias("_bl_domain"),
+        F.col("category").alias("_bl_category"),
+    )
+    out = urls.withColumn(
+        "_reg_domain", registered_domain(host)
+    ).join(
+        F.broadcast(dom),
+        F.col("_reg_domain") == F.col("_bl_domain"),
+        "left",
+    )
+    reason = F.when(
+        F.col("_bl_category").isNotNull(),
+        F.concat(F.lit("domain:"), F.col("_bl_category")),
+    ).when(
+        pat_hit.isNotNull(), F.concat(F.lit("pattern:"), pat_hit)
+    )
+    return (
+        out.withColumn("blocked", reason.isNotNull())
+        .withColumn("reason", reason)
+        .drop("_reg_domain", "_bl_domain", "_bl_category")
     )
