@@ -6068,7 +6068,75 @@ def q_saturation_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return saturation_curve(e, "event_type", "user_id", "ts")
 
 
+def q_revalidation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTP conditional-revalidation recrawl tier (operators/fetch.
+    revalidation_plan + revalidation_outcomes; RFC 9110 §13): prior
+    crawl records exist for doc_id%3!=1 (ETag for even ids,
+    Last-Modified for doc_id%5<3, content digest always); the live web
+    changed doc_id%4==0.  Conditional requests whose validators still
+    match earn 304 with zero fetched bytes.  Oracle: ground truth by
+    construction."""
+    from legislation_scraper_spark.operators.fetch import (
+        revalidation_outcomes,
+        revalidation_plan,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://www."), F.col("source"), F.lit(".leg.br/norma/"),
+        F.col("doc_id").cast("string"),
+    )
+    cand = d.select("doc_id", url.alias("url"))
+    prior = d.filter(F.col("doc_id") % 3 != 1).select(
+        url.alias("url"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit('"'), F.md5(F.encode("text", "utf-8")), F.lit('"')),
+        ).alias("etag"),
+        F.when(
+            F.col("doc_id") % 5 < 3, F.lit("Mon, 01 Jan 2024 00:00:00 GMT")
+        ).alias("last_modified"),
+        F.md5(F.encode("text", "utf-8")).alias("digest"),
+    )
+    live = d.select(
+        url.alias("url"),
+        F.when(
+            F.col("doc_id") % 4 != 0, F.md5(F.encode("text", "utf-8"))
+        ).otherwise(
+            F.md5(F.encode(F.concat(F.col("text"), F.lit("v2")), "utf-8"))
+        ).alias("digest"),
+        F.col("n_chars").alias("size_bytes"),
+    )
+    out = revalidation_outcomes(revalidation_plan(cand, prior), live)
+    return out.select(
+        "doc_id", "mode", "status", "fetched_bytes", "saved_bytes"
+    )
+
+
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning (tables.compaction_plan — the
+    Iceberg rewrite_data_files binpack analogue): one synthetic data
+    file per document (size = n_chars×100, partition = source) packed
+    into ~200 KB rewrite groups by the deterministic
+    size-desc running-sum rule.  Oracle: the same window SQL."""
+    from legislation_scraper_spark.tables import compaction_plan
+
+    d = _t(spark, sf_dir, "documents")
+    files = d.select(
+        F.col("source").alias("partition"),
+        F.concat(
+            F.lit("part-"),
+            F.lpad(F.col("doc_id").cast("string"), 6, "0"),
+            F.lit(".parquet"),
+        ).alias("path"),
+        (F.col("n_chars") * 100).cast("bigint").alias("size_bytes"),
+    )
+    return compaction_plan(files, target_bytes=200_000)
+
+
 _Q_B6 = {
+    "revalidation": q_revalidation,
+    "compaction_plan": q_compaction_plan,
     "c4_clean": q_c4_clean,
     "char_entropy": q_char_entropy,
     "containment_pairs": q_containment_pairs,
@@ -6079,6 +6147,40 @@ _Q_B6 = {
 _Q.update(_Q_B6)
 
 _ORACLE_B6 = {
+    "revalidation": """
+        SELECT doc_id,
+               CASE WHEN (doc_id % 3 <> 1)
+                     AND (doc_id % 2 = 0 OR doc_id % 5 < 3)
+                    THEN 'conditional' ELSE 'full' END AS mode,
+               CASE WHEN (doc_id % 3 <> 1)
+                     AND (doc_id % 2 = 0 OR doc_id % 5 < 3)
+                     AND (doc_id % 4 <> 0)
+                    THEN 304 ELSE 200 END AS status,
+               CAST(CASE WHEN (doc_id % 3 <> 1)
+                          AND (doc_id % 2 = 0 OR doc_id % 5 < 3)
+                          AND (doc_id % 4 <> 0)
+                         THEN 0 ELSE n_chars END AS BIGINT)
+                 AS fetched_bytes,
+               CAST(CASE WHEN (doc_id % 3 <> 1)
+                          AND (doc_id % 2 = 0 OR doc_id % 5 < 3)
+                          AND (doc_id % 4 <> 0)
+                         THEN n_chars ELSE 0 END AS BIGINT)
+                 AS saved_bytes
+        FROM documents
+    """,
+    "compaction_plan": """
+        SELECT partition, path, size_bytes,
+               CAST(floor(COALESCE(SUM(size_bytes) OVER (
+                      PARTITION BY partition
+                      ORDER BY size_bytes DESC, path
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) / 200000) AS INT) AS group_id
+        FROM (SELECT source AS partition,
+                     'part-' || lpad(CAST(doc_id AS VARCHAR), 6, '0')
+                       || '.parquet' AS path,
+                     CAST(n_chars * 100 AS BIGINT) AS size_bytes
+              FROM documents)
+    """,
     "c4_clean": r"""
         WITH pages AS (
           SELECT doc_id,

@@ -154,6 +154,8 @@ HEADLINE_EXT = [
     "minhash_recall",
     "blocklist_filter",
     "saturation_curve",
+    "revalidation",
+    "compaction_plan",
 ]
 
 

@@ -206,3 +206,102 @@ def fetch(
     if transport == "python":
         return simulate_transport(resolved, policy or FetchPolicy())
     return transport_columns(resolved, policy or FetchPolicy())
+
+
+# ---------------------------------------------------------------------------
+# HTTP conditional revalidation (RFC 9110 §13): ETag / If-Modified-Since
+# ---------------------------------------------------------------------------
+
+
+def revalidation_plan(
+    candidates: DataFrame,
+    prior: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Recrawl fetch planning with cache validators: join this round's
+    candidates to the PRIOR crawl's per-URL record ``(url, etag,
+    last_modified, digest)`` and decide the request shape — a
+    CONDITIONAL request (``If-None-Match`` from the stored ETag,
+    ``If-Modified-Since`` from the stored date) when any validator
+    exists, a full GET otherwise.  This is the recrawl-bandwidth tier
+    the reference scraper never needed (it refetches everything,
+    /root/reference/src/scraper/base/scraper.py has no validator
+    handling) but a 10^10-URL incremental crawl lives on: Common Crawl
+    reports ~30–50% 304 rates on monthly recrawls, which is fetch
+    bytes that never leave the origin.
+
+    Returns candidates + ``(mode, if_none_match, if_modified_since,
+    prior_digest)``; mode ∈ {'conditional', 'full'}.
+
+    Scale/plan: ONE equi-join on the URL key — both sides bucketable
+    by url hash, so on a bucketed crawl log this is a co-located join
+    with no shuffle of the candidate table; validators are metadata
+    columns (bytes never move).
+    """
+    p = prior.select(
+        F.col(url_col).alias("_rv_url"),
+        F.col("etag").alias("if_none_match"),
+        F.col("last_modified").alias("if_modified_since"),
+        F.col("digest").alias("prior_digest"),
+    )
+    j = candidates.join(
+        p, candidates[url_col] == p["_rv_url"], "left"
+    ).drop("_rv_url")
+    return j.withColumn(
+        "mode",
+        F.when(
+            F.col("if_none_match").isNotNull()
+            | F.col("if_modified_since").isNotNull(),
+            F.lit("conditional"),
+        ).otherwise(F.lit("full")),
+    )
+
+
+def revalidation_outcomes(
+    plan: DataFrame,
+    live: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Apply origin behavior to a revalidation plan: join the planned
+    requests to the live web's current ``(url, digest, size_bytes)``
+    and emit the response each request shape earns — ``304`` (zero
+    body bytes) when a conditional request's stored validator still
+    matches the live content, ``200`` with the full body otherwise.
+    Output adds ``(status, fetched_bytes, saved_bytes)`` — the
+    recrawl-efficiency ledger (Σ saved_bytes is the bandwidth the
+    validator tier bought).
+
+    Same scale shape as :func:`revalidation_plan`: one URL-key
+    equi-join of metadata columns.
+    """
+    lv = live.select(
+        F.col(url_col).alias("_rv_url"),
+        F.col("digest").alias("live_digest"),
+        F.col("size_bytes").alias("_rv_size"),
+    )
+    j = plan.join(lv, plan[url_col] == lv["_rv_url"], "left").drop(
+        "_rv_url"
+    )
+    not_modified = (F.col("mode") == "conditional") & (
+        F.col("live_digest") == F.col("prior_digest")
+    )
+    return (
+        j.withColumn(
+            "status", F.when(not_modified, 304).otherwise(200)
+        )
+        .withColumn(
+            "fetched_bytes",
+            F.when(not_modified, F.lit(0).cast("bigint")).otherwise(
+                F.coalesce(F.col("_rv_size"), F.lit(0)).cast("bigint")
+            ),
+        )
+        .withColumn(
+            "saved_bytes",
+            F.when(
+                not_modified, F.coalesce(F.col("_rv_size"), F.lit(0))
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint"),
+        )
+        .drop("_rv_size")
+    )

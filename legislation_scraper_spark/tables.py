@@ -671,3 +671,49 @@ class Catalog:
         for name, version in ck["versions"].items():
             self.table(name).rollback(version)
         return ck["tag"]
+
+
+def compaction_plan(
+    files: DataFrame,
+    target_bytes: int,
+    partition_cols: tuple[str, ...] = ("partition",),
+    path_col: str = "path",
+    size_col: str = "size_bytes",
+) -> DataFrame:
+    """Small-file compaction planner — the Iceberg
+    ``rewrite_data_files(strategy => 'binpack')`` analogue for this
+    catalog: group each partition's data files into rewrite groups of
+    ~``target_bytes`` so a maintenance job can rewrite each group as
+    one task.  The small-files problem is THE operational tax of a
+    long-running crawl's append-heavy tables (every round appends a
+    few files per bucket; a year of rounds is 10^5 files whose
+    per-file open/footer cost dominates scans).
+
+    Packing rule (deterministic, cross-engine): within each partition,
+    order files by size DESC then path, and assign
+    ``group_id = floor(running_size_before / target_bytes)`` — the
+    SQL-friendly segment packing used where true first-fit-decreasing
+    would need a sequential fold.  Size-desc ordering keeps groups
+    balanced (big files first, tails of small files fill the last
+    groups); a group may overshoot by less than its last file, which
+    is the same tolerance Iceberg's binpack accepts.  Files already
+    ≥ target get a group of their own by construction.
+
+    Returns ``files`` + ``group_id`` (int).
+
+    Scale/plan: the input is the file MANIFEST — O(files), not
+    O(data) — so the per-partition window sorts config-sized frames;
+    one exchange on the partition key, body bytes never move.  The
+    plan's group count is what the rewrite job fans out over.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(F.desc(size_col), path_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(size_col).over(w), F.lit(0))
+    return files.withColumn(
+        "group_id", F.floor(before / F.lit(target_bytes)).cast("int")
+    )

@@ -258,3 +258,75 @@ def test_saturation_curve_cumulative(spark):
     assert out[("h1", "2024-01-02")] == (2, 3)
     assert out[("h2", "2024-01-05")] == (1, 1)
     assert len(out) == 3
+
+
+# --- revalidation -----------------------------------------------------
+
+
+def test_revalidation_modes_and_outcomes(spark):
+    from legislation_scraper_spark.operators.fetch import (
+        revalidation_outcomes,
+        revalidation_plan,
+    )
+
+    cand = spark.createDataFrame(
+        [(u,) for u in ["u1", "u2", "u3", "u4"]], "url string"
+    )
+    prior = spark.createDataFrame(
+        [
+            ("u1", '"e1"', None, "d1"),     # etag, unchanged -> 304
+            ("u2", None, "lm", "d2"),        # lm only, changed -> 200
+            ("u3", None, None, "d3"),        # no validators -> full
+        ],
+        "url string, etag string, last_modified string, digest string",
+    )
+    live = spark.createDataFrame(
+        [("u1", "d1", 100), ("u2", "dX", 200), ("u3", "d3", 300),
+         ("u4", "d4", 400)],
+        "url string, digest string, size_bytes long",
+    )
+    out = {
+        r["url"]: (r["mode"], r["status"], r["fetched_bytes"], r["saved_bytes"])
+        for r in revalidation_outcomes(
+            revalidation_plan(cand, prior), live
+        ).collect()
+    }
+    assert out["u1"] == ("conditional", 304, 0, 100)
+    assert out["u2"] == ("conditional", 200, 200, 0)
+    assert out["u3"] == ("full", 200, 300, 0)     # digest matches but no validator sent
+    assert out["u4"] == ("full", 200, 400, 0)     # never crawled before
+
+
+# --- compaction plan ---------------------------------------------------
+
+
+def test_compaction_plan_groups(spark):
+    from legislation_scraper_spark.tables import compaction_plan
+
+    files = spark.createDataFrame(
+        [
+            ("p1", "a", 150), ("p1", "b", 100), ("p1", "c", 60),
+            ("p1", "d", 40), ("p2", "e", 500),
+        ],
+        "partition string, path string, size_bytes long",
+    )
+    got = {
+        r["path"]: r["group_id"]
+        for r in compaction_plan(files, target_bytes=200).collect()
+    }
+    # p1 desc order: a(150) b(100) c(60) d(40); running-before 0,150,250,310
+    assert got == {"a": 0, "b": 0, "c": 1, "d": 1, "e": 0}
+
+
+def test_compaction_plan_oversize_file_own_group(spark):
+    from legislation_scraper_spark.tables import compaction_plan
+
+    files = spark.createDataFrame(
+        [("p", "big", 900), ("p", "s1", 10), ("p", "s2", 10)],
+        "partition string, path string, size_bytes long",
+    )
+    got = {
+        r["path"]: r["group_id"]
+        for r in compaction_plan(files, target_bytes=100).collect()
+    }
+    assert got["big"] == 0 and got["s1"] == 9 and got["s2"] == 9
