@@ -6134,7 +6134,19 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compaction_plan(files, target_bytes=200_000)
 
 
+def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog column statistics (tables.analyze_stats — the ANALYZE
+    TABLE analogue): row/null/exact-NDV/min/max per documents column
+    in long format, one aggregation pass, long rows from an in-row
+    struct explode (no collect)."""
+    from legislation_scraper_spark.tables import analyze_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return analyze_stats(d, ("doc_id", "text", "lang", "source", "n_chars"))
+
+
 _Q_B6 = {
+    "table_stats": q_table_stats,
     "revalidation": q_revalidation,
     "compaction_plan": q_compaction_plan,
     "c4_clean": q_c4_clean,
@@ -6147,6 +6159,34 @@ _Q_B6 = {
 _Q.update(_Q_B6)
 
 _ORACLE_B6 = {
+    "table_stats": """
+        SELECT 'doc_id' AS column, COUNT(*) AS n_rows,
+               COUNT(*) FILTER (doc_id IS NULL) AS n_nulls,
+               COUNT(DISTINCT doc_id) AS n_distinct,
+               CAST(MIN(doc_id) AS VARCHAR) AS min_value,
+               CAST(MAX(doc_id) AS VARCHAR) AS max_value
+        FROM documents
+        UNION ALL
+        SELECT 'text', COUNT(*), COUNT(*) FILTER (text IS NULL),
+               COUNT(DISTINCT text),
+               CAST(MIN(text) AS VARCHAR), CAST(MAX(text) AS VARCHAR)
+        FROM documents
+        UNION ALL
+        SELECT 'lang', COUNT(*), COUNT(*) FILTER (lang IS NULL),
+               COUNT(DISTINCT lang),
+               CAST(MIN(lang) AS VARCHAR), CAST(MAX(lang) AS VARCHAR)
+        FROM documents
+        UNION ALL
+        SELECT 'source', COUNT(*), COUNT(*) FILTER (source IS NULL),
+               COUNT(DISTINCT source),
+               CAST(MIN(source) AS VARCHAR), CAST(MAX(source) AS VARCHAR)
+        FROM documents
+        UNION ALL
+        SELECT 'n_chars', COUNT(*), COUNT(*) FILTER (n_chars IS NULL),
+               COUNT(DISTINCT n_chars),
+               CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
+        FROM documents
+    """,
     "revalidation": """
         SELECT doc_id,
                CASE WHEN (doc_id % 3 <> 1)

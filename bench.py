@@ -156,6 +156,7 @@ HEADLINE_EXT = [
     "saturation_curve",
     "revalidation",
     "compaction_plan",
+    "table_stats",
 ]
 
 

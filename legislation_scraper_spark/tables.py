@@ -717,3 +717,49 @@ def compaction_plan(
     return files.withColumn(
         "group_id", F.floor(before / F.lit(target_bytes)).cast("int")
     )
+
+
+def analyze_stats(
+    df: DataFrame, cols: tuple[str, ...]
+) -> DataFrame:
+    """``ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS`` analogue:
+    per-column row count, null count, exact NDV, and min/max (as
+    strings) in LONG format — the column statistics a catalog stores
+    so planners can pick broadcast sides, pre-size bloom shards
+    (operators/seen.py reads ``total_rows`` today), and choose the
+    Jaccard bitset-vs-hash path (operators/dedup.py's vocab probe is
+    exactly an NDV stat this table would cache).
+
+    Plan shape: ONE aggregation pass over the data — all per-column
+    aggregates ride a single scan.  Multiple exact COUNT(DISTINCT)s
+    make Catalyst plan an Expand (one duplicated row-stream per
+    distinct column): cost is O(n_cols) × scan, the standard price of
+    exact multi-column NDV (this is the maintenance/ANALYZE tier, run
+    rarely; swap `approx_count_distinct` in for the cheap variant —
+    kept exact here so the DuckDB oracle matches bit-for-bit).  The
+    long format comes from exploding an in-row struct array built
+    from the single agg row — no driver collect.
+    """
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"_null_{c}"),
+            F.countDistinct(F.col(c)).alias(f"_ndv_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"_min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"_max_{c}"),
+        ]
+    one = df.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("_n").alias("n_rows"),
+                F.col(f"_null_{c}").alias("n_nulls"),
+                F.col(f"_ndv_{c}").alias("n_distinct"),
+                F.col(f"_min_{c}").alias("min_value"),
+                F.col(f"_max_{c}").alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    return one.select(F.explode(entries).alias("s")).select("s.*")

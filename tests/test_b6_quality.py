@@ -330,3 +330,20 @@ def test_compaction_plan_oversize_file_own_group(spark):
         for r in compaction_plan(files, target_bytes=100).collect()
     }
     assert got["big"] == 0 and got["s1"] == 9 and got["s2"] == 9
+
+
+# --- analyze stats ------------------------------------------------------
+
+
+def test_analyze_stats_long_format(spark):
+    from legislation_scraper_spark.tables import analyze_stats
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b")], "k long, v string"
+    )
+    got = {r["column"]: r for r in analyze_stats(df, ("k", "v")).collect()}
+    assert got["k"]["n_rows"] == 3 and got["k"]["n_nulls"] == 0
+    assert got["k"]["n_distinct"] == 2
+    assert got["k"]["min_value"] == "1" and got["k"]["max_value"] == "2"
+    assert got["v"]["n_nulls"] == 1 and got["v"]["n_distinct"] == 2
+    assert got["v"]["min_value"] == "a" and got["v"]["max_value"] == "b"
