@@ -5922,31 +5922,8 @@ def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     from legislation_scraper_spark.operators.curation import c4_line_filter
 
     d = _t(spark, sf_dir, "documents")
-    lid = F.col("doc_id").cast("string")
-    page = F.concat_ws(
-        "\n",
-        F.concat(
-            F.lit("Artigo "), lid,
-            F.lit(" estabelece as normas gerais aplicaveis ao processo."),
-        ),
-        F.concat(
-            F.col("text"), F.lit(" conforme publicado no diario oficial.")
-        ),
-        F.when(
-            F.col("doc_id") % 5 != 0,
-            F.lit(
-                "Esta secao descreve os procedimentos administrativos"
-                " em vigor?"
-            ),
-        ),
-        F.lit("Home | Contato | Sobre"),
-        F.lit("Leia mais."),
-        F.lit("Please enable javascript to view this content properly."),
-        F.when(F.col("doc_id") % 13 == 0, F.lit("lorem ipsum dolor sit amet.")),
-        F.when(F.col("doc_id") % 17 == 5, F.lit("var cfg = { enabled: true };")),
-    )
     return c4_line_filter(
-        d.select("doc_id", page.alias("text")), id_col="doc_id"
+        d.select("doc_id", _c4_page().alias("text")), id_col="doc_id"
     )
 
 
@@ -6145,7 +6122,120 @@ def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analyze_stats(d, ("doc_id", "text", "lang", "source", "n_chars"))
 
 
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnosis (operators/politeness.skew_report):
+    a hot key holding half the table (doc_id%2==0 → 'hot') plus the
+    long tail of sources; per key count/share/skew-ratio and the
+    needs_salt verdict at factor 4 — the measurement that decides
+    where salted_host is worth its key entropy."""
+    from legislation_scraper_spark.operators.politeness import skew_report
+
+    d = _t(spark, sf_dir, "documents")
+    keyed = d.select(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("hot"))
+        .otherwise(F.col("source"))
+        .alias("host")
+    )
+    return skew_report(keyed, "host", skew_factor=4.0, top_k=100)
+
+
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key (tables.zorder_key2 — the
+    OPTIMIZE ZORDER BY analogue): 16-bit interleave of (doc_id,
+    n_chars) low bits, unrolled shift/mask codegen, bit-identical
+    across engines."""
+    from legislation_scraper_spark.tables import zorder_key2
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        zorder_key2(
+            F.pmod(F.col("doc_id"), F.lit(65536)),
+            F.pmod(F.col("n_chars"), F.lit(65536)),
+        ).alias("zkey"),
+    )
+
+
+def q_webtext_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end webtext curation chain in ONE plan: C4 line cleaning
+    → minimum-length gate (60 words of retained prose) → exact-dup
+    survivor election (fingerprint groupBy over the survivors of the
+    earlier gates, clones synthesized for doc_id%10==7) — per doc the
+    final verdict and the STAGE that rejected it, the FineWeb-style
+    filter-funnel ledger.  Composes c4_line_filter +
+    functions/text.fingerprint; one groupBy + one fp-key join beyond
+    the in-row stages."""
+    from legislation_scraper_spark.operators.curation import c4_line_filter
+    from legislation_scraper_spark.functions.text import fingerprint, words
+
+    d = _t(spark, sf_dir, "documents")
+    pages = d.select("doc_id", _c4_page().alias("text"))
+    corpus = pages.unionByName(
+        pages.filter(F.col("doc_id") % 10 == 7).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    c4 = c4_line_filter(corpus)
+    base = c4.select(
+        "doc_id",
+        F.col("kept").alias("c4_kept"),
+        F.when(F.col("kept"), F.size(words(F.col("clean_text")))).alias(
+            "wc"
+        ),
+        F.when(F.col("kept"), fingerprint(F.col("clean_text"))).alias("fp"),
+    )
+    surv = (
+        base.filter(F.col("c4_kept") & (F.col("wc") >= 60))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("survivor_id"))
+    )
+    reason = (
+        F.when(~F.col("c4_kept"), F.lit("c4"))
+        .when(F.col("wc") < 60, F.lit("short"))
+        .when(F.col("doc_id") != F.col("survivor_id"), F.lit("duplicate"))
+        .otherwise(F.lit("pass"))
+    )
+    return (
+        base.join(surv, "fp", "left")
+        .withColumn("reason", reason)
+        .select(
+            "doc_id", (F.col("reason") == "pass").alias("kept"), "reason"
+        )
+    )
+
+
+def _c4_page():
+    """The synthesized multi-line page used by q_c4_clean and
+    q_webtext_pipeline (shared so the two oracles stay in lockstep)."""
+    lid = F.col("doc_id").cast("string")
+    return F.concat_ws(
+        "\n",
+        F.concat(
+            F.lit("Artigo "), lid,
+            F.lit(" estabelece as normas gerais aplicaveis ao processo."),
+        ),
+        F.concat(
+            F.col("text"), F.lit(" conforme publicado no diario oficial.")
+        ),
+        F.when(
+            F.col("doc_id") % 5 != 0,
+            F.lit(
+                "Esta secao descreve os procedimentos administrativos"
+                " em vigor?"
+            ),
+        ),
+        F.lit("Home | Contato | Sobre"),
+        F.lit("Leia mais."),
+        F.lit("Please enable javascript to view this content properly."),
+        F.when(F.col("doc_id") % 13 == 0, F.lit("lorem ipsum dolor sit amet.")),
+        F.when(F.col("doc_id") % 17 == 5, F.lit("var cfg = { enabled: true };")),
+    )
+
+
 _Q_B6 = {
+    "skew_report": q_skew_report,
+    "zorder_key": q_zorder_key,
+    "webtext_pipeline": q_webtext_pipeline,
     "table_stats": q_table_stats,
     "revalidation": q_revalidation,
     "compaction_plan": q_compaction_plan,
@@ -6158,7 +6248,112 @@ _Q_B6 = {
 }
 _Q.update(_Q_B6)
 
+# page synthesis shared by the c4_clean and webtext_pipeline oracles
+# (mirrors _c4_page() — keep in lockstep)
+_C4_PAGE_SQL = """
+        pages AS (
+          SELECT doc_id,
+                 concat_ws(chr(10),
+                   'Artigo ' || CAST(doc_id AS VARCHAR)
+                     || ' estabelece as normas gerais aplicaveis'
+                     || ' ao processo.',
+                   text || ' conforme publicado no diario oficial.',
+                   CASE WHEN doc_id % 5 <> 0 THEN
+                     'Esta secao descreve os procedimentos'
+                     || ' administrativos em vigor?' END,
+                   'Home | Contato | Sobre',
+                   'Leia mais.',
+                   'Please enable javascript to view this content'
+                     || ' properly.',
+                   CASE WHEN doc_id % 13 = 0
+                        THEN 'lorem ipsum dolor sit amet.' END,
+                   CASE WHEN doc_id % 17 = 5
+                        THEN 'var cfg = { enabled: true };' END
+                 ) AS page
+          FROM documents)
+"""
+
+# the C4 line/page rules over a (doc_id, page) relation named ``src``
+_C4_RULES_SQL = r"""
+        k AS (
+          SELECT doc_id,
+                 list_filter(
+                   list_transform(string_split(page, chr(10)),
+                     l -> trim(regexp_replace(l, '\s+', ' ', 'g'))),
+                   l -> regexp_matches(l, '[.!?"”]$')
+                        AND len(list_filter(string_split(l, ' '),
+                                            w -> w <> '')) >= 5
+                        AND NOT contains(lower(l), 'javascript'))
+                   AS kept_lines,
+                 (contains(lower(page), 'lorem ipsum')
+                  OR contains(page, '{')) AS page_bad
+          FROM src)
+"""
+
 _ORACLE_B6 = {
+    "skew_report": """
+        WITH k AS (
+          SELECT CASE WHEN doc_id % 2 = 0 THEN 'hot' ELSE source END
+                   AS key
+          FROM documents),
+        counts AS (SELECT key, COUNT(*) AS n_rows FROM k GROUP BY key),
+        t AS (SELECT CAST(SUM(n_rows) AS DOUBLE) AS total,
+                     CAST(COUNT(*) AS DOUBLE) AS n_keys
+              FROM counts)
+        SELECT key, n_rows,
+               ROUND(n_rows / total, 6) AS share,
+               ROUND(n_rows / (total / n_keys), 6) AS skew_ratio,
+               (n_rows / (total / n_keys)) > 4.0 AS needs_salt
+        FROM counts, t
+        ORDER BY n_rows DESC, key LIMIT 100
+    """,
+    "zorder_key": """
+        SELECT doc_id,
+               CAST(list_aggregate(list_transform(range(0, 16),
+                 i -> ((((doc_id % 65536) >> i) & 1) << (2 * i))
+                      + ((((n_chars % 65536) >> i) & 1) << (2 * i + 1))),
+                 'sum') AS BIGINT) AS zkey
+        FROM documents
+    """,
+    "webtext_pipeline": "WITH "
+    + _C4_PAGE_SQL
+    + """
+        , src AS (
+          SELECT doc_id, page FROM pages
+          UNION ALL
+          SELECT doc_id + 1000000, page FROM pages WHERE doc_id % 10 = 7),
+    """
+    + _C4_RULES_SQL
+    + r"""
+        , c4 AS (
+          SELECT doc_id,
+                 (NOT page_bad AND len(kept_lines) >= 3) AS c4_kept,
+                 CASE WHEN NOT page_bad AND len(kept_lines) >= 3
+                      THEN array_to_string(kept_lines, chr(10))
+                 END AS clean_text
+          FROM k),
+        base AS (
+          SELECT doc_id, c4_kept,
+                 CASE WHEN c4_kept THEN
+                   len(list_filter(
+                     regexp_split_to_array(trim(clean_text), '\s+'),
+                     x -> x <> '')) END AS wc,
+                 CASE WHEN c4_kept THEN
+                   md5(lower(regexp_replace(trim(clean_text), '\s+',
+                                            ' ', 'g'))) END AS fp
+          FROM c4),
+        surv AS (
+          SELECT fp, MIN(doc_id) AS survivor_id FROM base
+          WHERE c4_kept AND wc >= 60 GROUP BY fp),
+        verdicts AS (
+          SELECT b.doc_id,
+                 CASE WHEN NOT b.c4_kept THEN 'c4'
+                      WHEN b.wc < 60 THEN 'short'
+                      WHEN b.doc_id <> s.survivor_id THEN 'duplicate'
+                      ELSE 'pass' END AS reason
+          FROM base b LEFT JOIN surv s ON b.fp = s.fp)
+        SELECT doc_id, (reason = 'pass') AS kept, reason FROM verdicts
+    """,
     "table_stats": """
         SELECT 'doc_id' AS column, COUNT(*) AS n_rows,
                COUNT(*) FILTER (doc_id IS NULL) AS n_nulls,
@@ -6221,40 +6416,11 @@ _ORACLE_B6 = {
                      CAST(n_chars * 100 AS BIGINT) AS size_bytes
               FROM documents)
     """,
-    "c4_clean": r"""
-        WITH pages AS (
-          SELECT doc_id,
-                 concat_ws(chr(10),
-                   'Artigo ' || CAST(doc_id AS VARCHAR)
-                     || ' estabelece as normas gerais aplicaveis'
-                     || ' ao processo.',
-                   text || ' conforme publicado no diario oficial.',
-                   CASE WHEN doc_id % 5 <> 0 THEN
-                     'Esta secao descreve os procedimentos'
-                     || ' administrativos em vigor?' END,
-                   'Home | Contato | Sobre',
-                   'Leia mais.',
-                   'Please enable javascript to view this content'
-                     || ' properly.',
-                   CASE WHEN doc_id % 13 = 0
-                        THEN 'lorem ipsum dolor sit amet.' END,
-                   CASE WHEN doc_id % 17 = 5
-                        THEN 'var cfg = { enabled: true };' END
-                 ) AS page
-          FROM documents),
-        k AS (
-          SELECT doc_id,
-                 list_filter(
-                   list_transform(string_split(page, chr(10)),
-                     l -> trim(regexp_replace(l, '\s+', ' ', 'g'))),
-                   l -> regexp_matches(l, '[.!?"”]$')
-                        AND len(list_filter(string_split(l, ' '),
-                                            w -> w <> '')) >= 5
-                        AND NOT contains(lower(l), 'javascript'))
-                   AS kept_lines,
-                 (contains(lower(page), 'lorem ipsum')
-                  OR contains(page, '{')) AS page_bad
-          FROM pages)
+    "c4_clean": "WITH "
+    + _C4_PAGE_SQL
+    + ", src AS (SELECT doc_id, page FROM pages), "
+    + _C4_RULES_SQL
+    + """
         SELECT doc_id,
                (NOT page_bad AND len(kept_lines) >= 3) AS kept,
                CAST(len(kept_lines) AS INT) AS n_lines_kept,

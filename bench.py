@@ -157,6 +157,9 @@ HEADLINE_EXT = [
     "revalidation",
     "compaction_plan",
     "table_stats",
+    "skew_report",
+    "zorder_key",
+    "webtext_pipeline",
 ]
 
 

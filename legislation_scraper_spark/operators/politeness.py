@@ -253,3 +253,50 @@ def allocate_budgets(
         "weight",
         (F.col("base") + F.col("plus")).cast("bigint").alias("budget"),
     )
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    skew_factor: float = 4.0,
+    top_k: int = 100,
+) -> DataFrame:
+    """Partition-skew diagnosis for a shuffle key — the measurement
+    that decides WHERE salting is worth its shuffle-key entropy
+    (functions/urls.salted_host) and what ``salt_buckets`` to use.
+    Per key: row count, share of the table, the ratio to a perfectly
+    uniform key (count / mean-count), and ``needs_salt`` when that
+    ratio exceeds ``skew_factor`` (AQE's skewedPartitionFactor
+    default-5 is the same idea at partition granularity; this reports
+    it at KEY granularity, which survives repartitioning).  Returns
+    the ``top_k`` heaviest keys.
+
+    Plan: one partial-aggregated groupBy (the only pass over data),
+    the global totals via a 1-row broadcast crossJoin (no collect),
+    TakeOrderedAndProject for the top-k — the result is diagnostics
+    metadata, O(top_k) rows.
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").alias("n_rows")
+    )
+    totals = counts.agg(
+        F.sum("n_rows").alias("_total"),
+        F.count("*").alias("_n_keys"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "key",
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("_total"), 6).alias("share"),
+            F.round(
+                F.col("n_rows") / (F.col("_total") / F.col("_n_keys")), 6
+            ).alias("skew_ratio"),
+            (
+                F.col("n_rows") / (F.col("_total") / F.col("_n_keys"))
+                > skew_factor
+            ).alias("needs_salt"),
+        )
+        .orderBy(F.desc("n_rows"), "key")
+        .limit(top_k)
+    )

@@ -763,3 +763,33 @@ def analyze_stats(
         ]
     )
     return one.select(F.explode(entries).alias("s")).select("s.*")
+
+
+def zorder_key2(a, b, bits: int = 16):
+    """Z-order (Morton) interleave of two non-negative int columns —
+    the multi-dimensional clustering key behind Delta/Iceberg
+    ``OPTIMIZE ZORDER BY (a, b)``: sorting a table by this key keeps
+    rows close in BOTH dimensions close on disk, so min/max file
+    statistics prune scans for predicates on EITHER column (a
+    host-hash × time z-order lets the same crawl-log file set serve
+    per-host reads and per-round reads).  Takes the low ``bits`` of
+    each input; bit i of ``a`` lands at output bit 2i, bit i of ``b``
+    at 2i+1.
+
+    Pure integer codegen (shift/mask folds unrolled at plan build —
+    no loop, no UDF), bit-identical across engines; the DuckDB oracle
+    runs the same arithmetic.  Use as ``df.repartitionByRange(N,
+    zkey).sortWithinPartitions(zkey)`` ahead of a file write.
+    """
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        out = (
+            out
+            + F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(
+                F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1
+            )
+        )
+    return out

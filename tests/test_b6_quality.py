@@ -347,3 +347,76 @@ def test_analyze_stats_long_format(spark):
     assert got["k"]["min_value"] == "1" and got["k"]["max_value"] == "2"
     assert got["v"]["n_nulls"] == 1 and got["v"]["n_distinct"] == 2
     assert got["v"]["min_value"] == "a" and got["v"]["max_value"] == "b"
+
+
+# --- skew report ---------------------------------------------------------
+
+
+def test_skew_report_flags_hot_key(spark):
+    from legislation_scraper_spark.operators.politeness import skew_report
+
+    rows = [("hot",)] * 80 + [(f"k{i}",) for i in range(20)]
+    df = spark.createDataFrame(rows, "host string")
+    got = {r["key"]: r for r in skew_report(df, "host").collect()}
+    # mean count = 100/21; hot ratio = 80/(100/21) = 16.8 -> salt
+    assert got["hot"]["needs_salt"] and got["hot"]["n_rows"] == 80
+    assert got["hot"]["share"] == 0.8
+    assert not got["k0"]["needs_salt"]
+
+
+def test_skew_report_top_k(spark):
+    from legislation_scraper_spark.operators.politeness import skew_report
+
+    df = spark.createDataFrame([(f"k{i}",) for i in range(50)], "host string")
+    assert skew_report(df, "host", top_k=10).count() == 10
+
+
+# --- zorder key ----------------------------------------------------------
+
+
+def test_zorder_key_interleave(spark):
+    from legislation_scraper_spark.tables import zorder_key2
+
+    df = spark.createDataFrame(
+        [(0b1010, 0b0101), (0, 0), (1, 0), (0, 1), (65535, 65535)],
+        "a long, b long",
+    )
+    got = [
+        r["z"]
+        for r in df.select(zorder_key2("a", "b").alias("z")).collect()
+    ]
+
+    def morton(a, b):
+        out = 0
+        for i in range(16):
+            out |= ((a >> i) & 1) << (2 * i)
+            out |= ((b >> i) & 1) << (2 * i + 1)
+        return out
+
+    assert got == [
+        morton(0b1010, 0b0101), 0, 1, 2, morton(65535, 65535)
+    ]
+
+
+def test_zorder_locality(spark):
+    """Sorting by z-key co-locates rows that are close in BOTH dims:
+    the average |a-diff| between z-adjacent rows must beat a sort by
+    b alone (which scatters a)."""
+    import itertools
+
+    rows = [(a, b) for a, b in itertools.product(range(16), range(16))]
+    df = spark.createDataFrame(rows, "a long, b long")
+    from legislation_scraper_spark.tables import zorder_key2
+
+    z = [
+        (r["a"], r["b"])
+        for r in df.select("a", "b", zorder_key2("a", "b").alias("z"))
+        .orderBy("z")
+        .collect()
+    ]
+    bsort = sorted(rows, key=lambda r: (r[1], r[0]))
+
+    def adj_a_dist(seq):
+        return sum(abs(x[0] - y[0]) for x, y in zip(seq, seq[1:]))
+
+    assert adj_a_dist(z) < adj_a_dist(bsort)
