@@ -6232,7 +6232,33 @@ def _c4_page():
     )
 
 
+def q_aimd_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AIMD per-host fetch-concurrency adaptation (operators/
+    politeness.aimd_concurrency — TCP congestion control applied to
+    crawl politeness): 8 rounds of per-host error rates synthesized
+    from documents (error when doc_id%3==0), folded in order by the
+    additive-increase/multiplicative-decrease recurrence, in-row.
+    Oracle: the same fold via list_reduce with the initial state
+    prepended (DuckDB seeds the accumulator from the first element)."""
+    from legislation_scraper_spark.operators.politeness import (
+        aimd_concurrency,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    m = d.groupBy(
+        F.col("source").alias("host"),
+        (F.col("doc_id") % 8).alias("round"),
+    ).agg(
+        (
+            F.sum((F.col("doc_id") % 3 == 0).cast("double"))
+            / F.count("*")
+        ).alias("error_rate")
+    )
+    return aimd_concurrency(m)
+
+
 _Q_B6 = {
+    "aimd_concurrency": q_aimd_concurrency,
     "skew_report": q_skew_report,
     "zorder_key": q_zorder_key,
     "webtext_pipeline": q_webtext_pipeline,
@@ -6291,6 +6317,22 @@ _C4_RULES_SQL = r"""
 """
 
 _ORACLE_B6 = {
+    "aimd_concurrency": """
+        WITH m AS (
+          SELECT source AS host, doc_id % 8 AS rnd,
+                 SUM(CASE WHEN doc_id % 3 = 0 THEN 1.0 ELSE 0.0 END)
+                   / COUNT(*) AS rate
+          FROM documents GROUP BY host, rnd),
+        h AS (SELECT host, list(rate ORDER BY rnd) AS rates FROM m
+              GROUP BY host)
+        SELECT host,
+               CAST(list_reduce(list_prepend(1.0, rates),
+                 (acc, x) -> CASE WHEN x > 0.2
+                                  THEN greatest(1.0, floor(acc / 2))
+                                  ELSE least(8.0, acc + 1) END)
+                 AS INT) AS concurrency
+        FROM h
+    """,
     "skew_report": """
         WITH k AS (
           SELECT CASE WHEN doc_id % 2 = 0 THEN 'hot' ELSE source END

@@ -160,6 +160,7 @@ HEADLINE_EXT = [
     "skew_report",
     "zorder_key",
     "webtext_pipeline",
+    "aimd_concurrency",
 ]
 
 

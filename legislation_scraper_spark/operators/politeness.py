@@ -300,3 +300,52 @@ def skew_report(
         .orderBy(F.desc("n_rows"), "key")
         .limit(top_k)
     )
+
+
+def aimd_concurrency(
+    metrics: DataFrame,
+    host_col: str = "host",
+    round_col: str = "round",
+    err_col: str = "error_rate",
+    cap: int = 8,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Per-host adaptive fetch concurrency by AIMD — the TCP
+    congestion-control rule (additive increase, multiplicative
+    decrease) applied to crawl politeness, the auto-tuning behind
+    Heritrix's connection throttle and Frontera's per-host delay
+    adaptation: each round a host's error rate stays ≤ ``threshold``
+    earns +1 connection (capped), a bad round halves it (floored at
+    1).  Replaces the reference's hand-set per-site ``max_workers``
+    (/root/reference/main.py:65,108) with a data-driven policy.
+
+    Input: one row per (host, round, error_rate).  Returns per host
+    the final ``concurrency`` after folding rounds in order.
+
+    Plan: the fold is inherently sequential per host, so it runs
+    IN-ROW — rounds collect to an ordered array (one groupBy; history
+    length = rounds per recrawl cycle, O(10²) at most) and the AIMD
+    recurrence is a codegen ``aggregate`` fold, never Python, never a
+    window-per-round chain of self-joins.  One exchange total.
+    """
+    per_host = metrics.groupBy(F.col(host_col).alias("host")).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(round_col).alias("r"),
+                    F.col(err_col).alias("e"),
+                )
+            )
+        ).alias("hist")
+    )
+    fold = F.aggregate(
+        F.transform(F.col("hist"), lambda s: s["e"]),
+        F.lit(1.0),
+        lambda acc, x: F.when(
+            x > threshold,
+            F.greatest(F.lit(1.0), F.floor(acc / 2).cast("double")),
+        ).otherwise(F.least(F.lit(float(cap)), acc + 1)),
+    )
+    return per_host.select(
+        "host", fold.cast("int").alias("concurrency")
+    )

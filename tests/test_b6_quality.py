@@ -420,3 +420,37 @@ def test_zorder_locality(spark):
         return sum(abs(x[0] - y[0]) for x, y in zip(seq, seq[1:]))
 
     assert adj_a_dist(z) < adj_a_dist(bsort)
+
+
+# --- AIMD concurrency ----------------------------------------------------
+
+
+def test_aimd_trajectory(spark):
+    from legislation_scraper_spark.operators.politeness import (
+        aimd_concurrency,
+    )
+
+    rows = [
+        # h1: three clean rounds -> 1+1+1+1 = 4
+        ("h1", 0, 0.0), ("h1", 1, 0.1), ("h1", 2, 0.2),
+        # h2: grow to 3, then a bad round halves (floor): 3 -> 1
+        ("h2", 0, 0.0), ("h2", 1, 0.0), ("h2", 2, 0.9),
+        # h3: all bad, floored at 1
+        ("h3", 0, 0.9), ("h3", 1, 0.9),
+    ]
+    df = spark.createDataFrame(rows, "host string, round int, error_rate double")
+    got = {
+        r["host"]: r["concurrency"]
+        for r in aimd_concurrency(df).collect()
+    }
+    assert got == {"h1": 4, "h2": 1, "h3": 1}
+
+
+def test_aimd_cap(spark):
+    from legislation_scraper_spark.operators.politeness import (
+        aimd_concurrency,
+    )
+
+    rows = [("h", i, 0.0) for i in range(20)]
+    df = spark.createDataFrame(rows, "host string, round int, error_rate double")
+    assert aimd_concurrency(df, cap=8).collect()[0]["concurrency"] == 8
