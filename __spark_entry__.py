@@ -6274,6 +6274,144 @@ _Q_B6 = {
 }
 _Q.update(_Q_B6)
 
+
+# --- batch B7: corpus statistics, readability, drift, keep-alive ------
+
+
+def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 bigram collocations by PMI (operators/curation.
+    pmi_collocations; Church & Hanks 1990) over the whole corpus —
+    min_count=3, unigram/bigram totals from the same ≥2-token
+    document population, ties broken on (w1, w2) over the rounded
+    statistic so the cut is engine-stable."""
+    from legislation_scraper_spark.operators.curation import (
+        pmi_collocations,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return pmi_collocations(d, min_count=3, top_k=50)
+
+
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 keywords by TF-IDF (operators/index.
+    tfidf_topk; scikit-style smoothed idf) — the doc-labeling
+    companion of bm25_topk."""
+    from legislation_scraper_spark.operators.index import tfidf_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return tfidf_topk(d, k=3).select(
+        F.col("id").alias("doc_id"), "w", "tfidf", "rnk"
+    )
+
+
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean bigram log10-probability per document under the corpus's
+    own add-one-smoothed top-1000 bigram LM (operators/curation.
+    bigram_logprob_scores) — the rung above unigram_logprob on the
+    CCNet-style perplexity ladder."""
+    from legislation_scraper_spark.operators.curation import (
+        bigram_logprob_scores,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return bigram_logprob_scores(d, top_k=1000)
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf rank-frequency fit (operators/curation.
+    zipf_slope): least-squares slope/intercept of ln(count) ~
+    ln(rank) over each source's top-100 words, folded in-row in rank
+    order so float accumulation is engine-identical."""
+    from legislation_scraper_spark.operators.curation import zipf_slope
+
+    d = _t(spark, sf_dir, "documents")
+    return zipf_slope(d, group_col="source", top_ranks=100)
+
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document (functions/text.
+    flesch_reading_ease; Flesch 1948) with the vowel-group syllable
+    proxy — pure in-row codegen, zero shuffle."""
+    from legislation_scraper_spark.functions.text import (
+        flesch_reading_ease,
+        sentence_count,
+        syllable_count,
+        words,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    ws = words(F.col("text"))
+    return d.filter(F.size(ws) > 0).select(
+        "doc_id",
+        F.size(ws).cast("bigint").alias("n_words"),
+        sentence_count(F.col("text")).cast("bigint").alias("n_sents"),
+        F.aggregate(
+            ws,
+            F.lit(0).cast("bigint"),
+            lambda acc, w: acc + syllable_count(w),
+        ).alias("n_sylls"),
+        flesch_reading_ease(F.col("text")).alias("flesch"),
+    )
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift report over the event stream
+    (operators/sketches.psi_report): first-half vs second-half
+    category shares with Laplace smoothing, split at the integer-
+    microsecond midpoint of the stream's time range."""
+    from legislation_scraper_spark.operators.sketches import psi_report
+
+    e = _t(spark, sf_dir, "events")
+    return psi_report(e, ts_col="ts", cat_col="event_type")
+
+
+def q_keepalive_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host keep-alive connection-reuse audit (operators/fetch.
+    connection_reuse): events as the fetch log (user_id = host,
+    15 s idle timeout) — the connection-pooling planning signal for
+    a cluster-scale fetcher."""
+    from legislation_scraper_spark.operators.fetch import (
+        connection_reuse,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return connection_reuse(
+        e, host_col="user_id", ts_col="ts", id_col="event_id",
+        keepalive_s=15,
+    )
+
+
+def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language (operators/tokenize.
+    fertility_stats): chars per BPE token under the same 12-merge
+    model as bpe_encode — the multilingual-tokenizer health metric.
+    Oracle: the committed bpe_encode fixture joined back onto
+    documents (same per-doc n_tokens already attested by
+    bpe_encode)."""
+    from legislation_scraper_spark.operators.tokenize import (
+        bpe_token_counts,
+        bpe_train,
+        fertility_stats,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    merges = bpe_train(d, n_merges=12)
+    counts = bpe_token_counts(d, merges)
+    return fertility_stats(counts, d, group_col="lang")
+
+
+_Q_B7 = {
+    "pmi_bigrams": q_pmi_bigrams,
+    "tfidf_keywords": q_tfidf_keywords,
+    "bigram_logprob": q_bigram_logprob,
+    "zipf_fit": q_zipf_fit,
+    "readability": q_readability,
+    "psi_drift": q_psi_drift,
+    "keepalive_reuse": q_keepalive_reuse,
+    "token_fertility": q_token_fertility,
+}
+_Q.update(_Q_B7)
+
 # page synthesis shared by the c4_clean and webtext_pipeline oracles
 # (mirrors _c4_page() — keep in lockstep)
 _C4_PAGE_SQL = """
@@ -6614,6 +6752,168 @@ _ORACLE_B6 = {
     """,
 }
 
+_ORACLE_B7 = {
+    "pmi_bigrams": f"""
+        WITH tok AS (SELECT {_DUCK_WORDS} AS ws FROM documents),
+        t2 AS (SELECT ws FROM tok WHERE len(ws) >= 2),
+        uc AS (SELECT w, COUNT(*) AS cw
+               FROM (SELECT UNNEST(ws) AS w FROM t2) GROUP BY w),
+        bg AS (SELECT UNNEST(list_transform(range(1, len(ws)),
+                 i -> {{'w1': ws[i], 'w2': ws[i + 1]}})) AS bg FROM t2),
+        bc AS (SELECT bg.w1 AS w1, bg.w2 AS w2, COUNT(*) AS n_pair
+               FROM bg GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        tot AS (SELECT CAST(SUM(len(ws)) AS DOUBLE) AS n_uni,
+                       CAST(SUM(len(ws) - 1) AS DOUBLE) AS n_big
+                FROM t2)
+        SELECT w1, w2, n_pair,
+               ROUND(log10((n_pair / n_big) /
+                     ((u1.cw / n_uni) * (u2.cw / n_uni))), 6) AS pmi
+        FROM bc JOIN uc u1 ON bc.w1 = u1.w
+                JOIN uc u2 ON bc.w2 = u2.w, tot
+        ORDER BY pmi DESC, w1, w2 LIMIT 50
+    """,
+    "tfidf_keywords": f"""
+        WITH tok AS (SELECT doc_id, {_DUCK_WORDS} AS ws FROM documents),
+        w AS (SELECT doc_id, UNNEST(ws) AS w FROM tok WHERE len(ws) > 0),
+        tf AS (SELECT doc_id, w, COUNT(*) AS cnt FROM w
+               GROUP BY doc_id, w),
+        dfq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+        nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+        lens AS (SELECT doc_id, CAST(SUM(cnt) AS DOUBLE) AS doc_len
+                 FROM tf GROUP BY doc_id),
+        sc AS (SELECT tf.doc_id, tf.w,
+                 ROUND((tf.cnt / lens.doc_len)
+                       * (ln((n_docs + 1) / (df + 1)) + 1), 6) AS tfidf
+               FROM tf JOIN lens USING (doc_id) JOIN dfq USING (w), nd)
+        SELECT doc_id, w, tfidf, CAST(rnk AS INT) AS rnk FROM (
+          SELECT doc_id, w, tfidf,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY tfidf DESC, w) AS rnk
+          FROM sc)
+        WHERE rnk <= 3
+    """,
+    "bigram_logprob": f"""
+        WITH tok AS (SELECT doc_id AS id, {_DUCK_WORDS} AS ws
+                     FROM documents),
+        t2 AS (SELECT id, ws FROM tok WHERE len(ws) >= 2),
+        uc AS (SELECT w, COUNT(*) AS cw
+               FROM (SELECT UNNEST(ws) AS w FROM t2) GROUP BY w),
+        voc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS vocab FROM uc),
+        ctx AS (SELECT w AS w1, cw AS c_ctx FROM uc
+                ORDER BY cw DESC, w LIMIT 1000),
+        occ AS (SELECT id, UNNEST(list_transform(range(1, len(ws)),
+                  i -> {{'w1': ws[i], 'w2': ws[i + 1]}})) AS bg FROM t2),
+        o2 AS (SELECT id, bg.w1 AS w1, bg.w2 AS w2 FROM occ),
+        lm AS (SELECT w1, w2, COUNT(*) AS c_ab FROM o2
+               GROUP BY w1, w2 ORDER BY c_ab DESC, w1, w2 LIMIT 1000)
+        SELECT id, COUNT(*) AS n_bigrams,
+               ROUND(AVG(log10((COALESCE(c_ab, 0) + 1)
+                     / (COALESCE(c_ctx, 0) + vocab))), 6) AS mean_logprob
+        FROM o2 LEFT JOIN lm USING (w1, w2)
+                LEFT JOIN ctx USING (w1), voc
+        GROUP BY id
+    """,
+    "zipf_fit": f"""
+        WITH w AS (SELECT source AS grp, UNNEST({_DUCK_WORDS}) AS w
+                   FROM documents),
+        c AS (SELECT grp, w, COUNT(*) AS cnt FROM w GROUP BY grp, w),
+        r AS (SELECT grp, w, cnt,
+                ROW_NUMBER() OVER (PARTITION BY grp
+                  ORDER BY cnt DESC, w) AS rank
+              FROM c),
+        p AS (SELECT grp,
+                list(ln(CAST(rank AS DOUBLE)) ORDER BY rank) AS xs,
+                list(ln(CAST(cnt AS DOUBLE)) ORDER BY rank) AS ys,
+                list(ln(CAST(rank AS DOUBLE)) * ln(CAST(cnt AS DOUBLE))
+                     ORDER BY rank) AS xys,
+                list(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE))
+                     ORDER BY rank) AS xxs
+              FROM r WHERE rank <= 100 GROUP BY grp),
+        s AS (SELECT grp, CAST(len(xs) AS DOUBLE) AS n,
+                list_reduce(xs, (a, b) -> a + b) AS sx,
+                list_reduce(ys, (a, b) -> a + b) AS sy,
+                list_reduce(xys, (a, b) -> a + b) AS sxy,
+                list_reduce(xxs, (a, b) -> a + b) AS sxx
+              FROM p)
+        SELECT grp AS source, CAST(n AS INT) AS n_ranks,
+               ROUND(CASE WHEN n >= 2 THEN
+                 (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6)
+                 AS slope,
+               ROUND(CASE WHEN n >= 2 THEN
+                 (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                 / n END, 6) AS intercept
+        FROM s
+    """,
+    "readability": f"""
+        WITH t AS (SELECT doc_id, text, {_DUCK_WORDS} AS ws
+                   FROM documents),
+        c AS (SELECT doc_id,
+                CAST(len(ws) AS BIGINT) AS n_words,
+                CAST(greatest(1, len(list_filter(
+                  regexp_split_to_array(text, '[.!?]+'),
+                  s -> trim(s) <> ''))) AS BIGINT) AS n_sents,
+                CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(ws, w -> CAST(greatest(1,
+                    len(regexp_split_to_array(lower(w), '[aeiouy]+'))
+                    - 1) AS BIGINT))), (a, b) -> a + b) AS BIGINT)
+                  AS n_sylls
+              FROM t WHERE len(ws) > 0)
+        SELECT doc_id, n_words, n_sents, n_sylls,
+               ROUND(206.835
+                 - 1.015 * (CAST(n_words AS DOUBLE)
+                            / CAST(n_sents AS DOUBLE))
+                 - 84.6 * (CAST(n_sylls AS DOUBLE)
+                           / CAST(n_words AS DOUBLE)), 6) AS flesch
+        FROM c
+    """,
+    "psi_drift": """
+        WITH r AS (SELECT MIN(epoch_us(ts)) AS min_us,
+                          MAX(epoch_us(ts)) AS max_us FROM events),
+        h AS (SELECT event_type AS cat,
+                SUM(CASE WHEN 2 * epoch_us(ts) <= min_us + max_us
+                    THEN 1 ELSE 0 END) AS c1,
+                SUM(CASE WHEN 2 * epoch_us(ts) <= min_us + max_us
+                    THEN 0 ELSE 1 END) AS c2
+              FROM events, r GROUP BY event_type),
+        t AS (SELECT CAST(SUM(c1) AS DOUBLE) AS n1,
+                     CAST(SUM(c2) AS DOUBLE) AS n2,
+                     CAST(COUNT(*) AS DOUBLE) AS k_cats FROM h)
+        SELECT cat AS event_type, c1, c2,
+               ROUND((c1 + 1) / (n1 + k_cats), 6) AS p1,
+               ROUND((c2 + 1) / (n2 + k_cats), 6) AS p2,
+               ROUND(((c2 + 1) / (n2 + k_cats)
+                      - (c1 + 1) / (n1 + k_cats))
+                     * ln(((c2 + 1) / (n2 + k_cats))
+                          / ((c1 + 1) / (n1 + k_cats))), 6) AS psi_term
+        FROM h, t
+    """,
+    "keepalive_reuse": """
+        WITH g AS (SELECT user_id AS host, epoch_us(ts) AS us,
+                     LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id) AS prev_us
+                   FROM events)
+        SELECT host, COUNT(*) AS n_fetches,
+               SUM(CASE WHEN prev_us IS NOT NULL
+                   AND us - prev_us <= 15000000
+                   THEN 1 ELSE 0 END) AS n_reused,
+               ROUND(SUM(CASE WHEN prev_us IS NOT NULL
+                     AND us - prev_us <= 15000000
+                     THEN 1 ELSE 0 END)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS reuse_rate
+        FROM g GROUP BY host
+    """,
+    "token_fertility": """
+        SELECT d.lang, COUNT(*) AS n_docs,
+               SUM(f.n_tokens) AS sum_tokens,
+               SUM(d.n_chars) AS sum_chars,
+               ROUND(CAST(SUM(d.n_chars) AS DOUBLE) / SUM(f.n_tokens),
+                     6) AS chars_per_token
+        FROM '/root/repo/fixtures/bpe_encode_sf0.01.parquet' f
+        JOIN documents d USING (doc_id)
+        GROUP BY d.lang
+    """,
+}
+
 # --- driver-attestation ordering -------------------------------------
 # The correctness driver samples the FIRST 50 registry entries in
 # iteration order (verified: CORRECTNESS_r03's 50 keys == the first 50
@@ -6871,6 +7171,7 @@ _ORACLE.update(_ORACLE_B3)
 _ORACLE.update(_ORACLE_B4)
 _ORACLE.update(_ORACLE_B5)
 _ORACLE.update(_ORACLE_B6)
+_ORACLE.update(_ORACLE_B7)
 
 
 def entry(spark: SparkSession) -> DataFrame:

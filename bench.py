@@ -161,6 +161,14 @@ HEADLINE_EXT = [
     "zorder_key",
     "webtext_pipeline",
     "aimd_concurrency",
+    "pmi_bigrams",
+    "tfidf_keywords",
+    "bigram_logprob",
+    "zipf_fit",
+    "readability",
+    "psi_drift",
+    "keepalive_reuse",
+    "token_fertility",
 ]
 
 

@@ -633,3 +633,56 @@ def char_entropy(text: Column) -> Column:
             ),
         ),
     )
+
+
+def sentence_count(text: Column) -> Column:
+    """Sentence count: runs of text between ``[.!?]+`` terminators,
+    blank segments dropped, floored at 1 (headline-only docs count as
+    one sentence).  Pure codegen — fuses into the scan."""
+    segs = F.filter(
+        F.split(text, r"[.!?]+"), lambda s: F.trim(s) != F.lit("")
+    )
+    return F.greatest(F.lit(1), F.size(segs))
+
+
+def syllable_count(word: Column) -> Column:
+    """Vowel-group syllable proxy: number of maximal ``[aeiouy]+``
+    runs in the lowercased word, floored at 1 — the standard cheap
+    estimator under Flesch-style readability formulas."""
+    return F.greatest(
+        F.lit(1),
+        F.size(F.split(F.lower(word), r"[aeiouy]+")) - 1,
+    )
+
+
+def flesch_reading_ease(text: Column, ndigits: int = 6) -> Column:
+    """Flesch reading-ease score (Flesch 1948):
+    ``206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)``
+    with the vowel-group syllable proxy.  The whole computation is
+    IN-ROW column algebra — zero shuffle, zero Python — so at corpus
+    scale it rides the same scan as every other quality signal.
+    Returns NULL for wordless documents."""
+    return let(
+        words(text),
+        lambda ws: F.when(
+            F.size(ws) > 0,
+            F.round(
+                F.lit(206.835)
+                - F.lit(1.015)
+                * (
+                    F.size(ws).cast("double")
+                    / sentence_count(text).cast("double")
+                )
+                - F.lit(84.6)
+                * (
+                    F.aggregate(
+                        ws,
+                        F.lit(0).cast("bigint"),
+                        lambda acc, w: acc + syllable_count(w),
+                    ).cast("double")
+                    / F.size(ws).cast("double")
+                ),
+                ndigits,
+            ),
+        ),
+    )

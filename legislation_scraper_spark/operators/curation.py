@@ -1093,3 +1093,220 @@ def c4_line_filter(
     return df.select(F.col(id_col), bound.alias("_c4")).select(
         id_col, "_c4.kept", "_c4.n_lines_kept", "_c4.clean_text"
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 50,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Top bigram collocations by pointwise mutual information — the
+    classic phrase-discovery statistic (Church & Hanks 1990) used in
+    webtext pipelines to mine multi-word expressions for tokenizer
+    vocab seeding and boilerplate phrase detection.
+
+    ``PMI(a,b) = log10( p(ab) / (p(a)·p(b)) )`` with ``p(ab)`` over
+    the corpus bigram total and ``p(·)`` over the unigram total, both
+    computed from the SAME document set (docs with ≥2 tokens, so the
+    two denominators describe one population).
+
+    Scale shape:
+    - one (bigram, count) aggregation and one (word, count)
+      aggregation — both partial-aggregatable map-side, the corpus's
+      only full shuffles;
+    - ``min_count`` prunes the bigram tail BEFORE any join (Zipf makes
+      the surviving set orders of magnitude smaller than the corpus);
+    - unigram counts attach via two equi-joins on the word key —
+      uniform 8-byte-ish keys, AQE-splittable, never a broadcast of
+      an unbounded vocabulary;
+    - corpus totals ride a 1-row broadcast crossJoin (no collect);
+    - final top-``top_k`` is ``orderBy().limit()`` —
+      TakeOrderedAndProject, per-partition partial top-k, no global
+      sort.  Ordering ties break on (w1, w2) over the ROUNDED pmi so
+      the cut is engine-stable.
+    """
+    tok = df.select(words(F.col(text_col)).alias("ws")).filter(
+        F.size("ws") >= 2
+    )
+    uni = (
+        tok.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cw"))
+    )
+    bigrams = F.filter(
+        F.zip_with(
+            F.col("ws"),
+            F.slice(F.col("ws"), F.lit(2), F.size("ws")),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+        lambda s: s["w2"].isNotNull(),
+    )
+    big = (
+        tok.select(F.explode(bigrams).alias("bg"))
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    totals = tok.agg(
+        F.sum(F.size("ws")).cast("double").alias("n_uni"),
+        F.sum(F.size("ws") - 1).cast("double").alias("n_big"),
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("cw").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("cw").alias("c2"))
+    pmi = F.round(
+        F.log10(
+            (F.col("n_pair") / F.col("n_big"))
+            / ((F.col("c1") / F.col("n_uni")) * (F.col("c2") / F.col("n_uni")))
+        ),
+        ndigits,
+    )
+    return (
+        big.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(totals))
+        .select("w1", "w2", "n_pair", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(top_k)
+    )
+
+
+def bigram_logprob_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 1000,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Mean bigram log10-probability per document under the corpus's
+    own add-one-smoothed bigram LM — the next rung above
+    ``unigram_logprob_scores`` on the CCNet-style perplexity-filter
+    ladder (a bigram model separates scrambled-word gibberish from
+    prose that a unigram model scores identically).
+
+    Per in-doc bigram ``(a,b)``:
+    ``lp = log10( (c(ab)+1) / (c_LM(a) + V) )`` where ``c(ab)`` is the
+    count in the top-``top_k`` bigram LM (0 on miss), ``c_LM(a)`` the
+    count in the top-``top_k`` unigram context dim (0 on miss), and
+    ``V`` the full corpus vocabulary size.  Unconditional add-one
+    smoothing keeps the score total and branch-free, so both engines
+    evaluate the identical expression.
+
+    Scale: both LM dims are TOP-K BY CONSTRUCTION
+    (TakeOrderedAndProject, deterministic (count desc, key) cut), so
+    they broadcast no matter the corpus size; V and the bigram total
+    ride the same 1-row-broadcast pattern as
+    ``unigram_logprob_scores``.  Shuffles: the two count aggregations
+    plus the final per-doc mean — rows, never text.
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"), words(F.col(text_col)).alias("ws")
+    ).filter(F.size("ws") >= 2)
+    uni = (
+        tok.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cw"))
+    )
+    vocab = uni.agg(F.count("*").cast("double").alias("vocab"))
+    ctx = (
+        uni.orderBy(F.desc("cw"), "w")
+        .limit(top_k)
+        .select(F.col("w").alias("w1"), F.col("cw").alias("c_ctx"))
+    )
+    bigrams = F.filter(
+        F.zip_with(
+            F.col("ws"),
+            F.slice(F.col("ws"), F.lit(2), F.size("ws")),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+        lambda s: s["w2"].isNotNull(),
+    )
+    occ = tok.select("id", F.explode(bigrams).alias("bg")).select(
+        "id", "bg.w1", "bg.w2"
+    )
+    lm = (
+        occ.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_ab"))
+        .orderBy(F.desc("c_ab"), "w1", "w2")
+        .limit(top_k)
+    )
+    lp = F.log10(
+        (F.coalesce("c_ab", F.lit(0)) + 1)
+        / (F.coalesce("c_ctx", F.lit(0)) + F.col("vocab"))
+    )
+    return (
+        occ.join(F.broadcast(lm), ["w1", "w2"], "left")
+        .join(F.broadcast(ctx), "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(lp), ndigits).alias("mean_logprob"),
+        )
+    )
+
+
+def zipf_slope(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    top_ranks: int = 100,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-group Zipf rank-frequency fit: least-squares slope of
+    ``ln(count) ~ ln(rank)`` over the top ``top_ranks`` words — the
+    corpus-health diagnostic (natural prose sits near slope −1;
+    machine-generated spam and template farms bend the curve) used to
+    triage web sources before expensive curation.
+
+    Determinism across engines: the regression folds IN-ROW over the
+    rank-sorted (rank, ln count) array — ``F.aggregate`` left-to-right
+    in Spark, list-ordered ``list_aggregate('sum')`` in the oracle —
+    so float accumulation order is identical, not
+    aggregation-schedule-dependent.
+
+    Scale: one (group, word) count shuffle; the per-group top-k rank
+    is a row_number + filter (map-side WindowGroupLimit — each
+    partition keeps ≤ ``top_ranks`` rows before the exchange); the
+    collected array is ≤ ``top_ranks`` structs per group — bounded by
+    construction, never corpus-sized.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.explode(words(F.col(text_col))).alias("w"),
+        )
+        .groupBy("grp", "w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("cnt"), "w")
+    ranked = counts.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= top_ranks
+    )
+    pts = ranked.groupBy("grp").agg(
+        F.array_sort(
+            F.collect_list(F.struct("rank", F.log("cnt").alias("y")))
+        ).alias("pts")
+    )
+
+    def _fsum(expr_fn):
+        return lambda arr: F.aggregate(
+            arr, F.lit(0.0), lambda acc, s: acc + expr_fn(s)
+        )
+
+    n = F.size("pts").cast("double")
+    sx = _fsum(lambda s: F.log(s["rank"]))(F.col("pts"))
+    sy = _fsum(lambda s: s["y"])(F.col("pts"))
+    sxy = _fsum(lambda s: F.log(s["rank"]) * s["y"])(F.col("pts"))
+    sxx = _fsum(lambda s: F.log(s["rank"]) * F.log(s["rank"]))(F.col("pts"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return pts.select(
+        F.col("grp").alias(group_col),
+        n.cast("int").alias("n_ranks"),
+        F.round(slope, ndigits).alias("slope"),
+        F.round((sy - slope * sx) / n, ndigits).alias("intercept"),
+    )

@@ -305,3 +305,59 @@ def revalidation_outcomes(
         )
         .drop("_rv_size")
     )
+
+
+def connection_reuse(
+    df: DataFrame,
+    host_col: str = "host",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    keepalive_s: int = 15,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-host HTTP keep-alive connection-reuse audit: a fetch REUSES
+    the pooled connection when it lands within ``keepalive_s`` of the
+    previous fetch to the same host (the server's keep-alive idle
+    timeout); otherwise it pays a fresh TCP+TLS handshake.  The
+    resulting reuse rate is the connection-pooling planning signal a
+    cluster-scale fetcher needs — hosts with low reuse under the
+    current politeness spacing are where raising per-host concurrency
+    (see ``aimd``) or batching by host actually buys latency.
+
+    Scale: ONE exchange — the lag window hash-partitions by host, and
+    the per-host aggregation re-uses that partitioning (same key, no
+    second shuffle).  Gap arithmetic is integer microseconds;
+    ordering ties break on the event id so the lag is deterministic.
+    """
+    from pyspark.sql import Window
+
+    # parquet may surface TIMESTAMP_NTZ; gaps are shift-invariant, so
+    # the cast's timezone offset cancels exactly
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy("host").orderBy("us", "eid")
+    gaps = (
+        df.select(
+            F.col(host_col).alias("host"),
+            us.alias("us"),
+            F.col(id_col).alias("eid"),
+        )
+        .withColumn("prev_us", F.lag("us").over(w))
+        .withColumn(
+            "reused",
+            F.when(
+                F.col("prev_us").isNotNull()
+                & (
+                    F.col("us") - F.col("prev_us")
+                    <= F.lit(int(keepalive_s) * 1_000_000)
+                ),
+                1,
+            ).otherwise(0),
+        )
+    )
+    return gaps.groupBy("host").agg(
+        F.count("*").alias("n_fetches"),
+        F.sum("reused").alias("n_reused"),
+        F.round(
+            F.sum("reused") / F.count("*").cast("double"), ndigits
+        ).alias("reuse_rate"),
+    )

@@ -223,3 +223,67 @@ def bm25_topk(
         .orderBy(F.col("score").desc(), F.col("id"))
         .limit(k)
     )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-document top-``k`` keywords by TF-IDF — the summarization /
+    labeling companion of ``bm25_topk`` (that one ranks docs for a
+    query; this one ranks terms within each doc).
+
+    ``tf = count(w in d) / |d|``; smoothed
+    ``idf = ln((N+1)/(df+1)) + 1`` (scikit-style, never negative).
+
+    Scale shape:
+    - one (doc, word) count aggregation — the corpus's only full
+      text-derived shuffle; doc length comes from a window SUM over
+      the same (id) partitioning, so it re-uses the exchange;
+    - document frequency is a (word) aggregation over the already
+      one-row-per-(doc,word) frame — counts rows, no distinct pass;
+    - df attaches via an equi-join on the word key (unbounded vocab —
+      never broadcast; uniform keys, AQE-splittable);
+    - N rides a 1-row broadcast crossJoin;
+    - the per-doc top-k is row_number ≤ k over (score desc, w) —
+      map-side WindowGroupLimit keeps ≤ k rows per doc per partition
+      before the exchange.  Ordering uses the ROUNDED score so the
+      cut is engine-stable.
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(words(F.col(text_col))).alias("w"),
+        )
+        .groupBy("id", "w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
+    ndocs = df.select(F.col(id_col)).agg(
+        F.count("*").cast("double").alias("n_docs")
+    )
+    wlen = Window.partitionBy("id")
+    score = F.round(
+        (F.col("cnt") / F.col("doc_len"))
+        * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1),
+        ndigits,
+    )
+    wtop = Window.partitionBy("id").orderBy(
+        F.desc("tfidf"), F.asc("w")
+    )
+    return (
+        tf.withColumn(
+            "doc_len", F.sum("cnt").over(wlen).cast("double")
+        )
+        .join(dfreq, "w")
+        .crossJoin(F.broadcast(ndocs))
+        .select("id", "w", score.alias("tfidf"))
+        .withColumn("rnk", F.row_number().over(wtop))
+        .filter(F.col("rnk") <= k)
+        .select(F.col("id"), "w", "tfidf", F.col("rnk").cast("int").alias("rnk"))
+    )

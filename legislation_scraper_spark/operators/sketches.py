@@ -269,3 +269,71 @@ def hist_quantiles(
             ).alias("est"),
         )
     )
+
+
+def psi_report(
+    df: DataFrame,
+    ts_col: str = "ts",
+    cat_col: str = "event_type",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Population-stability-index drift report: the event stream is
+    split at the midpoint of its time range and each category's share
+    is compared across the two halves — the standard
+    data-quality/monitoring statistic for detecting distribution
+    drift between crawl (or training-data) snapshots before it
+    poisons downstream mixtures.
+
+    Per category ``psi_term = (p2 − p1)·ln(p2/p1)`` with add-one
+    (Laplace) smoothed shares ``p_i = (c_i + 1)/(n_i + K)`` (``K`` =
+    number of categories), so never-seen-in-one-half categories stay
+    finite and both engines evaluate the identical branch-free
+    expression.  Σ psi_term < 0.1 is the conventional "stable" bar.
+
+    Determinism: the split predicate is INTEGER microsecond
+    arithmetic (``2·us ≤ min_us + max_us``) — no float midpoint, no
+    timestamp-cast precision loss.
+
+    Scale: one (category) aggregation with conditional sums (single
+    pass over the stream, map-side combine); the time range and the
+    category count ride 1-row broadcast crossJoins.  Category
+    cardinality is the output size — a drift report is small by
+    construction.
+    """
+    # parquet may surface TIMESTAMP_NTZ; the split predicate is
+    # shift-invariant (2·us ≤ min+max), so the cast's timezone offset
+    # cancels exactly
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    rng = df.agg(
+        F.min(us).alias("min_us"), F.max(us).alias("max_us")
+    )
+    halves = (
+        df.crossJoin(F.broadcast(rng))
+        .select(
+            F.col(cat_col).alias("cat"),
+            (us * 2 <= F.col("min_us") + F.col("max_us")).alias("h1"),
+        )
+        .groupBy("cat")
+        .agg(
+            F.sum(F.when(F.col("h1"), 1).otherwise(0)).alias("c1"),
+            F.sum(F.when(F.col("h1"), 0).otherwise(1)).alias("c2"),
+        )
+    )
+    tot = halves.agg(
+        F.sum("c1").cast("double").alias("n1"),
+        F.sum("c2").cast("double").alias("n2"),
+        F.count("*").cast("double").alias("k_cats"),
+    )
+    p1 = (F.col("c1") + 1) / (F.col("n1") + F.col("k_cats"))
+    p2 = (F.col("c2") + 1) / (F.col("n2") + F.col("k_cats"))
+    return (
+        halves.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("cat").alias(cat_col),
+            "c1",
+            "c2",
+            F.round(p1, ndigits).alias("p1"),
+            F.round(p2, ndigits).alias("p2"),
+            F.round((p2 - p1) * F.log(p2 / p1), ndigits).alias("psi_term"),
+        )
+    )

@@ -243,3 +243,36 @@ def bpe_token_counts(
             ),
         )
     )
+
+
+def fertility_stats(
+    token_counts: DataFrame,
+    docs: DataFrame,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    chars_col: str = "n_chars",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Tokenizer fertility by group (chars emitted per token): the
+    standard multilingual-tokenizer health metric — a BPE vocabulary
+    trained lopsidedly makes under-served languages pay more tokens
+    per character, which shows up here before it shows up in training
+    cost.  ``token_counts`` is ``bpe_token_counts`` output
+    ``(id, n_tokens)``; ``docs`` supplies the grouping column and the
+    character counts.
+
+    Scale: one equi-join on the doc id (both sides one row per doc)
+    and one small-cardinality aggregation — rows, never text.
+    """
+    joined = token_counts.select(
+        F.col("id").alias(id_col), "n_tokens"
+    ).join(docs.select(id_col, group_col, chars_col), id_col)
+    return joined.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.sum(chars_col).alias("sum_chars"),
+        F.round(
+            F.sum(chars_col).cast("double") / F.sum("n_tokens"),
+            ndigits,
+        ).alias("chars_per_token"),
+    )
