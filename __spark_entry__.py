@@ -5981,10 +5981,18 @@ def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicated corpus (operators/dedup.lsh_pair_eval) — the dedup
     analogue of ann_recall, measuring the banding theorem's capture
     curve on actual data.  Pairs restricted to within-source blocks on
-    both sides (same pair universe)."""
+    both sides (same pair universe).  Eval-tier sampling per the
+    operator contract: a deterministic 1-in-3 sample keyed on the BASE
+    doc id (``doc_id % 1000000``, stripping the dup-copy offset) so a
+    duplicate and its source document land in or out of the sample
+    together — the measured pair universe still contains real dup
+    pairs, and the quadratic ground-truth join runs on ~1/9 the
+    pairs."""
     from legislation_scraper_spark.operators.dedup import lsh_pair_eval
 
-    c = _dup_corpus(spark, sf_dir)
+    c = _dup_corpus(spark, sf_dir).filter(
+        (F.col("doc_id") % 1000000) % 3 == 0
+    )
     return lsh_pair_eval(
         c,
         block_cols=["source"],
@@ -6662,7 +6670,7 @@ _ORACLE_B6 = {
         , tok AS (SELECT doc_id, source,
                     list_filter(regexp_split_to_array(trim(text), '\s+'),
                                 x -> x <> '') AS w
-                  FROM corpus),
+                  FROM corpus WHERE (doc_id % 1000000) % 3 = 0),
         shr AS (SELECT doc_id, source,
                   list_transform(range(1, len(w) - 1),
                     i -> array_to_string(list_slice(w, i, i + 2), ' '))
