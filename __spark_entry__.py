@@ -6931,6 +6931,105 @@ _ORACLE_B7 = {
 # then the queries whose last driver-green row is oldest (r1), so every
 # query converges to a recent attestation over rounds.  Names are
 # unchanged — only iteration order moves.
+def q_kn_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram log-probability per document
+    (operators/curation.kn_logprob_scores) — the KenLM-style smoothing
+    CCNet's perplexity filter uses, trained on the corpus itself with
+    pruned top-1000 LM dims; D=0.75, add-one continuation guard."""
+    from legislation_scraper_spark.operators.curation import (
+        kn_logprob_scores,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return kn_logprob_scores(d, top_k=1000, discount=0.75)
+
+
+def q_wilson_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host Wilson lower-bound quality score
+    (operators/curation.wilson_host_quality): gate = word count >= the
+    corpus median (56 at the test SFs), so hosts carry mixed verdicts
+    and the bound's small-sample shrinkage is visible against the raw
+    rate."""
+    from legislation_scraper_spark.operators.curation import (
+        wilson_host_quality,
+    )
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "good", F.size(T.words(F.col("text"))) >= 56
+    )
+    return wilson_host_quality(d, "good", group_col="source")
+
+
+def q_spam_mass_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative spam mass per host (operators/graph.spam_mass,
+    Gyöngyi et al. VLDB'06): PageRank minus TrustRank over the same
+    synthetic 31-host link graph and seed set as pagerank_hosts /
+    trustrank_hosts, 2 iterations, damping 0.85 — the demotion twin of
+    the TrustRank admission gate."""
+    from legislation_scraper_spark.operators.graph import spam_mass
+
+    d = _t(spark, sf_dir, "documents")
+    e = d.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 31).cast("string")).alias(
+            "src"
+        ),
+        F.concat(
+            F.lit("h"), ((F.col("doc_id") * 7 + 3) % 31).cast("string")
+        ).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    seeds = spark.createDataFrame(
+        [("h0",), ("h7",), ("h14",), ("h21",), ("h28",)], ["node"]
+    )
+    return spam_mass(e, seeds, iters=2, damping=0.85)
+
+
+def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mixture rebalancing via the deterministic stratified
+    sampler (operators/sampling.stratified_sample): per-language keep
+    rates from a broadcast config dim (en 0.25 — cut the head language
+    the way CC-derived corpora cut English — de/fr 0.5, es/zh 1.0),
+    membership a pure md5 function of doc_id so every engine and every
+    rerun keeps the identical rows."""
+    from legislation_scraper_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    rates = spark.createDataFrame(
+        [("en", 0.25), ("zh", 1.0), ("es", 1.0), ("de", 0.5), ("fr", 0.5)],
+        ["lang", "rate"],
+    )
+    kept = stratified_sample(d, rates, key_col="doc_id", stratum_col="lang")
+    return kept.groupBy("lang").agg(F.count("*").alias("kept"))
+
+
+def q_bcubed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-cubed precision/recall of the exact-dedup clustering
+    (cluster = md5(text)) against the duplicated corpus's constructed
+    truth groups (base doc id) — operators/clustering.bcubed.  Exact
+    groups split the near-dup (' extra fim') truth pairs, so recall
+    sits measurably below 1 while precision stays 1: the eval
+    quantifies exactly what exact dedup misses vs MinHash."""
+    from legislation_scraper_spark.operators.clustering import bcubed
+
+    c = _dup_corpus(spark, sf_dir)
+    assign = c.select(
+        F.md5("text").alias("cluster"),
+        (F.col("doc_id") % 1000000).alias("truth"),
+    )
+    return bcubed(assign)
+
+
+_Q_B8 = {
+    "kn_logprob": q_kn_logprob,
+    "wilson_hosts": q_wilson_hosts,
+    "spam_mass_hosts": q_spam_mass_hosts,
+    "mixture_resample": q_mixture_resample,
+    "bcubed_dedup": q_bcubed_dedup,
+}
+_Q.update(_Q_B8)
+
+
 _ATTEST_PRIORITY: list[str] = [
     # new this round (never sampled) — keep newest additions here.
     # The list is 52 entries vs the driver's 50-query sample:
@@ -7179,7 +7278,167 @@ _ORACLE.update(_ORACLE_B3)
 _ORACLE.update(_ORACLE_B4)
 _ORACLE.update(_ORACLE_B5)
 _ORACLE.update(_ORACLE_B6)
+_ORACLE_B8 = {
+    "kn_logprob": f"""
+        WITH tok AS (SELECT doc_id AS id, {_DUCK_WORDS} AS ws
+                     FROM documents),
+        t2 AS (SELECT id, ws FROM tok WHERE len(ws) >= 2),
+        uc AS (SELECT w, COUNT(*) AS cw
+               FROM (SELECT UNNEST(ws) AS w FROM t2) GROUP BY w),
+        voc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS vocab FROM uc),
+        ctx AS (SELECT w AS w1, cw AS c_ctx FROM uc
+                ORDER BY cw DESC, w LIMIT 1000),
+        occ AS (SELECT id, UNNEST(list_transform(range(1, len(ws)),
+                  i -> {{'w1': ws[i], 'w2': ws[i + 1]}})) AS bg FROM t2),
+        o2 AS (SELECT id, bg.w1 AS w1, bg.w2 AS w2 FROM occ),
+        lm AS (SELECT w1, w2, COUNT(*) AS c_ab FROM o2
+               GROUP BY w1, w2 ORDER BY c_ab DESC, w1, w2 LIMIT 1000),
+        fert AS (SELECT w1, COUNT(*) AS n_cont FROM lm GROUP BY w1),
+        cont AS (SELECT w2, COUNT(*) AS n_ctx FROM lm GROUP BY w2),
+        nt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_types FROM lm)
+        SELECT id, COUNT(*) AS n_bigrams,
+               ROUND(AVG(log10(
+                 CASE WHEN COALESCE(c_ctx, 0) > 0 THEN
+                   greatest(CAST(COALESCE(c_ab, 0) AS DOUBLE) - 0.75,
+                            0.0)
+                     / CAST(COALESCE(c_ctx, 0) AS DOUBLE)
+                   + 0.75
+                     * CAST(greatest(COALESCE(n_cont, 0), 1) AS DOUBLE)
+                     / CAST(COALESCE(c_ctx, 0) AS DOUBLE)
+                     * ((COALESCE(n_ctx, 0) + 1) / (n_types + vocab))
+                 ELSE (COALESCE(n_ctx, 0) + 1) / (n_types + vocab)
+                 END)), 6) AS mean_logprob
+        FROM o2 LEFT JOIN lm USING (w1, w2)
+                LEFT JOIN ctx USING (w1)
+                LEFT JOIN fert USING (w1)
+                LEFT JOIN cont USING (w2), nt, voc
+        GROUP BY id
+    """,
+    "wilson_hosts": f"""
+        WITH a AS (
+          SELECT source AS host,
+                 CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(CASE WHEN len({_DUCK_WORDS}) >= 56
+                               THEN 1 ELSE 0 END) AS DOUBLE) AS pos
+          FROM documents GROUP BY source),
+        b AS (SELECT host, n, pos, pos / n AS p,
+                     1.959963984540054 AS z,
+                     1.959963984540054 * 1.959963984540054 AS z2
+              FROM a)
+        SELECT host, CAST(n AS BIGINT) AS n_docs,
+               CAST(pos AS BIGINT) AS n_good,
+               ROUND(p, 6) AS rate,
+               ROUND((p + z2 / (2 * n)
+                      - z * sqrt(p * (1 - p) / n + z2 / (4 * n * n)))
+                     / (1 + z2 / n), 6) AS wilson_low
+        FROM b
+    """,
+    "spam_mass_hosts": """
+        WITH e AS (
+          SELECT 'h' || CAST(doc_id % 31 AS VARCHAR) AS src,
+                 'h' || CAST((doc_id * 7 + 3) % 31 AS VARCHAR) AS dst
+          FROM documents
+          WHERE doc_id % 31 <> (doc_id * 7 + 3) % 31),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        od AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS od FROM e
+               GROUP BY src),
+        p0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+        pc1 AS (SELECT e.dst, SUM(p0.rank / od.od) AS c
+                FROM e JOIN p0 ON e.src = p0.node
+                       JOIN od ON e.src = od.src
+                GROUP BY e.dst),
+        p1 AS (SELECT node,
+                      (1.0 - 0.85) / (SELECT n FROM nn)
+                        + 0.85 * COALESCE(c, 0.0) AS rank
+               FROM nodes LEFT JOIN pc1 ON node = pc1.dst),
+        pc2 AS (SELECT e.dst, SUM(p1.rank / od.od) AS c
+                FROM e JOIN p1 ON e.src = p1.node
+                       JOIN od ON e.src = od.src
+                GROUP BY e.dst),
+        p2 AS (SELECT node,
+                      (1.0 - 0.85) / (SELECT n FROM nn)
+                        + 0.85 * COALESCE(c, 0.0) AS pr
+               FROM nodes LEFT JOIN pc2 ON node = pc2.dst),
+        seeds AS (SELECT node FROM nodes
+                  WHERE node IN ('h0', 'h7', 'h14', 'h21', 'h28')),
+        ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM seeds),
+        tn AS (SELECT node,
+                      CASE WHEN node IN (SELECT node FROM seeds)
+                           THEN 1.0 / (SELECT n FROM ns)
+                           ELSE 0.0 END AS tele
+               FROM nodes),
+        t0 AS (SELECT node, tele AS rank FROM tn),
+        tc1 AS (SELECT e.dst, SUM(t0.rank / od.od) AS c
+                FROM e JOIN t0 ON e.src = t0.node
+                       JOIN od ON e.src = od.src
+                GROUP BY e.dst),
+        t1 AS (SELECT tn.node,
+                      (1.0 - 0.85) * tn.tele + 0.85 * COALESCE(c, 0.0)
+                        AS rank
+               FROM tn LEFT JOIN tc1 ON tn.node = tc1.dst),
+        tc2 AS (SELECT e.dst, SUM(t1.rank / od.od) AS c
+                FROM e JOIN t1 ON e.src = t1.node
+                       JOIN od ON e.src = od.src
+                GROUP BY e.dst),
+        t2 AS (SELECT tn.node,
+                      (1.0 - 0.85) * tn.tele + 0.85 * COALESCE(c, 0.0)
+                        AS tr
+               FROM tn LEFT JOIN tc2 ON tn.node = tc2.dst)
+        SELECT p2.node, ROUND(pr, 6) AS pr, ROUND(tr, 6) AS tr,
+               ROUND(CASE WHEN pr > 0
+                          THEN least(1.0, greatest(0.0, (pr - tr) / pr))
+                          ELSE 0.0 END, 6) AS spam_mass
+        FROM p2 JOIN t2 ON p2.node = t2.node
+    """,
+    "mixture_resample": """
+        WITH r AS (SELECT * FROM (VALUES
+            ('en', 0.25), ('zh', 1.0), ('es', 1.0),
+            ('de', 0.5), ('fr', 0.5)) AS t(lang, rate)),
+        b AS (SELECT d.lang, r.rate,
+                ((strpos('0123456789abcdef',
+                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+                   * 4096
+               + (strpos('0123456789abcdef',
+                    substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+                   * 256
+               + (strpos('0123456789abcdef',
+                    substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1)
+                   * 16
+               + (strpos('0123456789abcdef',
+                    substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1))
+                AS bucket
+              FROM documents d JOIN r USING (lang))
+        SELECT lang, COUNT(*) AS kept FROM b
+        WHERE bucket < rate * 65536 GROUP BY lang
+    """,
+    "bcubed_dedup": _CORPUS_SQL
+    + """
+        , a AS (SELECT md5(text) AS c, doc_id % 1000000 AS t
+                FROM corpus),
+        cells AS (SELECT c, t, CAST(COUNT(*) AS DOUBLE) AS n_ct
+                  FROM a GROUP BY c, t),
+        cs AS (SELECT c, SUM(n_ct) AS c_sz FROM cells GROUP BY c),
+        ts AS (SELECT t, SUM(n_ct) AS t_sz FROM cells GROUP BY t),
+        s AS (SELECT SUM(n_ct) AS n,
+                     COUNT(DISTINCT cells.c) AS n_clusters,
+                     COUNT(DISTINCT cells.t) AS n_classes,
+                     SUM(n_ct * n_ct / c_sz) AS sp,
+                     SUM(n_ct * n_ct / t_sz) AS sr
+              FROM cells JOIN cs USING (c) JOIN ts USING (t))
+        SELECT CAST(n AS BIGINT) AS n_items,
+               CAST(n_clusters AS BIGINT) AS n_clusters,
+               CAST(n_classes AS BIGINT) AS n_classes,
+               ROUND(sp / n, 6) AS bcubed_precision,
+               ROUND(sr / n, 6) AS bcubed_recall,
+               ROUND(2 * (sp / n) * (sr / n) / (sp / n + sr / n), 6)
+                 AS bcubed_f1
+        FROM s
+    """,
+}
+
 _ORACLE.update(_ORACLE_B7)
+_ORACLE.update(_ORACLE_B8)
 
 
 def entry(spark: SparkSession) -> DataFrame:

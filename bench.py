@@ -169,6 +169,11 @@ HEADLINE_EXT = [
     "psi_drift",
     "keepalive_reuse",
     "token_fertility",
+    "kn_logprob",
+    "wilson_hosts",
+    "spam_mass_hosts",
+    "mixture_resample",
+    "bcubed_dedup",
 ]
 
 

@@ -144,3 +144,53 @@ def kmeans_assign(
         if i < iters - 1:
             cents = update_centroids(a)
     return a.select("id", F.col("cluster").cast("int").alias("cluster"))
+
+
+def bcubed(
+    assign: DataFrame,
+    cluster_col: str = "cluster",
+    truth_col: str = "truth",
+    ndigits: int = 6,
+) -> DataFrame:
+    """B-cubed precision/recall/F1 of a flat clustering against
+    ground-truth classes (Bagga & Baldwin, 1998; the standard
+    extrinsic metric for dedup clusterings — Amigó et al. 2009 show
+    it is the only common one satisfying all four clustering-metric
+    constraints).  Item-level averages reduce to contingency sums::
+
+        B³P = Σ_{c,t} n_ct² / |c|  / N      B³R = Σ_{c,t} n_ct² / |t| / N
+
+    over the (cluster, truth) contingency cells — no per-item pair
+    expansion, so the O(N²) pairwise definition never materializes.
+
+    Scale: one (cluster, truth) count shuffle for the cells plus the
+    two marginal size aggregations; the cluster marginal joins the
+    cells on the SAME cluster key (co-partitioned exchange reuse), the
+    truth marginal on the truth key.  Rows after the cells agg are
+    bounded by distinct (cluster, truth) pairs ≤ N — never pairs of
+    items.  Returns ONE row ``(n_items, n_clusters, n_classes,
+    bcubed_precision, bcubed_recall, bcubed_f1)``.
+    """
+    cells = assign.groupBy(
+        F.col(cluster_col).alias("c"), F.col(truth_col).alias("t")
+    ).agg(F.count("*").cast("double").alias("n_ct"))
+    csize = cells.groupBy("c").agg(F.sum("n_ct").alias("c_sz"))
+    tsize = cells.groupBy("t").agg(F.sum("n_ct").alias("t_sz"))
+    j = cells.join(csize, "c").join(tsize, "t")
+    agg = j.agg(
+        F.sum("n_ct").alias("n"),
+        F.countDistinct("c").cast("bigint").alias("n_clusters"),
+        F.countDistinct("t").cast("bigint").alias("n_classes"),
+        F.sum(F.col("n_ct") * F.col("n_ct") / F.col("c_sz")).alias("sp"),
+        F.sum(F.col("n_ct") * F.col("n_ct") / F.col("t_sz")).alias("sr"),
+    )
+    p = F.col("sp") / F.col("n")
+    r = F.col("sr") / F.col("n")
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_items"),
+        "n_clusters",
+        "n_classes",
+        F.round(p, ndigits).alias("bcubed_precision"),
+        F.round(r, ndigits).alias("bcubed_recall"),
+        F.round(2 * p * r / (p + r), ndigits).alias("bcubed_f1"),
+    )

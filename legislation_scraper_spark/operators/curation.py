@@ -1310,3 +1310,158 @@ def zipf_slope(
         F.round(slope, ndigits).alias("slope"),
         F.round((sy - slope * sx) / n, ndigits).alias("intercept"),
     )
+
+
+def kn_logprob_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 1000,
+    discount: float = 0.75,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Mean bigram log10-probability per document under an
+    interpolated Kneser-Ney LM (Kneser & Ney, ICASSP'95; the smoothing
+    KenLM ships and the CCNet filter actually uses) trained on the
+    corpus itself — the top rung of the n-gram perplexity-filter
+    ladder above :func:`bigram_logprob_scores`'s add-one model.
+    KN's continuation probability scores a word by HOW MANY contexts
+    it follows, not how often, so boilerplate tokens that are frequent
+    in one template stop dominating the backoff distribution.
+
+    Per in-doc bigram ``(a, b)`` with the standard interpolated form::
+
+        P(b|a) = max(c(ab) - D, 0)/c(a) + D·N1+(a·)/c(a) · Pcont(b)
+        Pcont(b) = (N1+(·b) + 1) / (N_types + V)        # add-one guard
+        P(b|a) = Pcont(b)                                when c(a) = 0
+
+    where the type counts ``N1+`` are taken over the top-``top_k``
+    bigram LM (pruned-LM semantics, same cut as the other LM dims:
+    count desc then key), ``c(a)`` over the top-``top_k`` unigram
+    context dim, ``V`` the full vocabulary size, and ``D`` the
+    absolute discount.  The +1/+V guard on ``Pcont`` keeps the score
+    total for words outside the pruned LM; ``N1+(a·)`` is floored at 1
+    so a context present in the unigram dim but absent from the pruned
+    bigram table still reserves backoff mass.  Every branch is the
+    same CASE in both engines — no engine-private fallback.
+
+    Scale: identical exchange set to ``bigram_logprob_scores`` (two
+    count shuffles + the per-doc mean); the KN extras — continuation
+    and fertility type counts — are aggregations OVER THE top-k LM
+    (≤ ``top_k`` rows), so they stay broadcast-sized by construction
+    no matter the corpus.
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"), words(F.col(text_col)).alias("ws")
+    ).filter(F.size("ws") >= 2)
+    uni = (
+        tok.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cw"))
+    )
+    vocab = uni.agg(F.count("*").cast("double").alias("vocab"))
+    ctx = (
+        uni.orderBy(F.desc("cw"), "w")
+        .limit(top_k)
+        .select(F.col("w").alias("w1"), F.col("cw").alias("c_ctx"))
+    )
+    bigrams = F.filter(
+        F.zip_with(
+            F.col("ws"),
+            F.slice(F.col("ws"), F.lit(2), F.size("ws")),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+        lambda s: s["w2"].isNotNull(),
+    )
+    occ = tok.select("id", F.explode(bigrams).alias("bg")).select(
+        "id", "bg.w1", "bg.w2"
+    )
+    lm = (
+        occ.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_ab"))
+        .orderBy(F.desc("c_ab"), "w1", "w2")
+        .limit(top_k)
+        .localCheckpoint(eager=False)
+    )
+    # type counts over the pruned LM — bounded by top_k rows
+    fert = lm.groupBy("w1").agg(F.count("*").alias("n_cont"))
+    cont = lm.groupBy("w2").agg(F.count("*").alias("n_ctx"))
+    ntypes = lm.agg(F.count("*").cast("double").alias("n_types"))
+    pcont = (F.coalesce("n_ctx", F.lit(0)) + 1) / (
+        F.col("n_types") + F.col("vocab")
+    )
+    c_a = F.coalesce("c_ctx", F.lit(0)).cast("double")
+    p_kn = F.when(
+        c_a > 0,
+        F.greatest(
+            F.coalesce("c_ab", F.lit(0)).cast("double") - F.lit(discount),
+            F.lit(0.0),
+        )
+        / c_a
+        + F.lit(discount)
+        * F.greatest(F.coalesce("n_cont", F.lit(0)), F.lit(1)).cast("double")
+        / c_a
+        * pcont,
+    ).otherwise(pcont)
+    return (
+        occ.join(F.broadcast(lm), ["w1", "w2"], "left")
+        .join(F.broadcast(ctx), "w1", "left")
+        .join(F.broadcast(fert), "w1", "left")
+        .join(F.broadcast(cont), "w2", "left")
+        .crossJoin(F.broadcast(ntypes))
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(F.log10(p_kn)), ndigits).alias("mean_logprob"),
+        )
+    )
+
+
+def wilson_host_quality(
+    df: DataFrame,
+    verdict_col: str,
+    group_col: str = "source",
+    z: float = 1.959963984540054,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-host quality score as the Wilson lower confidence bound on
+    the fraction of documents passing a quality gate — the host-level
+    filtering stage of RefinedWeb/C4-style pipelines, where a host
+    with 3/3 good pages must NOT outrank one with 950/1000 (a raw
+    ratio does exactly that; the Wilson bound shrinks small-sample
+    hosts toward zero).  Downstream, hosts under a bound threshold get
+    their crawl budget cut or their documents dropped wholesale —
+    cheaper than per-document classification for spam farms.
+
+    ``wilson_low = (p̂ + z²/2n − z·√(p̂(1−p̂)/n + z²/4n²)) / (1+z²/n)``
+    with ``z`` the normal quantile (default 97.5% → 95% two-sided).
+    The expression is the same closed form in both engines — doubles
+    throughout, one sqrt, rounded at the end.
+
+    Scale: ONE conditional-count aggregation keyed by the group column
+    (partial map-side combine; rows out = distinct hosts); the bound
+    is in-row algebra on the aggregated frame.  No joins, no second
+    exchange.
+    """
+    agg = df.groupBy(F.col(group_col).alias("host")).agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.when(F.col(verdict_col), 1).otherwise(0))
+        .cast("double")
+        .alias("pos"),
+    )
+    p = F.col("pos") / F.col("n")
+    n = F.col("n")
+    z2 = z * z
+    low = (
+        p
+        + F.lit(z2) / (2 * n)
+        - F.lit(z) * F.sqrt(p * (1 - p) / n + F.lit(z2) / (4 * n * n))
+    ) / (1 + F.lit(z2) / n)
+    return agg.select(
+        "host",
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.col("pos").cast("bigint").alias("n_good"),
+        F.round(p, ndigits).alias("rate"),
+        F.round(low, ndigits).alias("wilson_low"),
+    )

@@ -367,3 +367,61 @@ def seed_hops(
         if checkpoint:
             dist = dist.localCheckpoint(eager=False)
     return dist
+
+
+def spam_mass(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 2,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    ndigits: int = 6,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Relative spam mass per node (Gyöngyi et al., "Link Spam
+    Detection Based on Mass Estimation", VLDB'06): the fraction of a
+    node's PageRank NOT accounted for by trust flowing from the vetted
+    seed set — ``sm = (pr - tr) / pr`` with PageRank and TrustRank run
+    at the same damping and iteration count.  Link farms inflate
+    ``pr`` without receiving seed trust, so their mass → 1; pages
+    reachable from the reference's hardcoded source list (the seed
+    set, see :func:`trustrank`) sit near the seed-coverage floor.  The
+    crawl uses it as the demotion twin of TrustRank's admission gate:
+    frontier hosts above a spam-mass threshold get budget cuts before
+    a blocklist ever sees them.
+
+    TrustRank's teleport is a probability vector over seeds while
+    PageRank's is uniform over all nodes, so ``tr`` is not bounded by
+    ``pr`` node-wise; mass is clamped to [0, 1] (both engines) — the
+    standard reading where negative mass means "more trust than rank".
+
+    Plan shape: the two rank chains share the degree-annotated edge
+    frame's shape (one (dst, contribution) shuffle per iteration, see
+    :func:`pagerank`) and meet in ONE node-keyed equi-join; ranks are
+    node-cardinality frames, never edge-cardinality.  Scalar driver
+    actions are the two chains' own (node count, seed count).
+    """
+    pr = pagerank(
+        edges, iters=iters, damping=damping, src=src, dst=dst,
+        checkpoint=checkpoint,
+    ).withColumnRenamed("rank", "pr")
+    tr = trustrank(
+        edges, seeds, iters=iters, damping=damping, src=src, dst=dst,
+        checkpoint=checkpoint,
+    ).withColumnRenamed("rank", "tr")
+    sm = F.when(
+        F.col("pr") > 0,
+        F.least(
+            F.lit(1.0),
+            F.greatest(
+                F.lit(0.0), (F.col("pr") - F.col("tr")) / F.col("pr")
+            ),
+        ),
+    ).otherwise(F.lit(0.0))
+    return pr.join(tr, "node").select(
+        "node",
+        F.round("pr", ndigits).alias("pr"),
+        F.round("tr", ndigits).alias("tr"),
+        F.round(sm, ndigits).alias("spam_mass"),
+    )
