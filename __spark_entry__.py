@@ -695,9 +695,14 @@ def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _duck_minhash_ctes() -> str:
-    # hash family i = 8-hex-char lane i%4 of md5(shingle || ':' || i//4)
-    # (functions/text.minhash_sig lane construction, 2 md5s -> 8 lanes)
+def _duck_band_ctes(carry: str = "") -> str:
+    """tok→shingle→digest→signature→band CTEs over a ``corpus`` CTE.
+
+    hash family i = 8-hex-char lane i%4 of md5(shingle || ':' || i//4)
+    (functions/text.minhash_sig lane construction, 2 md5s -> 8 lanes).
+    ``carry`` names extra corpus columns (e.g. ``", side"``) threaded
+    through to the final ``bands`` CTE.
+    """
     mins = ", ".join(
         "list_aggregate(list_transform(ds, d -> substring(d, %d, 8)), "
         "'min') AS m%d" % (i * 8 + 1, i)
@@ -707,22 +712,23 @@ def _duck_minhash_ctes() -> str:
         "'%d#' || md5(m%d || '|' || m%d)" % (b, 2 * b, 2 * b + 1)
         for b in range(4)
     )
-    return (
-        _CORPUS_SQL
-        + f"""
-        , tok AS (SELECT doc_id, {_DUCK_WORDS} AS w FROM corpus),
-        sh AS (SELECT doc_id,
+    return f"""
+        , tok AS (SELECT doc_id{carry}, {_DUCK_WORDS} AS w FROM corpus),
+        sh AS (SELECT doc_id{carry},
                  list_transform(range(1, len(w) - 1),
                    i -> array_to_string(list_slice(w, i, i + 2), ' ')) AS sh
                FROM tok WHERE len(w) >= 3),
-        dg AS (SELECT doc_id,
+        dg AS (SELECT doc_id{carry},
                  list_transform(sh,
                    x -> md5(x || ':0') || md5(x || ':1')) AS ds
                FROM sh WHERE len(sh) > 0),
-        sig AS (SELECT doc_id, {mins} FROM dg),
-        bands AS (SELECT doc_id, unnest([{bands}]) AS bk FROM sig)
+        sig AS (SELECT doc_id{carry}, {mins} FROM dg),
+        bands AS (SELECT doc_id{carry}, unnest([{bands}]) AS bk FROM sig)
         """
-    )
+
+
+def _duck_minhash_ctes() -> str:
+    return _CORPUS_SQL + _duck_band_ctes()
 
 
 def _duck_minhash_sql() -> str:
@@ -7030,6 +7036,140 @@ _Q_B8 = {
 _Q.update(_Q_B8)
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-batch-vs-existing-corpus near-dup flags
+    (operators/dedup.incremental_minhash_dedup): old corpus =
+    doc_id%3!=0, new batch = doc_id%3==0 plus ' extra fim' near-copies
+    of old docs (doc_id%10==1, +3,000,000 ids) — the daily-ingest
+    dedup shape, a band-key SEMI join instead of corpus re-pairing."""
+    from legislation_scraper_spark.operators.dedup import (
+        incremental_minhash_dedup,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    old = d.filter(F.col("doc_id") % 3 != 0)
+    new = d.filter(F.col("doc_id") % 3 == 0).unionByName(
+        old.filter(F.col("doc_id") % 10 == 1).select(
+            (F.col("doc_id") + 3000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extra fim")).alias("text"),
+        )
+    )
+    return incremental_minhash_dedup(new, old)
+
+
+def q_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) event-time windows — 1-hour windows every 30
+    minutes, so each event lands in exactly two overlapping windows
+    (the smoothing twin of ``tumbling_window``; same streaming
+    semantics as F.window with a slideDuration)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("value"), 4).alias("val_sum"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"), "event_type", "cnt", "val_sum"
+        )
+    )
+
+
+def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (MOSS, Schleimer et al. SIGMOD'03) per
+    document: 3-word shingles → 64-bit hex hash → min of each 4-hash
+    window, distinct+sorted (functions/text.winnow_fingerprints).
+    Digest column = md5 of the joined fingerprint set so the driver
+    hashes a scalar, not an array."""
+    d = _t(spark, sf_dir, "documents")
+    wf = T.winnow_fingerprints(F.col("text"), k=3, w=4)
+    return d.select(
+        "doc_id",
+        F.size(wf).alias("n_fps"),
+        F.md5(F.array_join(wf, "|")).alias("digest"),
+    )
+
+
+def q_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-constrained dispatch-load curve
+    (operators/politeness.fetch_schedule): per-host crawl delay
+    (len(host)%3+1)×250 ms, URL r of a host starts at r×delay, counts
+    bucketed into 1-second dispatch slots."""
+    from legislation_scraper_spark.operators.politeness import (
+        fetch_schedule,
+    )
+
+    fr = _frontier(spark, sf_dir)
+    delay = ((F.length("host") % 3 + 1) * 250).cast("bigint")
+    return fetch_schedule(fr, delay, order_cols=("priority", "doc_id"))
+
+
+def q_worker_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hash assignment of hosts to 8 fetch workers over a
+    128-point md5 ring (operators/politeness.consistent_assign) —
+    per-worker host/url balance report.  The ring is a plan literal,
+    so assignment is a pure in-row fold: zero shuffle, zero join."""
+    from legislation_scraper_spark.operators.politeness import (
+        consistent_assign,
+    )
+
+    fr = _frontier(spark, sf_dir)
+    hosts = fr.groupBy("host").agg(F.count("*").alias("n_urls"))
+    a = consistent_assign(hosts, n_workers=8, n_vnodes=16)
+    return a.groupBy("assigned_worker").agg(
+        F.count("*").alias("n_hosts"),
+        F.sum("n_urls").alias("n_assigned_urls"),
+    )
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-source length-outlier report
+    (operators/curation.mad_outlier_report): modified z-score
+    0.6745·(x−med)/MAD over word counts, |z|>3.5 cut (Iglewicz &
+    Hoaglin) — the outlier gate that survives heavy-tailed web text."""
+    from legislation_scraper_spark.operators.curation import (
+        mad_outlier_report,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return mad_outlier_report(
+        d, F.size(T.words(F.col("text"))).cast("double"), group_col="source"
+    )
+
+
+def q_link_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host link reciprocity (operators/graph.reciprocity) over a
+    synthetic host graph (src = doc_id%29, dst = doc_id div 29 mod 29)
+    — the link-exchange spam signature complementing spam_mass."""
+    from legislation_scraper_spark.operators.graph import reciprocity
+
+    d = _t(spark, sf_dir, "documents")
+    e = d.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 29).cast("string")).alias(
+            "src"
+        ),
+        F.concat(
+            F.lit("h"),
+            (F.expr("doc_id div 29") % 29).cast("string"),
+        ).alias("dst"),
+    )
+    return reciprocity(e)
+
+
+_Q_B9 = {
+    "incremental_dedup": q_incremental_dedup,
+    "hopping_window": q_hopping_window,
+    "winnow_fp": q_winnow_fp,
+    "fetch_schedule": q_fetch_schedule,
+    "worker_assign": q_worker_assign,
+    "mad_outliers": q_mad_outliers,
+    "link_reciprocity": q_link_reciprocity,
+}
+_Q.update(_Q_B9)
+
+
 _ATTEST_PRIORITY: list[str] = [
     # new this round (never sampled) — keep newest additions here.
     # The list is 52 entries vs the driver's 50-query sample:
@@ -7439,6 +7579,127 @@ _ORACLE_B8 = {
 
 _ORACLE.update(_ORACLE_B7)
 _ORACLE.update(_ORACLE_B8)
+
+_ORACLE_B9 = {
+    "incremental_dedup": """
+        WITH corpus AS (
+          SELECT doc_id, text, 'old' AS side FROM documents
+          WHERE doc_id % 3 <> 0
+          UNION ALL
+          SELECT doc_id, text, 'new' FROM documents WHERE doc_id % 3 = 0
+          UNION ALL
+          SELECT doc_id + 3000000, text || ' extra fim', 'new'
+          FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 10 = 1
+        )
+        """
+    + _duck_band_ctes(", side")
+    + """
+        , newb AS (SELECT DISTINCT doc_id, bk FROM bands WHERE side = 'new'),
+        oldb AS (SELECT DISTINCT bk FROM bands WHERE side = 'old'),
+        hits AS (SELECT DISTINCT doc_id FROM newb
+                 WHERE bk IN (SELECT bk FROM oldb))
+        SELECT n.doc_id AS id, (h.doc_id IS NOT NULL) AS is_dup
+        FROM (SELECT DISTINCT doc_id FROM newb) n
+        LEFT JOIN hits h ON n.doc_id = h.doc_id
+    """,
+    "hopping_window": """
+        SELECT win_start, event_type, COUNT(*) AS cnt,
+               ROUND(SUM(value), 4) AS val_sum
+        FROM (SELECT event_type, value,
+                UNNEST([time_bucket(INTERVAL '30 minutes', ts),
+                        time_bucket(INTERVAL '30 minutes', ts)
+                          - INTERVAL '30 minutes']) AS win_start
+              FROM events) t
+        GROUP BY win_start, event_type
+    """,
+    "winnow_fp": f"""
+        WITH tok AS (SELECT doc_id, {_DUCK_WORDS} AS w FROM documents),
+        sh AS (SELECT doc_id,
+                 list_transform(range(1, len(w) - 1),
+                   i -> array_to_string(list_slice(w, i, i + 2), ' ')) AS sh
+               FROM tok),
+        hs AS (SELECT doc_id,
+                 list_transform(sh, x -> substring(md5(x), 1, 16)) AS hs
+               FROM sh),
+        fp AS (SELECT doc_id,
+                 CASE WHEN len(hs) = 0 THEN CAST([] AS VARCHAR[])
+                      WHEN len(hs) < 4 THEN [list_aggregate(hs, 'min')]
+                      ELSE list_sort(list_distinct(list_transform(
+                             range(0, len(hs) - 3),
+                             i -> list_aggregate(
+                               list_slice(hs, i + 1, i + 4), 'min'))))
+                 END AS fps
+               FROM hs)
+        SELECT doc_id, CAST(len(fps) AS INT) AS n_fps,
+               md5(array_to_string(fps, '|')) AS digest
+        FROM fp
+    """,
+    "fetch_schedule": _FRONTIER_SQL
+    + """
+        , sched AS (
+          SELECT host,
+                 (ROW_NUMBER() OVER (PARTITION BY host
+                    ORDER BY priority, doc_id) - 1)
+                 * ((length(host) % 3 + 1) * 250) AS start_ms
+          FROM frontier)
+        SELECT CAST(FLOOR(start_ms / 1000) AS BIGINT) AS slot,
+               COUNT(*) AS n_fetches, COUNT(DISTINCT host) AS n_hosts
+        FROM sched GROUP BY slot
+    """,
+    "worker_assign": _FRONTIER_SQL
+    + """
+        , ring AS (
+          SELECT md5('w' || CAST(w AS VARCHAR)
+                     || ':v' || CAST(v AS VARCHAR)) AS pt,
+                 CAST(w AS INT) AS w
+          FROM range(8) t(w) CROSS JOIN range(16) t2(v)),
+        hosts AS (SELECT host, COUNT(*) AS n_urls FROM frontier
+                  GROUP BY host),
+        assign AS (
+          SELECT host, n_urls,
+                 COALESCE(
+                   (SELECT r.w FROM ring r WHERE r.pt >= md5(h.host)
+                    ORDER BY r.pt LIMIT 1),
+                   (SELECT r.w FROM ring r ORDER BY r.pt LIMIT 1)
+                 ) AS assigned_worker
+          FROM hosts h)
+        SELECT assigned_worker, COUNT(*) AS n_hosts,
+               CAST(SUM(n_urls) AS BIGINT) AS n_assigned_urls
+        FROM assign GROUP BY assigned_worker
+    """,
+    "mad_outliers": f"""
+        WITH vals AS (SELECT source AS grp,
+                             CAST(len({_DUCK_WORDS}) AS DOUBLE) AS v
+                      FROM documents),
+        med AS (SELECT grp, quantile_cont(v, 0.5) AS med FROM vals
+                GROUP BY grp),
+        dev AS (SELECT vals.grp AS grp, v, med, ABS(v - med) AS d
+                FROM vals JOIN med USING (grp)),
+        mad AS (SELECT grp, quantile_cont(d, 0.5) AS mad FROM dev
+                GROUP BY grp)
+        SELECT grp AS source, COUNT(*) AS n_docs,
+               ROUND(ANY_VALUE(med), 6) AS med,
+               ROUND(ANY_VALUE(mad), 6) AS mad,
+               CAST(SUM(CASE WHEN mad > 0 AND 0.6745 * d / mad > 3.5
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM dev JOIN mad USING (grp) GROUP BY grp
+    """,
+    "link_reciprocity": """
+        WITH e AS (
+          SELECT DISTINCT 'h' || CAST(doc_id % 29 AS VARCHAR) AS src,
+                          'h' || CAST((doc_id // 29) % 29 AS VARCHAR) AS dst
+          FROM documents),
+        e2 AS (SELECT * FROM e WHERE src <> dst)
+        SELECT e2.src AS node, COUNT(*) AS out_deg,
+               CAST(SUM(CASE WHEN b.src IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_recip,
+               ROUND(CAST(SUM(CASE WHEN b.src IS NOT NULL THEN 1 ELSE 0 END)
+                 AS DOUBLE) / COUNT(*), 6) AS reciprocity
+        FROM e2 LEFT JOIN e2 b ON e2.src = b.dst AND e2.dst = b.src
+        GROUP BY e2.src
+    """,
+}
+_ORACLE.update(_ORACLE_B9)
 
 
 def entry(spark: SparkSession) -> DataFrame:

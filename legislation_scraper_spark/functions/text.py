@@ -419,6 +419,43 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")))
 
 
+def winnow_fingerprints(text: Column, k: int = 3, w: int = 4) -> Column:
+    """Winnowing fingerprints (Schleimer et al., SIGMOD'03 / MOSS).
+
+    k-word shingles → 64-bit hex hash (first 16 md5 chars) → the
+    MINIMUM hash of every w-hash sliding window, distinct + sorted.
+    Guarantee: any shared run of ≥ w+k-1 tokens between two documents
+    yields at least one shared fingerprint, while only ~2/(w+1) of all
+    shingle hashes are kept — the position-robust partial-overlap
+    detector (quote/boilerplate reuse) that whole-doc minhash misses.
+
+    Degenerate sizes: <k tokens → empty array; 1..w-1 hashes → the
+    single global minimum.  All in-row (zero shuffle, zero Python);
+    lexicographic min over fixed-width hex is engine-neutral, same
+    discipline as :func:`minhash_sig`.
+    """
+    return let(
+        F.transform(
+            word_shingles(text, k),
+            lambda s: F.substring(F.md5(s), 1, 16),
+        ),
+        lambda hs: F.when(F.size(hs) == 0, F.array().cast("array<string>"))
+        .when(F.size(hs) < w, F.array(F.array_min(hs)))
+        .otherwise(
+            F.array_sort(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(hs) - F.lit(w)),
+                        lambda i: F.array_min(
+                            F.slice(hs, i + F.lit(1), F.lit(w))
+                        ),
+                    )
+                )
+            )
+        ),
+    )
+
+
 def nfc_normalize():
     """Unicode NFC normalization as an Arrow-batched pandas UDF.
 

@@ -23,7 +23,7 @@ SAME pattern strings.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import let, word_shingles, words
@@ -1464,4 +1464,56 @@ def wilson_host_quality(
         F.col("pos").cast("bigint").alias("n_good"),
         F.round(p, ndigits).alias("rate"),
         F.round(low, ndigits).alias("wilson_low"),
+    )
+
+
+def mad_outlier_report(
+    df: DataFrame,
+    value: Column,
+    group_col: str = "source",
+    z_cut: float = 3.5,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Robust per-group outlier report via median/MAD z-scores.
+
+    Mean/stddev outlier cuts self-destruct on web text (the outliers
+    drag the mean); the modified z-score 0.6745·(x−med)/MAD (Iglewicz
+    & Hoaglin) keeps a 50% breakdown point, so one mega-document per
+    host cannot hide its siblings.  The |z| > 3.5 cut is their
+    recommended default.
+
+    Plan: two exact-percentile aggs keyed on the group (median, then
+    MAD over the re-joined deviations) + one counting agg; the
+    per-group medians are tiny dims, so both re-joins broadcast.
+    Groups where MAD = 0 (>50% identical values) report 0 outliers
+    rather than dividing by zero.  Returns
+    (group, n_docs, med, mad, n_outliers).
+    """
+    vals = df.select(F.col(group_col).alias("grp"), value.alias("v"))
+    med = vals.groupBy("grp").agg(
+        F.expr("percentile(v, 0.5)").alias("med")
+    )
+    dev = vals.join(F.broadcast(med), "grp").withColumn(
+        "d", F.abs(F.col("v") - F.col("med"))
+    )
+    mad = dev.groupBy("grp").agg(
+        F.expr("percentile(d, 0.5)").alias("mad")
+    )
+    z = F.when(
+        F.col("mad") > 0, 0.6745 * F.col("d") / F.col("mad")
+    ).otherwise(F.lit(0.0))
+    return (
+        dev.join(F.broadcast(mad), "grp")
+        .groupBy("grp", "med", "mad")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(z > z_cut, 1).otherwise(0)).alias("n_outliers"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_docs",
+            F.round("med", ndigits).alias("med"),
+            F.round("mad", ndigits).alias("mad"),
+            "n_outliers",
+        )
     )

@@ -963,3 +963,76 @@ def lsh_pair_eval(
             6,
         ).alias("recall"),
     )
+
+
+def _lsh_band_table(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    num_hashes: int,
+    bands: int,
+) -> DataFrame:
+    """(id, bk) — one row per LSH band key, the shared front half of
+    every minhash path here (same lane construction as
+    :func:`minhash_lsh_pairs`)."""
+    rows = num_hashes // bands
+    sig = (
+        df.filter(F.size(T.words(F.col(text_col))) >= shingle_n)
+        .select(
+            F.col(id_col).alias("id"),
+            T.word_shingles(F.col(text_col), shingle_n).alias("sh"),
+        )
+        .select("id", T.minhash_sig(F.col("sh"), num_hashes).alias("sig"))
+    )
+    return sig.select(
+        "id", F.explode(T.lsh_band_keys(F.col("sig"), bands, rows)).alias("bk")
+    )
+
+
+def incremental_minhash_dedup(
+    new: DataFrame,
+    old: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Flag each NEW document that near-duplicates the EXISTING corpus.
+
+    The daily-ingest shape at 100 TB: dedup a fresh crawl batch against
+    an already-deduped corpus WITHOUT re-pairing the corpus with itself.
+    Both sides run the same shingle→minhash→band pipeline; a new doc is
+    a duplicate iff any of its band keys exists on the old side — a
+    left-SEMI join on the band key, so the old side's payload never
+    crosses the shuffle and no pair list materializes.  new-vs-new
+    collisions are deliberately NOT flagged (run
+    :func:`minhash_lsh_pairs` within the batch for that).
+
+    Scale shape: one equi-join keyed on ``bk``.  The old side at
+    corpus scale is the big input — its band table is the thing to
+    persist (bucketed on ``bk``) between ingests so each batch pays
+    only its own minhash pass plus a co-located probe.
+
+    Returns one row per new doc that survived the shingle-length
+    filter: (id, is_dup).
+    """
+    new_bands = _lsh_band_table(
+        new, text_col, id_col, shingle_n, num_hashes, bands
+    )
+    old_bands = _lsh_band_table(
+        old, text_col, id_col, shingle_n, num_hashes, bands
+    ).select("bk")
+    hits = (
+        new_bands.join(old_bands, "bk", "left_semi")
+        .select("id")
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return (
+        new_bands.select("id")
+        .distinct()
+        .join(hits, "id", "left")
+        .select("id", F.coalesce("is_dup", F.lit(False)).alias("is_dup"))
+    )

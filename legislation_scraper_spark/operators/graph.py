@@ -425,3 +425,38 @@ def spam_mass(
         F.round("tr", ndigits).alias("tr"),
         F.round(sm, ndigits).alias("spam_mass"),
     )
+
+
+def reciprocity(edges: DataFrame, ndigits: int = 6) -> DataFrame:
+    """Per-node link reciprocity: fraction of out-links answered by a
+    back-link.
+
+    Link farms exchange links (reciprocity → 1); editorial linking is
+    mostly one-way (the web's global reciprocity is far below 0.5), so
+    a high-reciprocity host cluster with low TrustRank is the classic
+    spam-farm signature (complements :func:`spam_mass`).
+
+    Plan: distinct edges, one self-join on the REVERSED pair (equi-join
+    on both columns — co-partitioned, no broadcast needed at any
+    scale), one agg.  Returns (node, out_deg, n_recip, reciprocity).
+    """
+    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+    back = e.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    ).withColumn("has_back", F.lit(1))
+    return (
+        e.join(back, ["src", "dst"], "left")
+        .groupBy(F.col("src").alias("node"))
+        .agg(
+            F.count("*").alias("out_deg"),
+            F.coalesce(F.sum("has_back"), F.lit(0)).alias("n_recip"),
+        )
+        .select(
+            "node",
+            "out_deg",
+            "n_recip",
+            F.round(F.col("n_recip") / F.col("out_deg"), ndigits).alias(
+                "reciprocity"
+            ),
+        )
+    )

@@ -349,3 +349,94 @@ def aimd_concurrency(
     return per_host.select(
         "host", fold.cast("int").alias("concurrency")
     )
+
+
+def fetch_schedule(
+    frontier: DataFrame,
+    delay_ms: Column,
+    host_col: str = "host",
+    order_cols: tuple[str, ...] = ("priority", "doc_id"),
+    slot_ms: int = 1000,
+) -> DataFrame:
+    """Dispatch-load curve of a politeness-constrained fetch plan.
+
+    Earliest-deadline scheduling under per-host crawl-delay: URL #r of
+    a host (0-based, in ``order_cols`` order) cannot start before
+    ``r * delay_ms``.  Bucketing those start times into ``slot_ms``
+    slots gives the cluster's dispatch-rate curve — the number a
+    capacity planner reads to size fetcher pools, and the shape that
+    exposes a skewed host (a long flat tail = one slow-delay host
+    serializing the round).
+
+    One window shuffle keyed on host (rank), one agg keyed on slot.
+    Returns (slot, n_fetches, n_hosts) per active slot.
+    """
+    w = Window.partitionBy(host_col).orderBy(*order_cols)
+    sched = frontier.select(
+        F.col(host_col).alias("host"),
+        ((F.row_number().over(w) - 1) * delay_ms).alias("start_ms"),
+    )
+    return (
+        sched.groupBy(
+            F.floor(F.col("start_ms") / slot_ms).alias("slot")
+        )
+        .agg(
+            F.count("*").alias("n_fetches"),
+            F.countDistinct("host").alias("n_hosts"),
+        )
+    )
+
+
+def build_hash_ring(
+    n_workers: int, n_vnodes: int = 16
+) -> list[tuple[str, int]]:
+    """Consistent-hash ring: (md5 point, worker) sorted by point.
+
+    Computed driver-side with hashlib (the ring is tiny —
+    workers × vnodes entries) and embedded as a literal in the plan;
+    md5 makes the SAME ring reproducible in any engine.
+    """
+    import hashlib
+
+    ring = [
+        (hashlib.md5(f"w{w}:v{v}".encode()).hexdigest(), w)
+        for w in range(n_workers)
+        for v in range(n_vnodes)
+    ]
+    ring.sort()
+    return ring
+
+
+def consistent_assign(
+    hosts: DataFrame,
+    n_workers: int,
+    n_vnodes: int = 16,
+    host_col: str = "host",
+) -> DataFrame:
+    """Assign each host to a fetch worker by consistent hashing.
+
+    The ring (workers × vnodes md5 points) is a plan literal; a host
+    lands on the first ring point ≥ md5(host), wrapping to the ring
+    minimum.  In-row binary-search-free fold — zero shuffle, zero
+    join — and, the reason to use a ring at all: adding/removing one
+    worker remaps only ~1/n of hosts (modulo hashing remaps nearly
+    all), so per-worker politeness state (cookies, token buckets,
+    AIMD windows) survives fleet resizes.
+
+    Returns the input plus an ``assigned_worker`` column.
+    """
+    ring = build_hash_ring(n_workers, n_vnodes)
+    points = F.array(*[F.lit(p) for p, _ in ring])
+    workers = F.array(*[F.lit(w) for _, w in ring])
+    h = F.md5(F.col(host_col))
+    # index of first point >= h == count of points < h (ring sorted);
+    # == len(ring) means wrap to index 0.
+    idx = F.aggregate(
+        points,
+        F.lit(0),
+        lambda acc, p: acc + F.when(p < h, F.lit(1)).otherwise(F.lit(0)),
+    )
+    wrapped = F.when(idx >= F.lit(len(ring)), F.lit(0)).otherwise(idx)
+    return hosts.withColumn(
+        "assigned_worker", F.get(workers, wrapped)
+    )
