@@ -174,6 +174,13 @@ HEADLINE_EXT = [
     "spam_mass_hosts",
     "mixture_resample",
     "bcubed_dedup",
+    "incremental_dedup",
+    "hopping_window",
+    "winnow_fp",
+    "fetch_schedule",
+    "worker_assign",
+    "mad_outliers",
+    "link_reciprocity",
 ]
 
 

@@ -1004,16 +1004,19 @@ def incremental_minhash_dedup(
     The daily-ingest shape at 100 TB: dedup a fresh crawl batch against
     an already-deduped corpus WITHOUT re-pairing the corpus with itself.
     Both sides run the same shingle→minhash→band pipeline; a new doc is
-    a duplicate iff any of its band keys exists on the old side — a
-    left-SEMI join on the band key, so the old side's payload never
-    crosses the shuffle and no pair list materializes.  new-vs-new
+    a duplicate iff any of its band keys exists on the old side.  The
+    old side collapses to DISTINCT band keys (no payload ever crosses
+    the shuffle), the new side left-joins those keys ONCE and folds to
+    per-id ``max(hit)`` — the new corpus' expensive minhash subtree
+    executes exactly once, and no pair list materializes.  new-vs-new
     collisions are deliberately NOT flagged (run
     :func:`minhash_lsh_pairs` within the batch for that).
 
-    Scale shape: one equi-join keyed on ``bk``.  The old side at
-    corpus scale is the big input — its band table is the thing to
-    persist (bucketed on ``bk``) between ingests so each batch pays
-    only its own minhash pass plus a co-located probe.
+    Scale shape: one equi-join keyed on ``bk`` + one agg keyed on id.
+    The old side at corpus scale is the big input — its distinct band
+    table is the thing to persist (bucketed on ``bk``) between ingests
+    so each batch pays only its own minhash pass plus a co-located
+    probe.
 
     Returns one row per new doc that survived the shingle-length
     filter: (id, is_dup).
@@ -1021,18 +1024,15 @@ def incremental_minhash_dedup(
     new_bands = _lsh_band_table(
         new, text_col, id_col, shingle_n, num_hashes, bands
     )
-    old_bands = _lsh_band_table(
-        old, text_col, id_col, shingle_n, num_hashes, bands
-    ).select("bk")
-    hits = (
-        new_bands.join(old_bands, "bk", "left_semi")
-        .select("id")
+    old_keys = (
+        _lsh_band_table(old, text_col, id_col, shingle_n, num_hashes, bands)
+        .select("bk")
         .distinct()
-        .withColumn("is_dup", F.lit(True))
+        .withColumn("hit", F.lit(1))
     )
     return (
-        new_bands.select("id")
-        .distinct()
-        .join(hits, "id", "left")
-        .select("id", F.coalesce("is_dup", F.lit(False)).alias("is_dup"))
+        new_bands.join(old_keys, "bk", "left")
+        .groupBy("id")
+        .agg((F.max(F.coalesce("hit", F.lit(0))) == 1).alias("is_dup"))
+        .select("id", "is_dup")
     )
