@@ -7170,6 +7170,87 @@ _Q_B9 = {
 _Q.update(_Q_B9)
 
 
+def q_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient
+    (operators/graph.triangle_stats, Suri & Vassilvitskii degree-ordered
+    wedges) over a synthetic host graph src = doc_id%211,
+    dst = (doc_id*31+7)%211 — the link-farm detector (farms are
+    near-bipartite: big degree, near-zero clustering)."""
+    from legislation_scraper_spark.operators.graph import triangle_stats
+
+    d = _t(spark, sf_dir, "documents")
+    e = d.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 211).cast("string")).alias(
+            "src"
+        ),
+        F.concat(
+            F.lit("h"), ((F.col("doc_id") * 31 + 7) % 211).cast("string")
+        ).alias("dst"),
+    )
+    return triangle_stats(e)
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (operators/sampling.weighted_sample, Efraimidis–Spirakis A-ES):
+    top-3 docs per source weighted by text length, selection a pure
+    function of (doc_id, weight) via md5 — reruns and the oracle agree
+    row-for-row (no RNG)."""
+    from legislation_scraper_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    out = weighted_sample(
+        d,
+        key=F.col("doc_id"),
+        weight=F.length("text").cast("double"),
+        stratum_col="source",
+        k=3,
+    )
+    return out.select("doc_id", "source", "sample_rank", "es_key")
+
+
+def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order event funnel (operators/analytics.funnel_stages):
+    signup→view→click→purchase reach + stage conversion, thinned to
+    event_id%5 == user_id%5 so per-user streams are sparse enough for
+    real attrition.  One subject-keyed shuffle; the ordered walk is an
+    in-row fold."""
+    from legislation_scraper_spark.operators.analytics import (
+        funnel_stages,
+    )
+
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_id") % 5 == F.col("user_id") % 5
+    )
+    return funnel_stages(e, ("signup", "view", "click", "purchase"))
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix
+    (operators/analytics.cohort_retention): cohorts staggered by
+    admitting user u only from day 1+7·(u%4), so four cohort weeks
+    emerge from the one-month events table."""
+    from legislation_scraper_spark.operators.analytics import (
+        cohort_retention,
+    )
+
+    e = _t(spark, sf_dir, "events").filter(
+        F.dayofmonth("ts") >= 1 + 7 * (F.col("user_id") % 4)
+    )
+    return cohort_retention(e)
+
+
+_Q_B10 = {
+    "triangle_stats": q_triangle_stats,
+    "weighted_sample": q_weighted_sample,
+    "funnel_stages": q_funnel_stages,
+    "cohort_retention": q_cohort_retention,
+}
+_Q.update(_Q_B10)
+
+
 _ATTEST_PRIORITY: list[str] = [
     # new this round (never sampled) — keep newest additions here.
     # The list is 52 entries vs the driver's 50-query sample:
@@ -7700,6 +7781,116 @@ _ORACLE_B9 = {
     """,
 }
 _ORACLE.update(_ORACLE_B9)
+
+_ORACLE_B10 = {
+    "triangle_stats": """
+        WITH raw AS (
+          SELECT 'h' || CAST(doc_id % 211 AS VARCHAR) AS src,
+                 'h' || CAST((doc_id * 31 + 7) % 211 AS VARCHAR) AS dst
+          FROM documents),
+        und AS (SELECT DISTINCT LEAST(src, dst) AS u,
+                                GREATEST(src, dst) AS v
+                FROM raw WHERE src <> dst),
+        deg AS (SELECT node, COUNT(*) AS degree FROM
+                  (SELECT u AS node FROM und
+                   UNION ALL SELECT v AS node FROM und)
+                GROUP BY node),
+        tri AS (SELECT a.u AS x, a.v AS y, c.v AS z
+                FROM und a
+                JOIN und b ON b.u = a.u AND b.v > a.v
+                JOIN und c ON c.u = a.v AND c.v = b.v),
+        pn AS (SELECT node, COUNT(*) AS n_tri FROM
+                 (SELECT x AS node FROM tri
+                  UNION ALL SELECT y AS node FROM tri
+                  UNION ALL SELECT z AS node FROM tri)
+               GROUP BY node)
+        SELECT deg.node, deg.degree,
+               CAST(COALESCE(pn.n_tri, 0) AS BIGINT) AS n_tri,
+               ROUND(CASE WHEN deg.degree > 1
+                          THEN 2.0 * COALESCE(pn.n_tri, 0)
+                               / (deg.degree * (deg.degree - 1))
+                          ELSE 0.0 END, 6) AS clustering
+        FROM deg LEFT JOIN pn ON deg.node = pn.node
+    """,
+    "weighted_sample": """
+        WITH s AS (
+          SELECT doc_id, source,
+                 POW((CAST(CONCAT('0x', SUBSTRING(
+                        md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                      + 1.0) / 4294967296.0,
+                     1.0 / LENGTH(text)) AS es
+          FROM documents WHERE LENGTH(text) > 0)
+        SELECT doc_id, source,
+               CAST(ROW_NUMBER() OVER (PARTITION BY source
+                 ORDER BY es DESC, CAST(doc_id AS VARCHAR)) AS INT)
+                 AS sample_rank,
+               ROUND(es, 6) AS es_key
+        FROM s
+        QUALIFY sample_rank <= 3
+    """,
+    "funnel_stages": """
+        -- greedy earliest-match chain == the Spark in-row fold over the
+        -- (ts, event_type)-sorted stream (the encoded key totally
+        -- orders it); avoids DuckDB 1.0 list_reduce-in-GROUP-BY, which
+        -- returns wrong folds for some groups in multi-group runs
+        WITH f AS (
+          SELECT user_id, event_type AS et,
+                 strftime(ts, '%Y-%m-%d %H:%M:%S.%f') || '|' || event_type
+                   AS k
+          FROM events
+          WHERE event_id % 5 = user_id % 5
+            AND event_type IN ('signup', 'view', 'click', 'purchase')),
+        t1 AS (SELECT user_id, MIN(k) AS k1 FROM f
+               WHERE et = 'signup' GROUP BY user_id),
+        t2 AS (SELECT f.user_id, MIN(k) AS k2 FROM f
+               JOIN t1 ON f.user_id = t1.user_id AND f.k > t1.k1
+               WHERE et = 'view' GROUP BY f.user_id),
+        t3 AS (SELECT f.user_id, MIN(k) AS k3 FROM f
+               JOIN t2 ON f.user_id = t2.user_id AND f.k > t2.k2
+               WHERE et = 'click' GROUP BY f.user_id),
+        t4 AS (SELECT f.user_id, MIN(k) AS k4 FROM f
+               JOIN t3 ON f.user_id = t3.user_id AND f.k > t3.k3
+               WHERE et = 'purchase' GROUP BY f.user_id),
+        reach AS (
+          SELECT 1 AS stage_idx, 'signup' AS stage,
+                 (SELECT COUNT(*) FROM t1) AS n_users
+          UNION ALL SELECT 2, 'view', (SELECT COUNT(*) FROM t2)
+          UNION ALL SELECT 3, 'click', (SELECT COUNT(*) FROM t3)
+          UNION ALL SELECT 4, 'purchase', (SELECT COUNT(*) FROM t4))
+        SELECT stage_idx, stage, n_users,
+               ROUND(CASE WHEN COALESCE(LAG(n_users)
+                            OVER (ORDER BY stage_idx), 0) > 0
+                          THEN CAST(n_users AS DOUBLE)
+                               / LAG(n_users) OVER (ORDER BY stage_idx)
+                          ELSE 1.0 END, 6) AS conversion
+        FROM reach
+    """,
+    "cohort_retention": """
+        WITH f AS (
+          SELECT user_id, ts FROM events
+          WHERE EXTRACT(day FROM ts) >= 1 + 7 * (user_id % 4)),
+        first AS (
+          SELECT user_id,
+                 CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+          FROM f GROUP BY user_id),
+        active AS (
+          SELECT DISTINCT user_id,
+                 CAST(date_trunc('week', ts) AS DATE) AS week
+          FROM f),
+        cells AS (
+          SELECT cohort_week,
+                 CAST((week - cohort_week) // 7 AS INT) AS week_offset,
+                 COUNT(DISTINCT a.user_id) AS n_users
+          FROM active a JOIN first USING (user_id)
+          GROUP BY 1, 2)
+        SELECT c.cohort_week, c.week_offset, c.n_users,
+               ROUND(CAST(c.n_users AS DOUBLE) / b.n_users, 6)
+                 AS retention
+        FROM cells c JOIN (SELECT cohort_week, n_users FROM cells
+                           WHERE week_offset = 0) b USING (cohort_week)
+    """,
+}
+_ORACLE.update(_ORACLE_B10)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -460,3 +460,89 @@ def reciprocity(edges: DataFrame, ndigits: int = 6) -> DataFrame:
             ),
         )
     )
+
+
+def triangle_stats(edges: DataFrame, ndigits: int = 6) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient.
+
+    Triangle density separates organic communities from link farms
+    (farms are near-bipartite: huge degree, few closed wedges), and the
+    local clustering coefficient 2·T/(d·(d−1)) is the per-node form.
+
+    Plan (Suri & Vassilvitskii WWW'11 degree-ordered node-iterator —
+    the MapReduce-scalable triangle algorithm):
+
+    1. simple undirected edge set (self-loops out, both directions
+       collapsed to ``u < v``), one distinct;
+    2. degrees, joined onto both endpoints (degree dim is
+       node-cardinality);
+    3. orient every edge low→high in the (degree, node) total order —
+       this caps out-degree at O(√m) even for celebrity nodes, so
+    4. the wedge self-join on the oriented source emits only
+       O(m^{3/2}) wedges overall (vs unbounded d² around hubs), and
+    5. one equi-join of wedges against oriented edges closes them.
+
+    Per-triangle rows explode to the 3 member nodes, one count agg,
+    left-joined back onto degrees (nodes in no triangle report 0).
+    Returns (node, degree, n_tri, clustering) for every node with
+    degree ≥ 1.
+    """
+    und = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("dv"))
+    ranked = und.join(du, "u").join(dv, "v")
+    # orient low→high in the (degree, node) total order
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ranked.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
+    )
+    lo = oriented.select(F.col("a"), F.col("b").alias("x"), F.col("db").alias("dx"))
+    hi = oriented.select(F.col("a"), F.col("b").alias("y"), F.col("db").alias("dy"))
+    wedges = lo.join(hi, "a").filter(
+        (F.col("dx") < F.col("dy"))
+        | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+    )
+    closing = oriented.select(
+        F.col("a").alias("x"), F.col("b").alias("y")
+    )
+    tri = wedges.join(closing, ["x", "y"]).select("a", "x", "y")
+    per_node = (
+        tri.select(F.explode(F.array("a", "x", "y")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_tri"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("n_tri", F.lit(0)).alias("n_tri"),
+            F.round(
+                F.when(
+                    F.col("degree") > 1,
+                    2.0
+                    * F.coalesce("n_tri", F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - 1)),
+                ).otherwise(F.lit(0.0)),
+                ndigits,
+            ).alias("clustering"),
+        )
+    )

@@ -76,3 +76,49 @@ def stratified_sample(
         .filter(keep)
         .drop("_stratum", "_rate")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key: Column,
+    weight: Column,
+    stratum_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted top-k sample per stratum (A-ES).
+
+    Efraimidis & Spirakis (IPL 2006): draw u ~ U(0,1] per row and keep
+    the k largest ``u^(1/w)`` — exactly a weighted sample WITHOUT
+    replacement, in one pass, mergeable across partitions.  Here u is
+    md5-derived from the row key (same engine-neutral discipline as
+    :func:`sample_bucket`), so the selected set is a pure function of
+    (keys, weights, salt): reruns, repartitions, and the DuckDB oracle
+    agree row-for-row.
+
+    Plan: in-row key computation + one per-stratum top-k window.  The
+    map-side WindowGroupLimit pushes ``rank <= k`` below the sort, so
+    no stratum's full population ever sorts on one task.  Rows with
+    weight <= 0 never qualify.  Returns the input columns plus
+    ``es_key`` (rounded 6dp) and ``sample_rank``.
+    """
+    from pyspark.sql import Window
+
+    # u in (0,1]: (first 8 md5 nibbles + 1) / 2^32
+    u = (
+        F.conv(F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 8), 16, 10)
+        .cast("double")
+        + 1.0
+    ) / F.lit(4294967296.0)
+    es = F.when(weight > 0, F.pow(u, 1.0 / weight)).otherwise(F.lit(None))
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.col("_es").desc(), key.cast("string")
+    )
+    return (
+        df.withColumn("_es", es)
+        .filter(F.col("_es").isNotNull())
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+        .withColumn("es_key", F.round(F.col("_es"), 6))
+        .drop("_es")
+    )
