@@ -181,6 +181,10 @@ HEADLINE_EXT = [
     "worker_assign",
     "mad_outliers",
     "link_reciprocity",
+    "triangle_stats",
+    "weighted_sample",
+    "funnel_stages",
+    "cohort_retention",
 ]
 
 
