@@ -7170,16 +7170,11 @@ _Q_B9 = {
 _Q.update(_Q_B9)
 
 
-def q_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-node triangle counts + local clustering coefficient
-    (operators/graph.triangle_stats, Suri & Vassilvitskii degree-ordered
-    wedges) over a synthetic host graph src = doc_id%211,
-    dst = (doc_id*31+7)%211 — the link-farm detector (farms are
-    near-bipartite: big degree, near-zero clustering)."""
-    from legislation_scraper_spark.operators.graph import triangle_stats
-
+def _host_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic host graph shared by the graph-analytics queries:
+    src = doc_id%211, dst = (doc_id*31+7)%211 ('h'-prefixed)."""
     d = _t(spark, sf_dir, "documents")
-    e = d.select(
+    return d.select(
         F.concat(F.lit("h"), (F.col("doc_id") % 211).cast("string")).alias(
             "src"
         ),
@@ -7187,7 +7182,16 @@ def q_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("h"), ((F.col("doc_id") * 31 + 7) % 211).cast("string")
         ).alias("dst"),
     )
-    return triangle_stats(e)
+
+
+def q_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient
+    (operators/graph.triangle_stats, Suri & Vassilvitskii degree-ordered
+    wedges) over the synthetic host graph — the link-farm detector
+    (farms are near-bipartite: big degree, near-zero clustering)."""
+    from legislation_scraper_spark.operators.graph import triangle_stats
+
+    return triangle_stats(_host_edges(spark, sf_dir))
 
 
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7249,6 +7253,96 @@ _Q_B10 = {
     "cohort_retention": q_cohort_retention,
 }
 _Q.update(_Q_B10)
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the host graph after 8 synchronous peel rounds
+    (operators/graph.kcore_peel): the mutually-linked dense center vs
+    the tree-like fringe — peel survivors get different crawl-trust
+    priors.  Fixed round count makes the result an exact function of
+    the input (the oracle unrolls the same 8 rounds); at cluster scale
+    the identical per-round plan runs to convergence."""
+    from legislation_scraper_spark.operators.graph import kcore_peel
+
+    return kcore_peel(_host_edges(spark, sf_dir), k=3, rounds=8)
+
+
+def q_degree_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average-neighbor-degree curve knn(d)
+    (operators/graph.degree_mixing): rising = assortative social core,
+    falling = hub-and-spoke — the link-farm wiring signature (sybils
+    all point at one hub)."""
+    from legislation_scraper_spark.operators.graph import degree_mixing
+
+    return degree_mixing(_host_edges(spark, sf_dir))
+
+
+def q_hll_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-distinct growth curve via HLL register merge
+    (operators/sketches.hll_cumulative): distinct (user, page-slot)
+    pairs seen up to each day — yesterday's registers + today's batch,
+    never a corpus re-scan.  Early days exercise the linear-counting
+    branch, late days the raw-estimate branch."""
+    from legislation_scraper_spark.operators.sketches import (
+        hll_cumulative,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    keyed = e.select(
+        F.to_date("ts").alias("day"),
+        F.concat(
+            F.lit("u"),
+            F.col("user_id").cast("string"),
+            F.lit("/p"),
+            (F.col("event_id") % 503).cast("string"),
+        ).alias("k"),
+    )
+    return hll_cumulative(keyed, "k", "day")
+
+
+def q_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language precision/recall/F1 of the n-gram language-ID
+    against the table's ground-truth ``lang`` label — the eval twin of
+    `lang_id` (which attests the raw confusion cells).  Contingency agg
+    + two label-cardinality marginals, all broadcastable."""
+    d = _t(spark, sf_dir, "documents")
+    cells = (
+        d.select("lang", T.lang_id(F.col("text")).alias("pred"))
+        .groupBy("lang", "pred")
+        .agg(F.count("*").alias("n"))
+    )
+    rt = cells.groupBy("lang").agg(F.sum("n").alias("n_docs"))
+    ct = cells.groupBy("pred").agg(F.sum("n").alias("n_pred"))
+    dg = cells.filter(F.col("lang") == F.col("pred")).select(
+        "lang", F.col("n").alias("tp")
+    )
+    j = rt.join(dg, "lang", "left").join(
+        ct.withColumnRenamed("pred", "lang"), "lang", "left"
+    )
+    tp = F.coalesce(F.col("tp"), F.lit(0)).cast("double")
+    prec = F.when(
+        F.coalesce(F.col("n_pred"), F.lit(0)) > 0, tp / F.col("n_pred")
+    ).otherwise(F.lit(0.0))
+    rec = tp / F.col("n_docs")
+    f1 = F.when(
+        prec + rec > 0, 2 * prec * rec / (prec + rec)
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        "lang",
+        "n_docs",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )
+
+
+_Q_B11 = {
+    "kcore": q_kcore,
+    "degree_mixing": q_degree_mixing,
+    "hll_cumulative": q_hll_cumulative,
+    "langid_eval": q_langid_eval,
+}
+_Q.update(_Q_B11)
 
 
 _ATTEST_PRIORITY: list[str] = [
@@ -7891,6 +7985,152 @@ _ORACLE_B10 = {
     """,
 }
 _ORACLE.update(_ORACLE_B10)
+
+_HOST_EDGES_SQL = """
+        raw AS (
+          SELECT 'h' || CAST(doc_id % 211 AS VARCHAR) AS src,
+                 'h' || CAST((doc_id * 31 + 7) % 211 AS VARCHAR) AS dst
+          FROM documents),
+        e0 AS (SELECT DISTINCT LEAST(src, dst) AS u,
+                               GREATEST(src, dst) AS v
+               FROM raw WHERE src <> dst)"""
+
+
+def _duck_kcore_sql(k: int = 3, rounds: int = 8) -> str:
+    """Unrolled synchronous k-core peel — one (survivor, re-induce)
+    CTE pair per round, mirroring kcore_peel's loop exactly.  Every
+    round CTE is MATERIALIZED: each e{i} is referenced three times, so
+    DuckDB's default CTE inlining would re-expand the chain ~5^rounds
+    times (observed as a too-many-open-files parquet re-scan storm)."""
+    parts = ["WITH " + _HOST_EDGES_SQL]
+    for i in range(rounds):
+        parts.append(f""",
+        s{i} AS MATERIALIZED (SELECT node FROM
+                   (SELECT u AS node FROM e{i}
+                    UNION ALL SELECT v AS node FROM e{i})
+                 GROUP BY node HAVING COUNT(*) >= {k}),
+        e{i + 1} AS MATERIALIZED (SELECT u, v FROM e{i}
+                     JOIN s{i} a ON e{i}.u = a.node
+                     JOIN s{i} b ON e{i}.v = b.node)""")
+    parts.append(f"""
+        SELECT node, COUNT(*) AS core_degree FROM
+          (SELECT u AS node FROM e{rounds}
+           UNION ALL SELECT v AS node FROM e{rounds})
+        GROUP BY node""")
+    return "".join(parts)
+
+
+_HLL_REG_SQL = """
+          (strpos('0123456789abcdef', substr(md5(k), 1, 1)) - 1) * 256
+          + (strpos('0123456789abcdef', substr(md5(k), 2, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr(md5(k), 3, 1)) - 1)
+            AS bucket,
+          (length(substr(md5(k), 4, 13))
+           - length(ltrim(substr(md5(k), 4, 13), '0'))) * 4
+          + CASE substr(ltrim(substr(md5(k), 4, 13), '0'), 1, 1)
+              WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+              WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+              WHEN '7' THEN 1 ELSE 0 END
+          + 1 AS rank"""
+
+_HLL_RAW_EST = (
+    "0.7213 / (1 + 1.079 / 4096) * 4096 * 4096 * pow(2, 50)"
+    " / CAST(s_fixed AS DOUBLE)"
+)
+
+_ORACLE_B11 = {
+    "kcore": _duck_kcore_sql(k=3, rounds=8),
+    "degree_mixing": "WITH "
+    + _HOST_EDGES_SQL
+    + """,
+        deg AS (SELECT node, COUNT(*) AS d FROM
+                  (SELECT u AS node FROM e0
+                   UNION ALL SELECT v AS node FROM e0)
+                GROUP BY node),
+        ends AS (
+          SELECT du.d AS degree, dv.d AS nbr
+          FROM e0 JOIN deg du ON e0.u = du.node
+                  JOIN deg dv ON e0.v = dv.node
+          UNION ALL
+          SELECT dv.d AS degree, du.d AS nbr
+          FROM e0 JOIN deg du ON e0.u = du.node
+                  JOIN deg dv ON e0.v = dv.node)
+        SELECT degree, COUNT(*) AS n_endpoints,
+               ROUND(AVG(nbr), 6) AS avg_nbr_degree
+        FROM ends GROUP BY degree
+    """,
+    "hll_cumulative": f"""
+        WITH keyed AS (
+          SELECT CAST(ts AS DATE) AS day,
+                 'u' || CAST(user_id AS VARCHAR) || '/p'
+                     || CAST(event_id % 503 AS VARCHAR) AS k
+          FROM events),
+        regs AS (SELECT day, {_HLL_REG_SQL}
+                 FROM keyed),
+        dmax AS (SELECT day, bucket, MAX(rank) AS mr FROM regs
+                 GROUP BY day, bucket),
+        days AS (SELECT DISTINCT day AS as_of FROM regs),
+        cum AS (SELECT as_of, bucket, MAX(mr) AS mr
+                FROM dmax JOIN days ON dmax.day <= days.as_of
+                GROUP BY as_of, bucket),
+        agg AS (SELECT as_of, COUNT(*) AS nb,
+                       SUM(CAST(pow(2, 50 - LEAST(mr, 50)) AS BIGINT))
+                         AS su
+                FROM cum GROUP BY as_of),
+        firsts AS (SELECT MIN(day) AS fd FROM keyed GROUP BY k),
+        fx AS (SELECT fd, COUNT(*) AS nf FROM firsts GROUP BY fd),
+        exact AS (SELECT as_of, CAST(SUM(nf) AS BIGINT) AS n_exact
+                  FROM fx JOIN days ON fx.fd <= days.as_of
+                  GROUP BY as_of),
+        fin AS (SELECT agg.as_of AS day, n_exact,
+                       CAST(4096 - nb AS BIGINT) AS v_empty,
+                       CAST(su + CAST(4096 - nb AS BIGINT)
+                            * CAST(pow(2, 50) AS BIGINT) AS BIGINT)
+                         AS s_fixed
+                FROM agg JOIN exact ON agg.as_of = exact.as_of)
+        SELECT day, n_exact, v_empty, s_fixed,
+               ROUND(CASE WHEN {_HLL_RAW_EST} < 2.5 * 4096
+                           AND v_empty > 0
+                          THEN 4096.0 * ln(4096.0
+                               / CAST(v_empty AS DOUBLE))
+                          ELSE {_HLL_RAW_EST} END, 2) AS est
+        FROM fin
+    """,
+    "langid_eval": f"""
+        WITH cells AS ({_duck_lang_sql()}),
+        rt AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n_docs
+               FROM cells GROUP BY lang),
+        ct AS (SELECT predicted, CAST(SUM(cnt) AS BIGINT) AS n_pred
+               FROM cells GROUP BY predicted),
+        dg AS (SELECT lang, cnt AS tp FROM cells WHERE lang = predicted)
+        SELECT rt.lang, rt.n_docs,
+               ROUND(CASE WHEN COALESCE(ct.n_pred, 0) > 0
+                          THEN CAST(COALESCE(dg.tp, 0) AS DOUBLE)
+                               / ct.n_pred
+                          ELSE 0.0 END, 6) AS precision,
+               ROUND(CAST(COALESCE(dg.tp, 0) AS DOUBLE) / rt.n_docs, 6)
+                 AS recall,
+               ROUND(CASE WHEN (CASE WHEN COALESCE(ct.n_pred, 0) > 0
+                                     THEN CAST(COALESCE(dg.tp, 0)
+                                          AS DOUBLE) / ct.n_pred
+                                     ELSE 0.0 END)
+                           + CAST(COALESCE(dg.tp, 0) AS DOUBLE)
+                             / rt.n_docs > 0
+                          THEN 2 * (CAST(COALESCE(dg.tp, 0) AS DOUBLE)
+                                    / ct.n_pred)
+                               * (CAST(COALESCE(dg.tp, 0) AS DOUBLE)
+                                  / rt.n_docs)
+                               / ((CAST(COALESCE(dg.tp, 0) AS DOUBLE)
+                                   / ct.n_pred)
+                                  + (CAST(COALESCE(dg.tp, 0) AS DOUBLE)
+                                     / rt.n_docs))
+                          ELSE 0.0 END, 6) AS f1
+        FROM rt
+        LEFT JOIN dg ON rt.lang = dg.lang
+        LEFT JOIN ct ON rt.lang = ct.predicted
+    """,
+}
+_ORACLE.update(_ORACLE_B11)
 
 
 def entry(spark: SparkSession) -> DataFrame:

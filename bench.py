@@ -185,6 +185,10 @@ HEADLINE_EXT = [
     "weighted_sample",
     "funnel_stages",
     "cohort_retention",
+    "kcore",
+    "degree_mixing",
+    "hll_cumulative",
+    "langid_eval",
 ]
 
 

@@ -546,3 +546,100 @@ def triangle_stats(edges: DataFrame, ndigits: int = 6) -> DataFrame:
             ).alias("clustering"),
         )
     )
+
+
+def _simple_undirected(edges: DataFrame) -> DataFrame:
+    """Self-loops out, both directions collapsed to u < v, distinct."""
+    return (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .distinct()
+    )
+
+
+def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 8) -> DataFrame:
+    """Bounded-round k-core peel: the dense-core extractor.
+
+    Repeat ``rounds`` times: drop every node whose degree in the
+    current induced subgraph is < k (all at once — the synchronous
+    peel), then re-induce the edge set.  The k-core (maximal subgraph
+    with all degrees ≥ k) is the fixpoint; a FIXED round count keeps
+    the computation a deterministic, oracle-expressible function of the
+    input while preserving the production plan shape — at cluster scale
+    the same loop runs to convergence (each round is one degree agg +
+    one semi-join pair, all node-/edge-cardinality frames).
+
+    Crawl use: the k-core of the host graph is the mutually-linked
+    center (directories, link exchanges, genuine hubs); peel survivors
+    get different trust priors than the tree-like fringe.
+
+    Returns (node, core_degree): degrees within the edge set after
+    ``rounds`` peels (no final filter — round counts are part of the
+    contract).  Each round ``localCheckpoint``s the shrinking edge set:
+    the degree agg and both joins read it twice, and lineage would
+    otherwise double per round.
+    """
+    cur = _simple_undirected(edges)
+    for _ in range(rounds):
+        cur = cur.localCheckpoint(eager=False)
+        keep = (
+            cur.select(F.col("u").alias("node"))
+            .unionAll(cur.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("d"))
+            .filter(F.col("d") >= k)
+            .select("node")
+        )
+        cur = (
+            cur.join(keep.withColumnRenamed("node", "u"), "u")
+            .join(keep.withColumnRenamed("node", "v"), "v")
+            .select("u", "v")
+        )
+    return (
+        cur.select(F.col("u").alias("node"))
+        .unionAll(cur.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("core_degree"))
+    )
+
+
+def degree_mixing(edges: DataFrame, ndigits: int = 6) -> DataFrame:
+    """Average-neighbor-degree curve knn(d) — degree assortativity.
+
+    For each degree d, the mean degree of the neighbors of degree-d
+    nodes (Pastor-Satorras et al.: knn(d) rising = assortative social
+    core; falling = disassortative hub-and-spoke, the link-farm /
+    spam-network signature — farms wire low-degree sybils to one hub).
+
+    Plan: one degree agg, two node-cardinality dim joins onto the
+    distinct edge list (co-partitioned equi-joins), each undirected
+    edge contributing both (d_u→d_v) and (d_v→d_u) endpoints in-row,
+    then a ≤ max-degree-row agg.  No iteration, no wedge expansion.
+
+    Returns (degree, n_endpoints, avg_nbr_degree).
+    """
+    und = _simple_undirected(edges)
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    joined = und.join(
+        deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u"
+    ).join(
+        deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v"
+    )
+    ends = joined.select(
+        F.col("du").alias("degree"), F.col("dv").alias("nbr")
+    ).unionAll(
+        joined.select(F.col("dv").alias("degree"), F.col("du").alias("nbr"))
+    )
+    return ends.groupBy("degree").agg(
+        F.count("*").alias("n_endpoints"),
+        F.round(F.avg("nbr"), ndigits).alias("avg_nbr_degree"),
+    )

@@ -337,3 +337,92 @@ def psi_report(
             F.round((p2 - p1) * F.log(p2 / p1), ndigits).alias("psi_term"),
         )
     )
+
+
+def _hll_estimate(nb: Column, su: Column) -> tuple[Column, Column, Column]:
+    """(v_empty, s_fixed, est) from used-register count + used-register
+    fixed-point sum — the shared tail of hll_cardinality/hll_cumulative."""
+    v_empty = (F.lit(M) - nb).cast("bigint")
+    s_fixed = su + v_empty * F.lit(1 << RANK_CAP)
+    raw = (
+        F.lit(ALPHA_M * M * M)
+        * F.pow(F.lit(2.0), F.lit(RANK_CAP))
+        / s_fixed.cast("double")
+    )
+    v = v_empty.cast("double")
+    corrected = F.when(
+        (raw < 2.5 * M) & (v_empty > 0),
+        F.lit(float(M)) * F.log(F.lit(float(M)) / v),
+    ).otherwise(raw)
+    return v_empty, s_fixed, F.round(corrected, 2)
+
+
+def hll_cumulative(
+    df: DataFrame, col: str, day_col: str = "day"
+) -> DataFrame:
+    """Cumulative-distinct growth curve via HLL register merge.
+
+    The mergeability demo: per-day register states (max rank per
+    bucket) OR together by plain max, so the as-of-day-d estimate
+    is computable from day summaries alone — the incremental-ingest
+    shape (yesterday's registers + today's batch; never re-scan the
+    corpus).  Same md5 register discipline as :func:`hll_cardinality`,
+    so DuckDB replays the exact state.
+
+    Plan: one (day, bucket) agg over the input — the only exchange
+    that sees input-cardinality rows; from there everything operates
+    on register space (≤ days·m rows): a broadcast ≤-day range join
+    fans registers to the as-of days, then per-day register agg.  The
+    exact reference curve comes from first-day-per-key (one key agg)
+    rolled forward the same way.
+
+    Returns (day, n_exact, v_empty, s_fixed, est) — one row per
+    distinct day, curve non-decreasing.
+    """
+    bucket, rank = hll_register(F.col(col))
+    regs = (
+        df.select(
+            F.col(day_col).alias("day"),
+            bucket.alias("bucket"),
+            rank.alias("rank"),
+        )
+        .groupBy("day", "bucket")
+        .agg(F.max("rank").alias("mr"))
+    )
+    days = regs.select("day").distinct().withColumnRenamed("day", "as_of")
+    cum = (
+        regs.join(F.broadcast(days), F.col("day") <= F.col("as_of"))
+        .groupBy("as_of", "bucket")
+        .agg(F.max("mr").alias("mr"))
+    )
+    term = F.pow(
+        F.lit(2.0),
+        (F.lit(RANK_CAP) - F.least(F.col("mr"), F.lit(RANK_CAP)))
+        .cast("double"),
+    ).cast("bigint")
+    agg = cum.groupBy("as_of").agg(
+        F.count("*").alias("nb"), F.sum(term).alias("su")
+    )
+    firsts = (
+        df.select(F.col(col).alias("k"), F.col(day_col).alias("day"))
+        .groupBy("k")
+        .agg(F.min("day").alias("fd"))
+        .groupBy("fd")
+        .agg(F.count("*").alias("nf"))
+    )
+    exact = (
+        firsts.join(F.broadcast(days), F.col("fd") <= F.col("as_of"))
+        .groupBy("as_of")
+        .agg(F.sum("nf").alias("n_exact"))
+    )
+    v_empty, s_fixed, est = _hll_estimate(F.col("nb"), F.col("su"))
+    return (
+        agg.join(exact, "as_of")
+        .select(
+            F.col("as_of").alias("day"),
+            "n_exact",
+            v_empty.alias("v_empty"),
+            s_fixed.alias("s_fixed"),
+            est.alias("est"),
+        )
+    )
