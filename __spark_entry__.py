@@ -7345,23 +7345,93 @@ _Q_B11 = {
 _Q.update(_Q_B11)
 
 
+def _merge_demo_table(spark: SparkSession, sf_dir: str):
+    """Build a small copy-on-write table from ``documents`` and run the
+    round-4 row-level rewrite path (tables.Table.merge_upsert /
+    delete_where — the Iceberg v2 COW analogue, PLANS.md §25)
+    end-to-end: two appends (so the key-pruned probe scan has multiple
+    file sets to prune), a MERGE whose source both updates (doc_id%3==0
+    rows already present) and inserts (doc_id%3==0 ∧ doc_id%4==3 rows
+    the target never held), then a row-level DELETE.  Returns
+    ``(table, pre_merge_version)``.
+
+    The table lives in a throwaway directory (under /dev/shm when
+    available — the sandbox virtio disk stalls under concurrent
+    writers) and is rebuilt per call, so the driver, bench, and tests
+    all see deterministic content at any sf.  The directory is left in
+    place: the returned DataFrames are lazy and the caller (driver)
+    collects after this function returns."""
+    import tempfile
+    from legislation_scraper_spark.tables import Catalog
+
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="lss_merge_demo_", dir=shm)
+    t = Catalog(spark, root).table("state")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    target = d.filter(F.col("doc_id") % 4 != 3)
+    t.append(target.filter(F.col("doc_id") % 2 == 0))
+    t.append(target.filter(F.col("doc_id") % 2 != 0))
+    pre = t.current_version()
+    src = d.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id",
+        F.lit("xx").alias("lang"),
+        (F.col("n_chars") * 2).alias("n_chars"),
+    )
+    t.merge_upsert(src, ["doc_id"])
+    t.delete_where(F.col("n_chars") < 200)
+    return t, pre
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level MERGE + DELETE through the real table layer: the
+    CURRENT snapshot after ``_merge_demo_table``'s upsert (update +
+    insert arms) and delete.  The oracle is the closed-form relational
+    algebra of the same operations (survivor anti-join ∪ source,
+    then the NOT-matching filter)."""
+    t, _ = _merge_demo_table(spark, sf_dir)
+    return t.read().select("doc_id", "lang", "n_chars")
+
+
+def q_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel ACROSS row-level rewrites: read the
+    pre-merge version of the demo table after a COW merge AND a delete
+    have committed on top of it — the old file sets must survive both
+    rewrites until expire_snapshots (Iceberg time-travel contract).
+    Oracle: the pre-merge target relation."""
+    t, pre = _merge_demo_table(spark, sf_dir)
+    return t.read(version=pre).select("doc_id", "lang", "n_chars")
+
+
+_Q_B12 = {
+    "merge_upsert": q_merge_upsert,
+    "time_travel_read": q_time_travel_read,
+}
+_Q.update(_Q_B12)
+
+
 _ATTEST_PRIORITY: list[str] = [
-    # new this round (never sampled) — keep newest additions here.
-    # The list is 52 entries vs the driver's 50-query sample:
-    # value_percentiles + pivot_event_counts (last two, r1-GREEN,
-    # merely stale) are the ones deliberately left for the r5
-    # rotation — every never-attested query stays inside the sample.
-    "minhash_lsh_edges",
-    "dsir_weights",
-    "perplexity_buckets",
-    "semantic_dedup",
-    # never driver-attested as of r3 (incl. the four stale r1 reds,
-    # fixed in r2 and repo-green since: multimodal_features,
-    # json_extract, sessionize_gap, token_bucket_admission)
+    # Every query with NO driver-green CORRECTNESS row across r1-r3
+    # (87 of 178, plus the two late-r4 merge/time-travel queries
+    # inserted into the head => 89 of 180), ordered so the driver's 50-query sample closes the
+    # attestation gap fastest: the four stale r1 reds (fixed in r2,
+    # repo-green since) and the committed-fixture-backed queries first
+    # (most at risk, want an r4 row so any failure is fixable in r5),
+    # then the 26 r3-era never-sampled queries, then round-4 additions
+    # in registry order.  Entries 51-89 are the deliberate r5 slate --
+    # 89 <= 2x50, so every registry query lands in a driver sample by
+    # end of r5.  Regenerate with the never-green computation in
+    # PLANS.md section "attestation ordering".
     "multimodal_features",
     "json_extract",
     "sessionize_gap",
     "token_bucket_admission",
+    "bpe_merges",
+    "bpe_encode",
+    "token_fertility",
+    "dsir_weights",
+    "perplexity_buckets",
+    "merge_upsert",
+    "time_travel_read",
     "classifier_scores",
     "host_lang_rollup",
     "cc_pipeline",
@@ -7388,25 +7458,58 @@ _ATTEST_PRIORITY: list[str] = [
     "seed_hops",
     "sitemap_staleness",
     "percent_normalize",
-    # last driver-green in r1 (two rounds stale)
-    "dedup_ngram_jaccard",
-    "similarity_topk",
-    "similarity_ivf_full",
-    "similarity_lsh_buckets",
-    "dedup_embedding_cosine",
-    "lang_id",
-    "quality_scores",
-    "doc_fingerprints",
-    "tumbling_window",
-    "distinct_parts",
-    "rollup_counts",
-    "asof_join",
-    "interval_join",
-    "stratified_sample",
-    "dim_lookup_map",
-    "first_event_per_user",
-    "value_percentiles",
-    "pivot_event_counts",
+    "minhash_lsh_edges",
+    "semantic_dedup",
+    "passage_chunks",
+    "ann_recall",
+    "kmeans_clusters",
+    "fuzzy_title_pairs",
+    "mojibake_repair",
+    "soft404_detect",
+    "date_extract",
+    "feed_parse",
+    "content_sniff",
+    "quantized_ann",
+    "aimd_concurrency",
+    "skew_report",
+    "zorder_key",
+    "webtext_pipeline",
+    "table_stats",
+    "revalidation",
+    "compaction_plan",
+    "c4_clean",
+    "char_entropy",
+    "containment_pairs",
+    "minhash_recall",
+    "blocklist_filter",
+    "saturation_curve",
+    "pmi_bigrams",
+    "tfidf_keywords",
+    "bigram_logprob",
+    "zipf_fit",
+    "readability",
+    "psi_drift",
+    "keepalive_reuse",
+    "kn_logprob",
+    "wilson_hosts",
+    "spam_mass_hosts",
+    "mixture_resample",
+    "bcubed_dedup",
+    "incremental_dedup",
+    "hopping_window",
+    "winnow_fp",
+    "fetch_schedule",
+    "worker_assign",
+    "mad_outliers",
+    "link_reciprocity",
+    "triangle_stats",
+    "weighted_sample",
+    "funnel_stages",
+    "cohort_retention",
+    "kcore",
+    "degree_mixing",
+    "hll_cumulative",
+    "langid_eval",
 ]
 
 
@@ -8131,6 +8234,32 @@ _ORACLE_B11 = {
     """,
 }
 _ORACLE.update(_ORACLE_B11)
+
+# Closed-form relational algebra of the COW MERGE/DELETE demo
+# (_merge_demo_table): target = documents with doc_id%4<>3; source
+# updates-or-inserts every doc_id%3==0 row with lang='xx', doubled
+# n_chars; DELETE drops post-merge rows with n_chars < 200.
+_ORACLE_B12 = {
+    "merge_upsert": """
+        WITH target AS (
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE doc_id % 4 <> 3
+        ), src AS (
+            SELECT doc_id, 'xx' AS lang, n_chars * 2 AS n_chars
+            FROM documents WHERE doc_id % 3 = 0
+        ), merged AS (
+            SELECT * FROM target WHERE doc_id % 3 <> 0
+            UNION ALL SELECT * FROM src
+        )
+        SELECT doc_id, lang, n_chars FROM merged
+        WHERE NOT (n_chars < 200)
+    """,
+    "time_travel_read": """
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE doc_id % 4 <> 3
+    """,
+}
+_ORACLE.update(_ORACLE_B12)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -189,6 +189,8 @@ HEADLINE_EXT = [
     "degree_mixing",
     "hll_cumulative",
     "langid_eval",
+    "merge_upsert",
+    "time_travel_read",
 ]
 
 

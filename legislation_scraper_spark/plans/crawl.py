@@ -31,7 +31,8 @@ probe.
 Crawl-ordering contract: selection order is fully determined by
 (priority, discovered_round, canon_url) per host — reproducible under
 any parallelism and verified against the straight-line simulator
-(plans/simulator.py) by tests/test_crawl_order.py.
+(plans/simulator.py) by tests/test_crawl_engine.py
+(test_visit_order_matches_simulator / test_seen_set_matches_simulator).
 """
 
 from __future__ import annotations

@@ -231,6 +231,164 @@ class Table:
     ) -> int:
         return self._commit(df, "overwrite", partition_cols, metrics)
 
+    # -- row-level changes (copy-on-write) -------------------------------------
+
+    def _tagged_sets(self, snap: Snapshot, cols: list[str] | None = None):
+        """Union of per-set scans, each tagged with its set path.
+
+        Column pruning: when ``cols`` is given only those columns reach
+        the parquet scan (the probe job for merge/delete reads key or
+        predicate columns, never full rows)."""
+        parts = []
+        for p in snap.file_sets:
+            d = self.spark.read.parquet(p)
+            if cols is not None:
+                d = d.select(*cols)
+            parts.append(d.withColumn("_set", F.lit(p)))
+        out = parts[0]
+        for d in parts[1:]:
+            out = out.unionByName(d, allowMissingColumns=True)
+        return out
+
+    def _swap_sets(
+        self,
+        base: Snapshot,
+        touched: list[str],
+        replacement: DataFrame,
+        metrics: dict[str, Any] | None,
+    ) -> int:
+        """Commit ``replacement`` in place of the ``touched`` file sets
+        (Iceberg copy-on-write): untouched sets carry over in the new
+        manifest with ZERO data movement; only the touched fraction is
+        rewritten.  Conflict-checked — if any other writer commits
+        between the base read and the claim, the merge aborts instead
+        of silently dropping that commit's rows (Iceberg validation)."""
+        new_set = os.path.join(self.data_dir, uuid.uuid4().hex)
+        replacement.write.mode("overwrite").parquet(new_set)
+        lineage = _footer_lineage(new_set, None)
+        new_rows = sum(lineage.values())
+        touched_rows = sum(
+            sum(_footer_lineage(p, None).values()) for p in touched
+        )
+        # every touched row deleted → don't publish an empty set (a
+        # part-file-less parquet dir breaks schema inference on read)
+        publish = [new_set] if new_rows > 0 else []
+
+        def build(v: int) -> dict:
+            prev = self.snapshot(v - 1) if v > 1 else None
+            if prev is None or prev.version != base.version or set(
+                prev.file_sets
+            ) != set(base.file_sets):
+                raise ConcurrentCommitError(
+                    f"table {self.name}: snapshot advanced past "
+                    f"v{base.version} during a row-level rewrite; "
+                    "re-run the merge/delete against the new snapshot"
+                )
+            prev_total = (
+                prev.total_rows
+                if prev.total_rows is not None
+                else self.approx_rows(prev.version)
+            )
+            return {
+                "version": v,
+                "file_sets": [
+                    s for s in prev.file_sets if s not in set(touched)
+                ] + publish,
+                "lineage": lineage,
+                "metrics": metrics or {},
+                "total_rows": prev_total - touched_rows + new_rows,
+            }
+
+        try:
+            v = self._claim_version(build, retries=1)
+        except Exception:
+            import shutil
+
+            shutil.rmtree(new_set, ignore_errors=True)
+            raise
+        if not publish:
+            import shutil
+
+            shutil.rmtree(new_set, ignore_errors=True)
+        return v
+
+    def merge_upsert(
+        self,
+        src: DataFrame,
+        key_cols: list[str],
+        metrics: dict[str, Any] | None = None,
+    ) -> int:
+        """``MERGE INTO ... WHEN MATCHED THEN UPDATE SET * WHEN NOT
+        MATCHED THEN INSERT *`` (Iceberg copy-on-write merge).
+
+        Rows of the table whose ``key_cols`` appear in ``src`` are
+        replaced by the ``src`` row; unmatched ``src`` rows are
+        inserted.  Caller contract: ``src`` is distinct on ``key_cols``
+        (duplicate source keys would insert duplicates, same as SQL
+        MERGE's multiple-matched-rows error class).
+
+        Scale shape: one key-column-pruned probe scan finds the file
+        sets that contain matched keys (left-semi join); ONLY those
+        sets are rewritten (survivors anti-join + union with src) —
+        untouched sets move into the new manifest without touching a
+        byte, the exact Iceberg COW contract.  Old sets stay on disk
+        for time travel until ``expire_snapshots``.
+        """
+        base = self.snapshot()
+        if base is None or not base.file_sets:
+            return self.overwrite(src, metrics=metrics)
+        src_keys = src.select(*key_cols).distinct()
+        touched = [
+            r["_set"]
+            for r in self._tagged_sets(base, key_cols)
+            .join(src_keys, key_cols, "left_semi")
+            .select("_set")
+            .distinct()
+            .collect()
+        ]
+        if not touched:
+            # pure insert — append-shaped commit, no rewrite at all
+            return self.append(src, metrics=metrics)
+        survivors = (
+            self._tagged_sets(
+                Snapshot(base.version, touched, {}, {}), None
+            )
+            .drop("_set")
+            .join(src_keys, key_cols, "left_anti")
+        )
+        merged = survivors.unionByName(src, allowMissingColumns=True)
+        return self._swap_sets(base, touched, merged, metrics)
+
+    def delete_where(
+        self, cond, metrics: dict[str, Any] | None = None
+    ) -> int | None:
+        """Row-level DELETE (Iceberg copy-on-write): rewrite only the
+        file sets containing a matching row; carry the rest forward
+        untouched.  ``cond`` is a Column or SQL string.  Returns the
+        new version, or None when nothing matched (no commit)."""
+        base = self.snapshot()
+        if base is None or not base.file_sets:
+            return None
+        cond = F.expr(cond) if isinstance(cond, str) else cond
+        touched = [
+            r["_set"]
+            for r in self._tagged_sets(base)
+            .filter(cond)
+            .select("_set")
+            .distinct()
+            .collect()
+        ]
+        if not touched:
+            return None
+        # survivors = rows where cond is NOT TRUE (a NULL predicate row
+        # is kept — SQL DELETE semantics; a bare ~cond would drop it)
+        survivors = (
+            self._tagged_sets(Snapshot(base.version, touched, {}, {}))
+            .drop("_set")
+            .filter(~F.coalesce(cond, F.lit(False)))
+        )
+        return self._swap_sets(base, touched, survivors, metrics)
+
     def approx_rows(self, version: int | None = None) -> int:
         """Row count from manifest lineage (no Spark job).
 
@@ -517,6 +675,134 @@ class BucketedLog(Table):
             raise
         # manifest now points at new_files only — drop replaced files
         for f in sorted(old_files - set(new_files)):
+            os.remove(os.path.join(self.data_dir, f))
+        return v
+
+    def merge_upsert(
+        self, src: DataFrame, metrics: dict[str, Any] | None = None
+    ) -> int:
+        """MERGE keyed on the bucket column, with BUCKET-level pruning.
+
+        Rows whose ``bucket_col`` appears in ``src`` are replaced by the
+        ``src`` row; unmatched ``src`` rows are inserted (caller
+        contract: ``src`` distinct on the bucket column).  This is the
+        crawl-state upsert — revisit outcomes updating a URL-keyed
+        frontier/state log in place.
+
+        Scale shape: no probe scan at all — matched keys can only live
+        in the buckets ``pmod(murmur3(key), n)`` of the source keys (the
+        same function the bucket spec, ``repartition`` and the staged
+        file names use), so the affected-bucket set comes from one
+        O(|src|)→O(n_buckets) aggregation, and ONLY files of affected
+        buckets are read and rewritten.  An upsert touching k hosts'
+        URLs rewrites ≤ k buckets of a 10^10-row log; every other file
+        moves into the new manifest untouched.  Replaced files are
+        dropped once the claim succeeds (same contract as overwrite:
+        the bucketed catalog scan requires data_dir == current
+        snapshot, so a bucketed log trades time travel below row-level
+        rewrites for Exchange-free reads).
+        """
+        snap = self.snapshot()
+        if snap is None or not snap.file_sets:
+            return self.append(src, metrics=metrics)
+        key, n = self.bucket_col, self.n_buckets
+        affected = {
+            r["b"]
+            for r in src.select(
+                F.pmod(F.hash(F.col(key)), F.lit(n)).alias("b")
+            )
+            .distinct()
+            .collect()
+        }
+
+        def bucket_of(fname: str) -> int:
+            return int(fname.partition(".")[0].rsplit("_", 1)[1])
+
+        touched = [f for f in snap.file_sets if bucket_of(f) in affected]
+        if touched:
+            old = self.spark.read.parquet(
+                *[os.path.join(self.data_dir, f) for f in touched]
+            )
+            merged = old.join(
+                src.select(key).distinct(), [key], "left_anti"
+            ).unionByName(src, allowMissingColumns=True)
+        else:
+            merged = src
+        self._register(merged.schema)
+        import shutil as _sh
+
+        staging = os.path.join(self.dir, f"_staging_{uuid.uuid4().hex}")
+        new_files: list[str] = []
+        try:
+            (
+                merged.repartition(n, F.col(key))
+                .write.mode("overwrite")
+                .parquet(staging)
+            )
+            for f in sorted(os.listdir(staging)):
+                if not f.startswith("part-"):
+                    continue
+                i = int(f.split("-", 2)[1])
+                if i not in affected:
+                    # merged rows hash only to affected buckets by
+                    # construction; anything here is an empty part file
+                    continue
+                stem, dot, ext = f.partition(".")
+                dst = f"{stem}_{i:05d}{dot}{ext}"
+                os.rename(
+                    os.path.join(staging, f),
+                    os.path.join(self.data_dir, dst),
+                )
+                new_files.append(dst)
+        finally:
+            _sh.rmtree(staging, ignore_errors=True)
+        new_files = sorted(new_files)
+        import pyarrow.parquet as pq
+
+        def _rows(names: list[str]) -> int:
+            return sum(
+                pq.read_metadata(
+                    os.path.join(self.data_dir, f)
+                ).num_rows
+                for f in names
+            )
+
+        new_rows, touched_rows = _rows(new_files), _rows(touched)
+
+        def build(v: int) -> dict:
+            prev = self.snapshot(v - 1) if v > 1 else None
+            if prev is None or prev.version != snap.version or set(
+                prev.file_sets
+            ) != set(snap.file_sets):
+                raise ConcurrentCommitError(
+                    f"bucketed log {self.name}: snapshot advanced past "
+                    f"v{snap.version} during merge_upsert"
+                )
+            prev_total = (
+                prev.total_rows
+                if prev.total_rows is not None
+                else self.approx_rows(prev.version)
+            )
+            return {
+                "version": v,
+                "file_sets": [
+                    f for f in prev.file_sets if f not in set(touched)
+                ] + new_files,
+                "lineage": {"__all__": new_rows},
+                "metrics": metrics or {},
+                "total_rows": prev_total - touched_rows + new_rows,
+            }
+
+        try:
+            v = self._claim_version(build, retries=1)
+        except Exception:
+            for f in new_files:
+                try:
+                    os.remove(os.path.join(self.data_dir, f))
+                except OSError:
+                    pass
+            raise
+        for f in sorted(set(touched) - set(new_files)):
             os.remove(os.path.join(self.data_dir, f))
         return v
 
