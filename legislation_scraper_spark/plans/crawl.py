@@ -121,6 +121,13 @@ class CrawlConfig:
     # trust_scores().  Off by default (one extra tiny agg + append).
     record_host_edges: bool = False
     trust_iters: int = 2
+    # Maintain a `url_state` BucketedLog (latest fetch record per URL:
+    # content digest + validators + last round/status) via bucket-pruned
+    # merge_upsert — the state table the conditional-revalidation
+    # recrawl tier (operators/fetch.revalidation_plan/outcomes, RFC 9110
+    # §13) reads and writes.  One extra md5 over the body in the fetch
+    # pass + one ≤round-sized upsert per round.  Off by default.
+    track_url_state: bool = False
 
 
 class CrawlEngine:
@@ -153,6 +160,15 @@ class CrawlEngine:
         self.host_edges = (
             catalog.table("host_edges")
             if self.cfg.record_host_edges
+            else None
+        )
+        # latest per-URL fetch state, bucketed on the same key family as
+        # the frontier so the revalidation joins stay co-locatable
+        self.url_state = (
+            catalog.bucketed_log(
+                "url_state", "canon_url", self.cfg.frontier_buckets
+            )
+            if self.cfg.track_url_state
             else None
         )
         self.seen = SeenSet(
@@ -371,13 +387,112 @@ class CrawlEngine:
         # frontier view beyond its own dedup
         return best.join(F.broadcast(picks.select(key)), key, "left_semi")
 
+    def revalidation_round(self, r: int, budget: int) -> dict:
+        """Conditional recrawl round (RFC 9110 §13, the validator tier
+        the reference never needed — it refetches everything): pick the
+        ``budget`` stalest URLs from ``url_state``, plan conditional
+        requests from their stored validators
+        (operators/fetch.revalidation_plan), apply origin behavior
+        against the live web (revalidation_outcomes), then
+
+        - **304 Not Modified** (live digest == stored validator): no
+          fetch, no parse, no page write — ``url_state`` is touched
+          with ``last_round = r`` via a bucket-pruned merge_upsert and
+          the saved bytes are ledgered;
+        - **200 / changed or validator-less**: refetched through the
+          NORMAL :meth:`round` as ``extra_pending`` (the recrawl
+          admission path — seen-filter bypassed by construction), whose
+          ``w_state`` sink upserts the new digests.
+
+        Requires ``CrawlConfig.track_url_state``.
+
+        Scale shape: picks are budget-bounded (TakeOrdered over the
+        state log, no global sort materialization); every join here —
+        picks→frontier rows, plan→live digests — broadcasts the
+        budget-bounded side, so the frontier and the web table are
+        never shuffled.  At 10^10 rows the same joins run co-located
+        under the shared canon_url bucketing.
+        """
+        from ..operators.fetch import (
+            revalidation_outcomes,
+            revalidation_plan,
+        )
+
+        metrics = {
+            "round": r, "revalidated": 0, "not_modified": 0,
+            "refetched": 0, "saved_bytes": 0,
+        }
+        if self.url_state is None:
+            raise ValueError("revalidation_round needs track_url_state")
+        state = self.url_state.read()
+        best = self._best_frontier()
+        if state is None or best is None:
+            return metrics
+        picks = state.orderBy(
+            F.col("last_round").asc(), F.col("canon_url")
+        ).limit(budget)
+        cand = best.join(
+            F.broadcast(picks.select("canon_url")), "canon_url",
+            "left_semi",
+        )
+        plan = revalidation_plan(
+            cand,
+            picks.select("canon_url", "etag", "last_modified", "digest"),
+            url_col="canon_url",
+        )
+        # live content fingerprints, bounded to the planned URLs BEFORE
+        # the outcome join (the web table is the 10^10-row side)
+        web = self.pages_raw.select(
+            F.col("url").alias("canon_url"),
+            F.md5(F.col("html")).alias("digest"),
+            F.length(F.col("html")).cast("bigint").alias("size_bytes"),
+        )
+        live = web.join(
+            F.broadcast(plan.select("canon_url")), "canon_url", "inner"
+        )
+        out = revalidation_outcomes(plan, live, url_col="canon_url").cache()
+        try:
+            agg = out.agg(
+                F.count("*").alias("n"),
+                F.sum((F.col("status") == 304).cast("long")).alias("nm"),
+                F.sum("saved_bytes").alias("saved"),
+            ).collect()[0]
+            fresh = out.filter(F.col("status") == 304).select(
+                "canon_url", "host", "source",
+                F.col("prior_digest").alias("digest"),
+                F.col("if_none_match").alias("etag"),
+                F.col("if_modified_since").alias("last_modified"),
+                F.lit(304).alias("last_status"),
+                F.lit(r).alias("last_round"),
+            ).dropDuplicates(["canon_url"])
+            changed = out.filter(F.col("status") != 304).select(
+                *FRONTIER_COLS
+            )
+            sub = self.round(r, extra_pending=changed)
+            # touch AFTER the round: both upserts hit url_state and the
+            # log is single-writer by contract
+            self.url_state.merge_upsert(fresh, metrics={"round": r})
+            metrics.update(
+                revalidated=int(agg["n"] or 0),
+                not_modified=int(agg["nm"] or 0),
+                refetched=sub["fetched"],
+                saved_bytes=int(agg["saved"] or 0),
+                round_metrics=sub,
+            )
+        finally:
+            out.unpersist()
+        return metrics
+
     def _maintain(self) -> None:
         """Compact many-commit tables (Iceberg rewrite_data_files
         analogue) so read fan-in stays bounded as rounds accumulate.
         The trigger threshold is per-table: a bucketed log legitimately
         holds one file per bucket per commit, so its fan-in budget is
         buckets × 12, not 12."""
-        for t in (self.frontier, self.seen.table, self.visited):
+        tables = [self.frontier, self.seen.table, self.visited]
+        if self.url_state is not None:
+            tables.append(self.url_state)
+        for t in tables:
             snap = t.snapshot()
             thr = 12 * getattr(t, "n_buckets", 1)
             if snap and len(snap.file_sets) > thr:
@@ -460,8 +575,17 @@ class CrawlEngine:
         # boundary exactly once per round; cache WITHOUT the body —
         # the cached working set is metadata + text, not raw html.
         parse_page = make_parse_page(self.cfg.search_marker)
+        # content digest for the url_state validator tier — computed in
+        # the SAME pass that parses (body bytes are in hand; md5 is
+        # codegen), so tracking costs no extra scan of the fetch output
+        state_cols = (
+            [F.when(F.col("fetched"), F.md5(F.col("body"))).alias("digest")]
+            if self.url_state is not None
+            else []
+        )
         parsed = raw.select(
             *[c for c in raw.columns if c != "body"],
+            *state_cols,
             F.when(
                 F.col("fetched"), parse_page("canon_url", "body")
             ).alias("p"),
@@ -656,9 +780,33 @@ class CrawlEngine:
                 .withColumn("round", F.lit(r))
             )
 
+        def w_state():
+            # latest-record upsert keyed on canon_url: bucket-pruned
+            # rewrite (tables.BucketedLog.merge_upsert) — only the
+            # round's touched buckets move, never the full state log.
+            # etag = the content digest (a strong validator, which is
+            # what the sandbox web serves); last_modified = capture ts.
+            st = (
+                results.filter(F.col("fetched"))
+                .select(
+                    "canon_url", "host", "source",
+                    F.col("digest"),
+                    F.col("digest").alias("etag"),
+                    F.col("warc_ts").alias("last_modified"),
+                    F.col("status").alias("last_status"),
+                    F.lit(r).alias("last_round"),
+                )
+                .dropDuplicates(["canon_url"])
+            )
+            versions["url_state"] = self.url_state.merge_upsert(
+                st, metrics={"round": r}
+            )
+
         sinks = [w_pages, w_errors, w_seen, w_visited, w_log]
         if self.host_edges is not None:
             sinks.append(w_edges)
+        if self.url_state is not None:
+            sinks.append(w_state)
         with ThreadPoolExecutor(max_workers=7) as pool:
             futs = [pool.submit(fn) for fn in sinks]
             n_new = pool.submit(w_links).result()

@@ -557,6 +557,38 @@ class BucketedLog(Table):
         )
         self._registered = False
 
+    @property
+    def retired_dir(self) -> str:
+        """Retention area for files replaced by overwrite / compaction /
+        merge_upsert.  The catalog scan reads ``data_dir`` wholesale, so
+        replaced files cannot stay there (the Exchange-free fast path
+        requires data_dir == current snapshot) — but deleting them
+        outright broke crash-resume: a rollback to a checkpoint BELOW a
+        compaction pointed at deleted files (found by direct repro in
+        round 4).  Retired files are restored by :meth:`rollback`,
+        resolved by historical reads, and purged by
+        :meth:`expire_snapshots` once no surviving manifest references
+        them."""
+        return os.path.join(self.dir, "_retired")
+
+    def _retire(self, names) -> None:
+        names = sorted(names)
+        if not names:
+            return
+        os.makedirs(self.retired_dir, exist_ok=True)
+        for f in names:
+            os.replace(
+                os.path.join(self.data_dir, f),
+                os.path.join(self.retired_dir, f),
+            )
+
+    def _resolve(self, fname: str) -> str:
+        """Path of a manifest-referenced file: live dir, else retired."""
+        p = os.path.join(self.data_dir, fname)
+        return p if os.path.exists(p) else os.path.join(
+            self.retired_dir, fname
+        )
+
     def _data_files(self) -> set[str]:
         return {
             f
@@ -673,9 +705,10 @@ class BucketedLog(Table):
                 except OSError:
                     pass
             raise
-        # manifest now points at new_files only — drop replaced files
-        for f in sorted(old_files - set(new_files)):
-            os.remove(os.path.join(self.data_dir, f))
+        # manifest now points at new_files only — RETIRE replaced files
+        # (not delete: rollback below this commit must stay readable;
+        # expire_snapshots reclaims them once unreferenced)
+        self._retire(old_files - set(new_files))
         return v
 
     def merge_upsert(
@@ -697,10 +730,11 @@ class BucketedLog(Table):
         buckets are read and rewritten.  An upsert touching k hosts'
         URLs rewrites ≤ k buckets of a 10^10-row log; every other file
         moves into the new manifest untouched.  Replaced files are
-        dropped once the claim succeeds (same contract as overwrite:
+        RETIRED once the claim succeeds (moved to ``retired_dir`` —
         the bucketed catalog scan requires data_dir == current
-        snapshot, so a bucketed log trades time travel below row-level
-        rewrites for Exchange-free reads).
+        snapshot, but rollback/time-travel below the rewrite must stay
+        readable; expire_snapshots reclaims retired files once
+        unreferenced).
         """
         snap = self.snapshot()
         if snap is None or not snap.file_sets:
@@ -802,8 +836,7 @@ class BucketedLog(Table):
                 except OSError:
                     pass
             raise
-        for f in sorted(set(touched) - set(new_files)):
-            os.remove(os.path.join(self.data_dir, f))
+        self._retire(set(touched) - set(new_files))
         return v
 
     def read(self, version: int | None = None) -> DataFrame | None:
@@ -827,9 +860,10 @@ class BucketedLog(Table):
             self.spark.sql(f"REFRESH TABLE {self.cat_name}")
             return self.spark.table(self.cat_name)
         # historical read (time travel): plain file-list scan — correct
-        # rows, no bucket metadata (Iceberg keeps it; acceptable here)
+        # rows, no bucket metadata (Iceberg keeps it; acceptable here).
+        # Files replaced since ``version`` live in the retired dir.
         return self.spark.read.parquet(
-            *[os.path.join(self.data_dir, f) for f in snap.file_sets]
+            *[self._resolve(f) for f in snap.file_sets]
         )
 
     def compact(self) -> int | None:
@@ -862,11 +896,35 @@ class BucketedLog(Table):
         snap = self.snapshot(version) if version > 0 else None
         if snap is not None:
             keep = set(snap.file_sets)
+        # restore files the target snapshot references that a later
+        # overwrite/compaction/merge retired (crash-resume across a
+        # rewrite: the checkpointed version must read again)
+        for f in keep:
+            live = os.path.join(self.data_dir, f)
+            retired = os.path.join(self.retired_dir, f)
+            if not os.path.exists(live) and os.path.exists(retired):
+                os.replace(retired, live)
         for f in self._data_files() - keep:
             os.remove(os.path.join(self.data_dir, f))
         super().rollback(version)
         if self._registered:
             self.spark.sql(f"REFRESH TABLE {self.cat_name}")
+
+    def expire_snapshots(
+        self, keep_last: int = 2, protect: tuple[int, ...] = ()
+    ) -> dict[str, int]:
+        out = super().expire_snapshots(keep_last, protect)
+        # reclaim retired files once no surviving manifest references
+        # them — the storage-leak backstop for the retention dir
+        if os.path.isdir(self.retired_dir):
+            live: set[str] = set()
+            for v in self.versions():
+                live.update(self.snapshot(v).file_sets)
+            for f in sorted(os.listdir(self.retired_dir)):
+                if f not in live:
+                    os.remove(os.path.join(self.retired_dir, f))
+                    out["file_sets_removed"] += 1
+        return out
 
 
 class Catalog:

@@ -119,11 +119,18 @@ def test_bucketed_expiry_trims_manifests_keeps_data(spark, tmp_path):
     log.append(spark.range(8).selectExpr("id AS x"))
     log.append(spark.range(8, 16).selectExpr("id AS x"))
     assert log.compact() is not None
-    # insertInto(overwrite) already truncated the old files, so expiry
-    # only trims the pre-compaction manifests
+    # compaction RETIRES the replaced files (rollback below it must
+    # stay readable — round-4 crash-resume fix); expiry trims the
+    # pre-compaction manifests AND reclaims their now-unreferenced
+    # retired files
+    import os as _os
+
+    n_retired = len(_os.listdir(log.retired_dir))
+    assert n_retired > 0
     stats = log.expire_snapshots(keep_last=1)
     assert stats["snapshots_removed"] == 2
-    assert stats["file_sets_removed"] == 0
+    assert stats["file_sets_removed"] == n_retired
+    assert _os.listdir(log.retired_dir) == []
     assert log.versions() == [3]
     assert set(log.snapshot().file_sets) == log._data_files()
     assert _rows(log.read()) == list(range(16))

@@ -262,3 +262,41 @@ def test_randomized_merge_delete_matches_model(spark, tmp_path):
         assert got == sorted(model.values()), f"step {step} ({op})"
         assert t.current_version() >= versions[-1]
         versions.append(t.current_version())
+
+
+def test_blog_rewrites_keep_rollback_and_time_travel(spark, tmp_path):
+    """Crash-resume across a rewrite (round-4 fix): BucketedLog
+    overwrite/compaction/merge RETIRE replaced files instead of
+    deleting them, so (a) a historical read below the rewrite still
+    works, (b) rollback to a checkpointed version restores the retired
+    files, and (c) expire_snapshots reclaims them once no surviving
+    manifest references them.  Before the fix, a crash between a
+    round's compaction and its checkpoint left resume pointing at
+    deleted files (PATH_NOT_FOUND) — reproduced directly."""
+    log = BucketedLog(spark, str(tmp_path), "log", "k", 4)
+    for i in range(3):
+        log.append(spark.createDataFrame(
+            [(f"u{i}-{j}", i) for j in range(10)], "k string, r int"))
+    pre = log.current_version()
+    log.compact()
+    # (a) time travel below the compaction
+    assert log.read(version=pre).count() == 30
+    # (b) rollback below the compaction (crash-resume path)
+    log.rollback(pre)
+    assert log.read().count() == 30
+    # merge then rollback below the merge: replaced bucket restored
+    v2 = log.current_version()
+    log.merge_upsert(spark.createDataFrame([("u0-0", 99)], "k string, r int"))
+    assert {r["r"] for r in log.read().filter("k = 'u0-0'").collect()} == {99}
+    log.rollback(v2)
+    assert {r["r"] for r in log.read().filter("k = 'u0-0'").collect()} == {0}
+    # (c) a fresh rewrite boundary lets expiry drop old manifests AND
+    # the retired files they referenced
+    log.compact()
+    import os as _os
+    retired = set(_os.listdir(log.retired_dir))
+    assert retired, "compaction should retire the replaced files"
+    log.expire_snapshots(keep_last=1)
+    left = set(_os.listdir(log.retired_dir))
+    assert left < retired  # unreferenced retired files reclaimed
+    assert log.read().count() == 30
