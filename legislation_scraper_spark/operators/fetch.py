@@ -70,7 +70,14 @@ def resolve_against_web(selected: DataFrame, pages_raw: DataFrame) -> DataFrame:
       ``web.canon_url`` instead would broadcast 10^10 URLs: driver
       OOM.)  The hit subtree is evaluated twice — a second scan of the
       politeness-bounded join, not of the page bodies, since only
-      canon_url survives column pruning on this branch.
+      canon_url survives column pruning on this branch.  A shuffle-hash
+      anti join here (no driver build at all) was A/B-measured in
+      round 4 and LOST badly at bench scale — +70 s/round at 4 slots
+      (shuffling the full-width probe side + a runtime-materialized
+      extra pass over the hit subtree outweigh the ~10 s broadcast
+      build), so the broadcast form stays while a round's URL set fits
+      the driver; at larger rounds switch to url_hash-bucketed storage
+      (below) rather than to a shuffle.
 
     At 10^10-frontier scale with multi-GB rounds, the equivalent is
     bucketing both tables by url_hash (Iceberg bucket partitioning)

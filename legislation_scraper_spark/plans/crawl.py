@@ -128,6 +128,16 @@ class CrawlConfig:
     # §13) reads and writes.  One extra md5 over the body in the fetch
     # pass + one ≤round-sized upsert per round.  Off by default.
     track_url_state: bool = False
+    # Coalesce round sink writes to this many tasks per table.  The
+    # parsed cache's partition count is scan-driven (web splits +
+    # fetch_partitions), so each sink otherwise writes partitions×dirs
+    # files — for the hive-partitioned pages table that is thousands of
+    # ~MB files per round, and open/close/footer overhead becomes a
+    # visible slice of the round at every parallelism level.  Coalesce
+    # (no shuffle — adjacent cached partitions merge) bounds files per
+    # commit at dirs×sink_coalesce.  None keeps one write task per
+    # cached partition.
+    sink_coalesce: int | None = None
 
 
 class CrawlEngine:
@@ -565,7 +575,15 @@ class CrawlEngine:
             pending, self.robots, self.cfg.salt_buckets,
             self.cfg.fetch_partitions, self.cfg.round_window_ms,
             self.cfg.rank_impl, host_budgets=host_budgets,
-        )
+        ).persist()
+        # persist, because the fetch plan references the schedule THREE
+        # times (broadcast build of `selected`, the misses probe side,
+        # and the hit-set broadcast's join subtree) — exchange reuse
+        # dedupes the shuffles but not the window-rank recompute above
+        # them (~13 s/round at N4 bench scale, more at higher levels).
+        # MEMORY_AND_DISK persist (not localCheckpoint): lineage stays
+        # intact, so an executor loss on a real cluster recomputes the
+        # partition instead of failing the job.
         raw = fetch(
             selected, self.pages_raw, self.cfg.policy, self.cfg.transport
         )
@@ -609,6 +627,7 @@ class CrawlEngine:
         t = _mark("schedule_fetch", t)
         if n_sel == 0:
             parsed.unpersist()
+            selected.unpersist()
             return metrics
 
         versions: dict[str, int] = {}
@@ -715,17 +734,25 @@ class CrawlEngine:
         # independent Iceberg tables.
         from concurrent.futures import ThreadPoolExecutor
 
+        def _co(df):
+            # bound files-per-commit (see CrawlConfig.sink_coalesce)
+            return (
+                df.coalesce(self.cfg.sink_coalesce)
+                if self.cfg.sink_coalesce
+                else df
+            )
+
         def w_pages():
             if n_pages:
                 versions["pages"] = self.pages.append(
-                    pages_df,
+                    _co(pages_df),
                     partition_cols=list(self.cfg.pages_partition_cols),
                     metrics={"round": r},
                 )
 
         def w_errors():
             if n_err:
-                versions["fetch_errors"] = self.errors.append(err_df)
+                versions["fetch_errors"] = self.errors.append(_co(err_df))
 
         def w_links() -> int:
             # single pass: append, then read the new-URL count from the
@@ -748,20 +775,24 @@ class CrawlEngine:
 
         def w_visited():
             versions["visited"] = self.visited.append(
-                results.select(
-                    "canon_url", "host", "source",
-                    F.lit(r).alias("round"), "status", "attempts",
-                    F.when(F.col("fetched"), F.lit("fetched"))
-                    .otherwise(F.lit("error"))
-                    .alias("state"),
+                _co(
+                    results.select(
+                        "canon_url", "host", "source",
+                        F.lit(r).alias("round"), "status", "attempts",
+                        F.when(F.col("fetched"), F.lit("fetched"))
+                        .otherwise(F.lit("error"))
+                        .alias("state"),
+                    )
                 )
             )
 
         def w_log():
             versions["crawl_log"] = self.crawl_log.append(
-                results.select(
-                    F.lit(r).alias("round"), "host", "host_rank",
-                    "canon_url", "priority", "fetched",
+                _co(
+                    results.select(
+                        F.lit(r).alias("round"), "host", "host_rank",
+                        "canon_url", "priority", "fetched",
+                    )
                 )
             )
 
@@ -823,6 +854,7 @@ class CrawlEngine:
         )
         self.catalog.save_checkpoint(r + 1, versions, metrics)
         parsed.unpersist()
+        selected.unpersist()
         return metrics
 
     def run(self, max_rounds: int = 100) -> list[dict]:

@@ -87,7 +87,21 @@ def get_spark(
         "spark.sql.parquet.filterPushdown": "true",
         "spark.ui.enabled": "false",
         "spark.ui.showConsoleProgress": "false",
-        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        # 32g: local-mode driver hosts all executor threads; 16g hit G1
+        # GCLocker allocation-retry failures generating the 2M-URL bench
+        # world (Arrow JNI critical regions + 32 allocating tasks).  Lazy
+        # heap — only touched pages are resident, so small jobs stay small.
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
+        # G1's GCLocker gives up after 2 allocation retries (JDK17
+        # default) — with 32 tasks holding Arrow JNI critical regions the
+        # unlucky allocator dies spuriously ("Retried waiting for GCLocker
+        # too often") long before the heap is actually full.  Raise the
+        # retry budget; on executor JVMs of a real cluster apply the same
+        # flag via spark.executor.extraJavaOptions.
+        "spark.driver.extraJavaOptions": (
+            "-XX:+UnlockDiagnosticVMOptions "
+            "-XX:GCLockerRetryAllocationCount=128"
+        ),
         # JVM↔Python-worker channel over Unix domain sockets (Spark 4.1+,
         # always executor-local traffic).  Loopback TCP hits
         # sk_stream_wait_memory stalls at high executor-core counts:

@@ -35,16 +35,32 @@ from pyspark.sql import functions as F
 def _footer_lineage(
     root: str, partition_cols: list[str] | None
 ) -> dict[str, int]:
-    """Row counts per partition (or ``__all__``) from parquet footers."""
-    import pyarrow.parquet as pq
+    """Row counts per partition (or ``__all__``) from parquet footers.
 
-    counts: dict[str, int] = {}
+    The footer reads run on a driver-side thread pool: a partitioned
+    sink writes tasks×dirs files (thousands per commit at bench scale),
+    and pyarrow's metadata read releases the GIL, so a serial walk was
+    pure added commit latency — and an ANTI-scaling one (more write
+    tasks at higher parallelism → more files → a LONGER serial walk)."""
+    import pyarrow.parquet as pq
+    from concurrent.futures import ThreadPoolExecutor
+
+    dirs: list[tuple[str, list[str]]] = []
     for dirpath, _dirs, files in os.walk(root):
-        n = sum(
-            pq.read_metadata(os.path.join(dirpath, f)).num_rows
-            for f in files
-            if f.endswith(".parquet")
+        pq_files = [f for f in files if f.endswith(".parquet")]
+        if pq_files:
+            dirs.append((dirpath, pq_files))
+    all_paths = [os.path.join(d, f) for d, fs in dirs for f in fs]
+    with ThreadPoolExecutor(max_workers=16) as pool:
+        rows = dict(
+            zip(
+                all_paths,
+                pool.map(lambda p: pq.read_metadata(p).num_rows, all_paths),
+            )
         )
+    counts: dict[str, int] = {}
+    for dirpath, pq_files in dirs:
+        n = sum(rows[os.path.join(dirpath, f)] for f in pq_files)
         if n == 0:
             continue
         if partition_cols:

