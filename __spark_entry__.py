@@ -7409,6 +7409,82 @@ _Q_B12 = {
 _Q.update(_Q_B12)
 
 
+def q_ip_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IP-level politeness (operators/politeness.schedule_by_ip —
+    Heritrix ip-based queue-assignment analogue): hosts resolve onto a
+    16-address pool via deterministic md5 DNS (virtual hosting: many
+    hostnames per address), each address gets a 50-slot round budget
+    via row_number ranking keyed on ip.  Host-level budgets
+    under-throttle shared IPs — this is the aggregate cap.  Per-ip
+    report: hosts sharing the address, urls admitted, md5 digest of
+    the admitted url set (scalar for the driver's value hash)."""
+    from legislation_scraper_spark.operators.politeness import (
+        schedule_by_ip,
+    )
+
+    fr = _frontier(spark, sf_dir).withColumn(
+        "host",
+        F.concat(
+            F.col("host"), F.lit("-"), (F.col("doc_id") % 40).cast("string")
+        ),
+    )
+    sel = schedule_by_ip(fr, per_ip_budget=50, n_ips=16)
+    return sel.groupBy("ip").agg(
+        F.countDistinct("host").alias("n_hosts"),
+        F.count("*").alias("n_admitted"),
+        F.md5(F.array_join(F.array_sort(F.collect_list("url")), "|")).alias(
+            "url_digest"
+        ),
+    )
+
+
+def q_cache_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9111 §4.2 freshness calculus (operators/fetch.
+    cache_freshness): per stored response, freshness_lifetime from
+    max-age / Expires / the 10%-of-Last-Modified-age heuristic (24 h
+    cap), current_age vs a fixed 'now', fresh verdict + ttl.  The
+    column a recrawl scheduler reads before spending even a
+    conditional request.  Metadata synthesized deterministically from
+    doc_id (three header shapes + a no-validator shape); pure in-row
+    date arithmetic — zero shuffle."""
+    from legislation_scraper_spark.operators.fetch import cache_freshness
+
+    base = 1704067200  # 2024-01-01T00:00:00Z
+    d = _t(spark, sf_dir, "documents")
+    resp = d.select(
+        "doc_id",
+        F.timestamp_seconds(F.lit(base) + F.col("doc_id") % 86400).alias(
+            "response_ts"
+        ),
+        F.when(F.col("doc_id") % 3 == 0, F.col("doc_id") % 7200).alias(
+            "max_age_s"
+        ),
+        F.when(
+            F.col("doc_id") % 3 == 1,
+            F.timestamp_seconds(
+                F.lit(base) + F.col("doc_id") % 86400 + F.col("doc_id") % 5400
+            ),
+        ).alias("expires_ts"),
+        F.when(
+            (F.col("doc_id") % 3 == 2) & (F.col("doc_id") % 5 != 0),
+            F.timestamp_seconds(
+                F.lit(base) + F.col("doc_id") % 86400 - F.col("doc_id") % 100000
+            ),
+        ).alias("last_modified_ts"),
+    )
+    out = cache_freshness(resp, now=F.lit(base + 86400))
+    return out.select(
+        "doc_id", "freshness_lifetime_s", "current_age_s", "fresh", "ttl_s"
+    )
+
+
+_Q_B13 = {
+    "ip_politeness": q_ip_politeness,
+    "cache_freshness": q_cache_freshness,
+}
+_Q.update(_Q_B13)
+
+
 _ATTEST_PRIORITY: list[str] = [
     # Every query with NO driver-green CORRECTNESS row across r1-r3
     # (87 of 178, plus the two late-r4 merge/time-travel queries
@@ -8260,6 +8336,67 @@ _ORACLE_B12 = {
     """,
 }
 _ORACLE.update(_ORACLE_B12)
+
+_ORACLE_B13 = {
+    # md5-DNS fold + per-ip row_number budget — mirrors
+    # politeness.resolve_ip / schedule_by_ip exactly (floor on the
+    # octet division, 8-hex-char prefix → BIGINT % 16)
+    "ip_politeness": _FRONTIER_SQL
+    + """
+        , fr AS (
+          SELECT url, host || '-' || CAST(doc_id % 40 AS VARCHAR) AS host,
+                 priority, doc_id
+          FROM frontier),
+        ip AS (
+          SELECT *, '10.0.' || CAST(CAST(FLOOR(h / 256) AS BIGINT)
+                     AS VARCHAR) || '.' || CAST(h % 256 AS VARCHAR) AS ip
+          FROM (SELECT *, CAST(CONCAT('0x', SUBSTRING(md5(host), 1, 8))
+                            AS BIGINT) % 16 AS h
+                FROM fr)),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY ip
+                      ORDER BY priority, doc_id) AS r
+          FROM ip)
+        SELECT ip, COUNT(DISTINCT host) AS n_hosts,
+               COUNT(*) AS n_admitted,
+               md5(array_to_string(list_sort(list(url)), '|')) AS url_digest
+        FROM ranked WHERE r <= 50 GROUP BY ip
+    """,
+    # RFC 9111 §4.2 in integer-second space (the Spark side casts its
+    # timestamps to epoch seconds before the same arithmetic)
+    "cache_freshness": """
+        WITH resp AS (
+          SELECT doc_id,
+                 1704067200 + doc_id % 86400 AS response_s,
+                 CASE WHEN doc_id % 3 = 0 THEN doc_id % 7200 END
+                   AS max_age_s,
+                 CASE WHEN doc_id % 3 = 1 THEN
+                   1704067200 + doc_id % 86400 + doc_id % 5400 END
+                   AS expires_s,
+                 CASE WHEN doc_id % 3 = 2 AND doc_id % 5 <> 0 THEN
+                   1704067200 + doc_id % 86400 - doc_id % 100000 END
+                   AS last_modified_s
+          FROM documents),
+        calc AS (
+          SELECT doc_id, response_s,
+                 COALESCE(
+                   max_age_s,
+                   expires_s - response_s,
+                   -- guard: LEAST ignores NULLs here too, so a
+                   -- no-validator row must not inherit the 86400 cap
+                   CASE WHEN last_modified_s IS NOT NULL THEN
+                     LEAST(CAST(FLOOR((response_s - last_modified_s) * 0.1)
+                             AS BIGINT), 86400) END,
+                   0) AS freshness_lifetime_s,
+                 (1704067200 + 86400) - response_s AS current_age_s
+          FROM resp)
+        SELECT doc_id, freshness_lifetime_s, current_age_s,
+               freshness_lifetime_s > current_age_s AS fresh,
+               freshness_lifetime_s - current_age_s AS ttl_s
+        FROM calc
+    """,
+}
+_ORACLE.update(_ORACLE_B13)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -196,6 +196,8 @@ HEADLINE_EXT = [
     "langid_eval",
     "merge_upsert",
     "time_travel_read",
+    "ip_politeness",
+    "cache_freshness",
 ]
 
 
@@ -473,14 +475,27 @@ def run_crawl_scaling() -> dict:
     quiet_gate(0)  # calibrate best_spin on the current window
     for _ in range(EXTRA_ROUNDS):
         cur = effs()
-        if not cur or max(cur.values()) >= TARGET_EFF:
+        if not cur:
+            break
+        cand = max(cur, key=cur.get)
+        best_eff = cur[cand]
+        lo = int(cand.split("_")[-3])
+        if best_eff > 1.0:
+            # SUPERLINEAR is a measurement error by definition here
+            # (both levels share the same fixed overhead): the low
+            # level was measured inside a host-stall window and its
+            # inflated wall time flatters the ratio.  A too-good
+            # number is as wrong as a too-low one — re-measure the
+            # low level (best-of keeps the faster, honest run).
+            quiet_gate()
+            run_level(lo)
+            continue
+        if best_eff >= TARGET_EFF:
             break
         # re-measure the pair CLOSEST to the target — the one a clean
         # host window can actually push over it — after waiting out
         # any contention window the probe can see
         quiet_gate()
-        cand = max(cur, key=cur.get)
-        lo = int(cand.split("_")[-3])
         for cores in (lo, lo * 4):
             run_level(cores)
 

@@ -368,3 +368,71 @@ def connection_reuse(
             F.sum("reused") / F.count("*").cast("double"), ndigits
         ).alias("reuse_rate"),
     )
+
+
+def cache_freshness(
+    responses: DataFrame,
+    now: "F.Column",
+    heuristic_fraction: float = 0.1,
+    heuristic_cap_s: int = 86400,
+) -> DataFrame:
+    """RFC 9111 §4.2 freshness calculus over stored response metadata —
+    the decision column a recrawl scheduler reads BEFORE spending a
+    conditional request (fresh entries need no request at all; stale
+    ones go through :func:`revalidation_plan`).
+
+    Per row, from ``(response_ts, max_age_s, expires_ts,
+    last_modified_ts)``:
+
+    - freshness_lifetime = max-age, else (expires − response_ts), else
+      the §4.2.2 heuristic: ``heuristic_fraction`` × (response_ts −
+      last_modified_ts), capped at ``heuristic_cap_s`` (the RFC
+      suggests 10% and warns against long heuristic lifetimes; 24 h is
+      the common implementation cap), else 0 (no freshness info →
+      always stale).
+    - current_age = now − response_ts (the transit terms of §4.2.3
+      collapse when the crawler is the cache).
+    - fresh = lifetime > age; ttl_s = lifetime − age (negative =
+      seconds overdue, the staleness the revisit scheduler sorts by).
+
+    Pure in-row date arithmetic — zero shuffle, whole-stage codegen;
+    at 10^10 rows this is a projection over the url_state scan.
+    """
+    lifetime = F.coalesce(
+        F.col("max_age_s").cast("long"),
+        (
+            F.col("expires_ts").cast("long")
+            - F.col("response_ts").cast("long")
+        ),
+        # least() skips nulls, so the cap must stay INSIDE the
+        # validator guard or a no-validator row would inherit it
+        F.when(
+            F.col("last_modified_ts").isNotNull(),
+            F.least(
+                # floor, not cast: double→long casts truncate in Spark
+                # but round in other engines — floor is unambiguous
+                F.floor(
+                    (
+                        F.col("response_ts").cast("long")
+                        - F.col("last_modified_ts").cast("long")
+                    )
+                    * F.lit(heuristic_fraction)
+                ).cast("long"),
+                F.lit(heuristic_cap_s).cast("long"),
+            ),
+        ),
+        F.lit(0).cast("long"),
+    )
+    age = now.cast("long") - F.col("response_ts").cast("long")
+    return (
+        responses.withColumn("freshness_lifetime_s", lifetime)
+        .withColumn("current_age_s", age)
+        .withColumn(
+            "fresh",
+            F.col("freshness_lifetime_s") > F.col("current_age_s"),
+        )
+        .withColumn(
+            "ttl_s",
+            F.col("freshness_lifetime_s") - F.col("current_age_s"),
+        )
+    )

@@ -440,3 +440,56 @@ def consistent_assign(
     return hosts.withColumn(
         "assigned_worker", F.get(workers, wrapped)
     )
+
+
+def resolve_ip(host_col: str = "host", n_ips: int = 64) -> "F.Column":
+    """Deterministic sandbox DNS: md5-fold a hostname onto a pool of
+    ``n_ips`` virtual addresses (``10.0.x.y``).
+
+    A real crawler resolves per-host and caches (the reference keeps a
+    requests session per thread and lets the OS resolver cache); here
+    the pool is SMALL ON PURPOSE so that several hosts share an
+    address — the virtual-hosting shape (one CDN/shared-host IP behind
+    hundreds of hostnames) that makes host-level politeness
+    insufficient at crawl scale.  md5 → engine-neutral, so a DuckDB
+    oracle reproduces the same mapping bit-for-bit.
+    """
+    h = F.conv(F.substring(F.md5(F.col(host_col)), 1, 8), 16, 10).cast(
+        "long"
+    ) % n_ips
+    # floor, not int-cast: double→int casts truncate in Spark but round
+    # in other engines; floor is unambiguous, so the DuckDB oracle
+    # reproduces the octets exactly
+    return F.concat(
+        F.lit("10.0."), F.floor(h / 256).cast("string"),
+        F.lit("."), (h % 256).cast("string"),
+    )
+
+
+def schedule_by_ip(
+    frontier: DataFrame,
+    per_ip_budget: int,
+    n_ips: int = 64,
+    host_col: str = "host",
+    order_cols: tuple[str, ...] = ("priority", "doc_id"),
+) -> DataFrame:
+    """IP-level politeness (Heritrix queue-assignment-policy analogue):
+    budget fetch slots per resolved ADDRESS, not per hostname.
+
+    Host-level budgets under-throttle virtual hosting — 500 hostnames
+    on one shared IP each get their own budget and the origin sees
+    500× the intended rate.  Ranking within the resolved IP caps the
+    aggregate.  Plan shape matches the host-rank path: one window
+    shuffle keyed on ip, and the rank ≤ budget predicate is a
+    WindowGroupLimit, so each map partition pre-prunes to its top
+    ``per_ip_budget`` rows per ip before the exchange — the same
+    map-side prune that makes per-host ranking skew-safe.
+
+    Returns the selected rows with ``ip`` and ``ip_rank`` columns.
+    """
+    w = Window.partitionBy("ip").orderBy(*order_cols)
+    return (
+        frontier.withColumn("ip", resolve_ip(host_col, n_ips))
+        .withColumn("ip_rank", F.row_number().over(w))
+        .filter(F.col("ip_rank") <= per_ip_budget)
+    )

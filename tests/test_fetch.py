@@ -89,3 +89,61 @@ def test_viewstate_two_request_fetch_parity(spark):
     errs = {e for b, e in got.values() if e}
     assert "missing __VIEWSTATE/__EVENTVALIDATION" in errs
     assert "404 postback" in errs
+
+
+def test_cache_freshness_rfc9111(spark):
+    """Freshness lifetime precedence (max-age > Expires > heuristic >
+    none), age arithmetic, and the 24 h heuristic cap — checked against
+    straight-line Python."""
+    import pyspark.sql.functions as F
+
+    from legislation_scraper_spark.operators.fetch import cache_freshness
+
+    base = 1_700_000_000
+    rows = [
+        # (id, resp_off, max_age, expires_off, lm_off)
+        (1, 0, 3600, None, None),        # max-age wins, stale after 1h
+        (2, 0, None, 7200, None),        # Expires: 2h lifetime
+        (3, 0, None, None, -50_000),     # heuristic: 5000s
+        (4, 0, None, None, -2_000_000),  # heuristic capped at 86400
+        (5, 0, None, None, None),        # no info -> lifetime 0, stale
+        (6, -100, 7300, 1, -1),          # max-age precedence over both
+    ]
+    df = spark.createDataFrame(
+        [
+            (
+                i,
+                base + ro,
+                ma,
+                None if eo is None else base + ro + eo,
+                None if lo is None else base + ro + lo,
+            )
+            for i, ro, ma, eo, lo in rows
+        ],
+        "doc_id long, r long, max_age_s long, e long, lm long",
+    ).select(
+        "doc_id",
+        F.timestamp_seconds("r").alias("response_ts"),
+        "max_age_s",
+        F.timestamp_seconds("e").alias("expires_ts"),
+        F.timestamp_seconds("lm").alias("last_modified_ts"),
+    )
+    now = base + 7200  # 2h after base
+    out = {
+        r["doc_id"]: r
+        for r in cache_freshness(df, now=F.lit(now)).collect()
+    }
+    expect = {
+        1: (3600, 7200, False),
+        2: (7200, 7200, False),  # lifetime == age -> NOT fresh (strict >)
+        3: (5000, 7200, False),
+        4: (86400, 7200, True),
+        5: (0, 7200, False),
+        6: (7300, 7300, False),
+    }
+    for k, (life, age, fresh) in expect.items():
+        r = out[k]
+        assert r["freshness_lifetime_s"] == life, (k, dict(r.asDict()))
+        assert r["current_age_s"] == age
+        assert r["fresh"] == fresh
+        assert r["ttl_s"] == life - age

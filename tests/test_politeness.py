@@ -191,3 +191,45 @@ def test_allocate_budgets_sums_exactly_and_breaks_ties(spark):
     } == {0}
     # empty input → empty output
     assert allocate_budgets(h0.filter("1=0"), 5).collect() == []
+
+
+def test_ip_politeness_caps_shared_address(spark):
+    """Many hostnames md5-resolve onto few addresses; the budget binds
+    per ADDRESS: per-ip admitted ≤ budget, every frontier row of an
+    under-budget ip is admitted, and ip octets match the straight-line
+    hashlib computation."""
+    import hashlib
+
+    rows = [
+        (f"https://h{i}.br/doc/{j}", f"h{i}.br", j % 3, i * 100 + j)
+        for i in range(12)
+        for j in range(8)
+    ]
+    fr = spark.createDataFrame(
+        rows, "url string, host string, priority int, doc_id long"
+    )
+    sel = politeness.schedule_by_ip(fr, per_ip_budget=10, n_ips=4)
+    got = sel.collect()
+
+    def ip_of(host: str) -> str:
+        h = int(hashlib.md5(host.encode()).hexdigest()[:8], 16) % 4
+        return f"10.0.{h // 256}.{h % 256}"
+
+    for r in got:
+        assert r["ip"] == ip_of(r["host"])
+    per_ip_total: dict[str, int] = {}
+    for _u, host, _p, _d in rows:
+        per_ip_total[ip_of(host)] = per_ip_total.get(ip_of(host), 0) + 1
+    per_ip_sel: dict[str, int] = {}
+    for r in got:
+        per_ip_sel[r["ip"]] = per_ip_sel.get(r["ip"], 0) + 1
+    for ip, total in per_ip_total.items():
+        assert per_ip_sel.get(ip, 0) == min(total, 10)
+    assert all(r["ip_rank"] <= 10 for r in got)
+
+
+def test_ip_politeness_empty_frontier(spark):
+    fr = spark.createDataFrame(
+        [], "url string, host string, priority int, doc_id long"
+    )
+    assert politeness.schedule_by_ip(fr, per_ip_budget=5).count() == 0
