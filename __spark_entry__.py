@@ -7485,16 +7485,135 @@ _Q_B13 = {
 _Q.update(_Q_B13)
 
 
+def q_domain_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registrable-domain (eTLD+1) politeness
+    (operators/politeness.schedule_by_domain over
+    functions/urls.registrable_domain): 23 subdomain hostnames per
+    (source, suffix) fold onto ONE registrable domain via the PSL
+    longest-suffix algorithm — two-label suffixes (com.br/leg.br),
+    one-label (org), and an unlisted TLD through the PSL implicit-*
+    rule (custom) — and each domain gets a 40-slot budget via
+    WindowGroupLimit rank.  Hostname budgets would admit 23× the
+    intended rate per registrant.  Per-domain report with an admitted
+    url-set digest."""
+    from legislation_scraper_spark.operators.politeness import (
+        schedule_by_domain,
+    )
+
+    did = F.col("doc_id")
+    suffix = (
+        F.when(did % 4 == 0, "com.br")
+        .when(did % 4 == 1, "leg.br")
+        .when(did % 4 == 2, "org")
+        .otherwise("custom")
+    )
+    fr = _frontier(spark, sf_dir).withColumn(
+        "host",
+        F.concat(
+            F.lit("b"), (did % 23).cast("string"), F.lit("."),
+            F.col("host"), F.lit("."), suffix,
+        ),
+    )
+    sel = schedule_by_domain(fr, per_domain_budget=40)
+    return sel.groupBy("domain").agg(
+        F.countDistinct("host").alias("n_hosts"),
+        F.count("*").alias("n_admitted"),
+        F.md5(F.array_join(F.array_sort(F.collect_list("url")), "|")).alias(
+            "url_digest"
+        ),
+    )
+
+
+def q_retry_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9110 §10.2.3 Retry-After parsing
+    (operators/fetch.parse_retry_after): 429/503 responses carrying the
+    header in BOTH wire forms — delta-seconds and IMF-fixdate (the
+    fixdate synthesized by date_format and parsed back, so the oracle's
+    closed form verifies the round trip) — folded to the per-host
+    next-allowed epoch second the cooldown scheduler consumes.  Pure
+    in-row codegen + one host agg."""
+    from legislation_scraper_spark.operators.fetch import parse_retry_after
+
+    base = 1704067200  # 2024-01-01T00:00:00Z
+    did = F.col("doc_id")
+    d = _t(spark, sf_dir, "documents")
+    resp = d.select(
+        "doc_id",
+        F.concat(F.lit("h"), (did % 20).cast("string")).alias("host"),
+        F.when(did % 2 == 0, 429).otherwise(503).alias("status"),
+        F.when(did % 3 != 0, (did % 900).cast("string"))
+        .otherwise(
+            F.date_format(
+                F.timestamp_seconds(F.lit(base) + did % 86400),
+                "EEE, dd MMM yyyy HH:mm:ss 'GMT'",
+            )
+        )
+        .alias("retry_after"),
+    )
+    out = resp.withColumn(
+        "next_allowed_s",
+        parse_retry_after(F.col("retry_after"), F.lit(base)),
+    )
+    return out.groupBy("host").agg(
+        F.sum(F.when(F.col("status") == 429, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_429"),
+        F.sum(F.when(F.col("status") == 503, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_503"),
+        F.max("next_allowed_s").alias("next_allowed_s"),
+    )
+
+
+def q_opic_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two OPIC steps (operators/graph.opic — Abiteboul et al. WWW'03,
+    the Nutch/Frontera crawl-ordering score): cash banks into history
+    and flows along out-links, dangling cash returns uniformly.  NOT
+    over ``_edge_synth`` — that graph is a permutation (one out-
+    neighbor per node, uniform scores: a broken 1/N stub would pass);
+    this quadratic edge synth has in-degree 17–35 and four genuinely
+    dangling sinks (h23–h26 receive but never send), so the verdict
+    discriminates and the virtual-node branch is exercised.  Oracle
+    unrolls the same two steps as chained CTEs, 6dp on the float
+    sums."""
+    from legislation_scraper_spark.operators.graph import opic
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    e = d.select(
+        F.concat(F.lit("h"), (did % 23).cast("string")).alias("src"),
+        F.concat(
+            F.lit("h"), ((did * did + 1) % 29).cast("string")
+        ).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    s = opic(e, iters=2)
+    return s.select(
+        "node",
+        F.round("cash", 6).alias("cash"),
+        F.round("hist", 6).alias("hist"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+_Q_B14 = {
+    "domain_politeness": q_domain_politeness,
+    "retry_after": q_retry_after,
+    "opic_scores": q_opic_scores,
+}
+_Q.update(_Q_B14)
+
+
 _ATTEST_PRIORITY: list[str] = [
     # Every query with NO driver-green CORRECTNESS row across r1-r3
-    # (87 of 178, plus the two late-r4 merge/time-travel queries
-    # inserted into the head => 89 of 180), ordered so the driver's 50-query sample closes the
+    # (87 of 178, plus the two late-r4 merge/time-travel queries and
+    # the three batch-14 queries appended at the tail => 92 of 183),
+    # ordered so the driver's 50-query sample closes the
     # attestation gap fastest: the four stale r1 reds (fixed in r2,
     # repo-green since) and the committed-fixture-backed queries first
     # (most at risk, want an r4 row so any failure is fixable in r5),
     # then the 26 r3-era never-sampled queries, then round-4 additions
-    # in registry order.  Entries 51-89 are the deliberate r5 slate --
-    # 89 <= 2x50, so every registry query lands in a driver sample by
+    # in registry order.  Entries 51-92 are the deliberate r5 slate --
+    # 92 <= 2x50, so every registry query lands in a driver sample by
     # end of r5.  Regenerate with the never-green computation in
     # PLANS.md section "attestation ordering".
     "multimodal_features",
@@ -7586,6 +7705,9 @@ _ATTEST_PRIORITY: list[str] = [
     "degree_mixing",
     "hll_cumulative",
     "langid_eval",
+    "domain_politeness",
+    "retry_after",
+    "opic_scores",
 ]
 
 
@@ -8397,6 +8519,112 @@ _ORACLE_B13 = {
     """,
 }
 _ORACLE.update(_ORACLE_B13)
+
+_ORACLE_B14 = {
+    # PSL longest-suffix fold (mirrors functions/urls.PUBLIC_SUFFIXES +
+    # the implicit-* default) + per-domain row_number budget
+    "domain_politeness": _FRONTIER_SQL
+    + """
+        , fr2 AS (
+          SELECT url,
+                 'b' || CAST(doc_id % 23 AS VARCHAR) || '.' || host || '.'
+                   || CASE doc_id % 4 WHEN 0 THEN 'com.br'
+                        WHEN 1 THEN 'leg.br' WHEN 2 THEN 'org'
+                        ELSE 'custom' END AS host,
+                 priority, doc_id
+          FROM frontier),
+        dom AS (
+          SELECT *,
+            CASE
+              WHEN len(parts) > 2
+                   AND array_to_string(parts[len(parts)-1:len(parts)], '.')
+                     IN ('com.br','gov.br','leg.br','jus.br','org.br',
+                         'net.br','edu.br','mp.br','co.uk','org.uk',
+                         'gov.uk','ac.uk','co.jp','or.jp','go.jp','ne.jp',
+                         'com.au','gov.au','org.au','com.ar','gob.ar',
+                         'blogspot.com','github.io')
+                THEN array_to_string(parts[len(parts)-2:len(parts)], '.')
+              WHEN len(parts) > 1
+                   AND parts[len(parts)]
+                     IN ('com','org','net','gov','edu','mil','int',
+                         'info','io','br','uk','jp','au','ar')
+                THEN array_to_string(parts[len(parts)-1:len(parts)], '.')
+              WHEN len(parts) > 1
+                THEN array_to_string(parts[len(parts)-1:len(parts)], '.')
+              ELSE lower(host) END AS domain
+          FROM (SELECT *, str_split(lower(host), '.') AS parts FROM fr2)),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY domain
+                      ORDER BY priority, doc_id) AS r
+          FROM dom)
+        SELECT domain, COUNT(DISTINCT host) AS n_hosts,
+               COUNT(*) AS n_admitted,
+               md5(array_to_string(list_sort(list(url)), '|')) AS url_digest
+        FROM ranked WHERE r <= 40 GROUP BY domain
+    """,
+    # closed form: the delta branch is now+delta; the fixdate branch
+    # must round-trip date_format→parse exactly, so its closed form is
+    # the epoch the Spark side formatted
+    "retry_after": """
+        WITH resp AS (
+          SELECT doc_id, 'h' || CAST(doc_id % 20 AS VARCHAR) AS host,
+                 CASE WHEN doc_id % 2 = 0 THEN 429 ELSE 503 END AS status,
+                 CASE WHEN doc_id % 3 <> 0 THEN 1704067200 + doc_id % 900
+                      ELSE 1704067200 + doc_id % 86400 END
+                   AS next_allowed_s
+          FROM documents)
+        SELECT host,
+               CAST(SUM(CASE WHEN status = 429 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_429,
+               CAST(SUM(CASE WHEN status = 503 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_503,
+               MAX(next_allowed_s) AS next_allowed_s
+        FROM resp GROUP BY host
+    """,
+    # two OPIC steps unrolled; the four dangling sinks' cash returns
+    # uniformly each step (same 6dp float-sum discipline as pagerank)
+    "opic_scores": """
+        WITH e AS (
+          SELECT 'h' || CAST(doc_id % 23 AS VARCHAR) AS src,
+                 'h' || CAST((doc_id * doc_id + 1) % 29 AS VARCHAR) AS dst
+          FROM documents
+          WHERE doc_id % 23 <> (doc_id * doc_id + 1) % 29),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        od AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS od FROM e
+               GROUP BY src),
+        s0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS cash, 0.0 AS hist
+               FROM nodes),
+        c1 AS (SELECT e.dst, SUM(s0.cash / od.od) AS c
+               FROM e JOIN s0 ON e.src = s0.node
+                      JOIN od ON e.src = od.src
+               GROUP BY e.dst),
+        d1 AS (SELECT COALESCE(SUM(cash), 0.0) AS dtot FROM s0
+               WHERE node NOT IN (SELECT src FROM od)),
+        s1 AS (SELECT node,
+                      COALESCE(c, 0.0)
+                        + (SELECT dtot FROM d1) / (SELECT n FROM nn)
+                        AS cash,
+                      hist + cash AS hist
+               FROM s0 LEFT JOIN c1 ON s0.node = c1.dst),
+        c2 AS (SELECT e.dst, SUM(s1.cash / od.od) AS c
+               FROM e JOIN s1 ON e.src = s1.node
+                      JOIN od ON e.src = od.src
+               GROUP BY e.dst),
+        d2 AS (SELECT COALESCE(SUM(cash), 0.0) AS dtot FROM s1
+               WHERE node NOT IN (SELECT src FROM od)),
+        s2 AS (SELECT node,
+                      COALESCE(c, 0.0)
+                        + (SELECT dtot FROM d2) / (SELECT n FROM nn)
+                        AS cash,
+                      hist + cash AS hist
+               FROM s1 LEFT JOIN c2 ON s1.node = c2.dst)
+        SELECT node, ROUND(cash, 6) AS cash, ROUND(hist, 6) AS hist,
+               ROUND((hist + cash) / 3.0, 6) AS score
+        FROM s2
+    """,
+}
+_ORACLE.update(_ORACLE_B14)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -64,6 +64,21 @@ LEVELS = tuple(
 # 0.061 despite best-of-3).  0.80 == the north rule's bar.
 TARGET_EFF = float(os.environ.get("SPARK_GRAFT_BENCH_TARGET_EFF", "0.80"))
 EXTRA_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_ROUNDS", "5"))
+# Quiet-window gate (see run_crawl_scaling): a 16-proc fixed-work spin
+# on this VM class reads ~1.16-1.28 s when the host is quiet (measured
+# idle, 2026-08-20; spin(1)=0.90, spin(8)=1.16, spin(16)=1.23,
+# spin(32)=1.28) and 2.3+ s inside the host-contention windows that
+# produced the r4 0.572 artifact.  Readings above baseline×FACTOR defer
+# the measurement (bounded waits) instead of burning a ~7-min crawl run
+# measuring someone else's load.
+SPIN_PROBE_PROCS = int(os.environ.get("SPARK_GRAFT_BENCH_PROBE_PROCS", "16"))
+QUIET_SPIN_BASELINE = float(
+    os.environ.get("SPARK_GRAFT_BENCH_QUIET_SPIN", "1.30")
+)
+QUIET_FACTOR = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_FACTOR", "1.30"))
+# total seconds the gates may spend WAITING across the whole invocation
+# (keeps worst-case bench wall-time bounded under an hours-long window)
+GATE_BUDGET_S = int(os.environ.get("SPARK_GRAFT_BENCH_GATE_BUDGET", "2700"))
 # Pin each crawl worker to a STRICTLY PROPORTIONAL cpuset: 4 CPUs per
 # task slot (task thread + its Python worker + a pro-rata share of the
 # JVM's GC/compiler/Netty helpers).  The north rule asks for throughput
@@ -425,11 +440,48 @@ def run_crawl_scaling() -> dict:
     world_dir = _ensure_world()
     best: dict[int, dict] = {}
     all_runs: dict[int, list[float]] = {}
+    spin_before: dict[int, list[float]] = {}
+
+    # quiet-window gate: EVERY measurement (initial and retry) waits —
+    # bounded by a GLOBAL budget — for the host to return to its quiet
+    # effective CPU speed.  Round-4 lesson, twice over: (a) a retry that
+    # starts inside a host-contention window just burns ~7 min measuring
+    # the stall; (b) a 1-proc probe calibrated WITHIN the window cannot
+    # even see the contention that crushes multi-core runs — the run
+    # that recorded 0.572 read spin(1)=1.33 s (1.09× its own in-window
+    # best, under the old 1.25× relative bar) while spin(32) read 2.63 s
+    # vs a 1.28 s quiet baseline.  So probe with SPIN_PROBE_PROCS
+    # concurrent spinners (the load shape of the pinned 4-slot crawl:
+    # 4 task threads + 4 Python workers + JVM helpers) and compare
+    # against a COMMITTED absolute quiet baseline for this VM class
+    # (min() with the best reading seen this invocation, so a quieter
+    # machine tightens the bar and a noisier one never loosens it).
+    quiet_base = [QUIET_SPIN_BASELINE]
+    gate_budget = [GATE_BUDGET_S]
+
+    def quiet_gate(max_wait_s: int = 600) -> float:
+        """Wait (bounded) for a quiet window; return the last probe."""
+        waited = 0.0
+        while True:
+            t = _spin(SPIN_PROBE_PROCS)
+            if t < quiet_base[0]:
+                quiet_base[0] = t
+            if (
+                t <= quiet_base[0] * QUIET_FACTOR
+                or waited >= max_wait_s
+                or gate_budget[0] <= 0
+            ):
+                return t
+            time.sleep(60)
+            waited += 60
+            gate_budget[0] -= 60
 
     def run_level(cores: int) -> None:
+        probe = quiet_gate()
         _settle()
         r = _crawl_subprocess(cores, world_dir)
         all_runs.setdefault(cores, []).append(r["seconds"])
+        spin_before.setdefault(cores, []).append(round(probe, 2))
         if cores not in best or r["seconds"] < best[cores]["seconds"]:
             best[cores] = r
 
@@ -453,26 +505,6 @@ def run_crawl_scaling() -> dict:
                 )
         return out
 
-    # quiet-window gate for the adaptive retries: a retry that starts
-    # inside a host-contention window just burns ~7 min measuring the
-    # stall (the r4 lesson — one full-bench run recorded 0.784 with the
-    # spin probe reading 1.92× while a quiet-window run read 0.815 at
-    # 1.49×).  Probe effective CPU speed directly and WAIT (bounded)
-    # until it returns to the best speed seen this invocation.
-    best_spin = [None]
-
-    def quiet_gate(max_wait_s: int = 600) -> None:
-        waited = 0.0
-        while True:
-            t = _spin(1)
-            if best_spin[0] is None or t < best_spin[0]:
-                best_spin[0] = t
-            if t <= best_spin[0] * 1.25 or waited >= max_wait_s:
-                return
-            time.sleep(90)
-            waited += 90
-
-    quiet_gate(0)  # calibrate best_spin on the current window
     for _ in range(EXTRA_ROUNDS):
         cur = effs()
         if not cur:
@@ -487,15 +519,13 @@ def run_crawl_scaling() -> dict:
             # inflated wall time flatters the ratio.  A too-good
             # number is as wrong as a too-low one — re-measure the
             # low level (best-of keeps the faster, honest run).
-            quiet_gate()
             run_level(lo)
             continue
         if best_eff >= TARGET_EFF:
             break
         # re-measure the pair CLOSEST to the target — the one a clean
-        # host window can actually push over it — after waiting out
-        # any contention window the probe can see
-        quiet_gate()
+        # host window can actually push over it (run_level itself waits
+        # out any contention window the probe can see)
         for cores in (lo, lo * 4):
             run_level(cores)
 
@@ -505,6 +535,7 @@ def run_crawl_scaling() -> dict:
         out[f"pages_per_sec_N{c}"] = r["pages_per_sec"]
         out[f"seconds_N{c}"] = r["seconds"]
         out[f"runs_N{c}"] = all_runs[c]
+        out[f"spin{SPIN_PROBE_PROCS}_before_N{c}"] = spin_before[c]
     e = effs()
     out.update(e)
     if e:
@@ -580,7 +611,7 @@ def main() -> None:
         json.dump(full, f, indent=1)
     compact_crawl = {
         k: v for k, v in crawl.items()
-        if not k.startswith("runs_") and k != "timings"
+        if not k.startswith(("runs_", "spin")) and k != "timings"
     }
     out = {
         "metric": full["metric"],

@@ -250,3 +250,66 @@ def percent_normalize(url: Column) -> Column:
     return F.concat(
         F.element_at(parts, 1), F.array_join(tail, "")
     )
+
+
+# Representative subset of the Mozilla Public Suffix List
+# (publicsuffix.org — public data; vendoring the full ~9k-rule list is
+# a data-file concern, the FOLD below is the engine).  ICANN-section
+# country/second-level suffixes for the jurisdictions this crawl's
+# seed list spans, plus two private-section entries that exhibit the
+# subdomain-farm shape (one registrant per subdomain).
+PUBLIC_SUFFIXES: tuple[str, ...] = (
+    "com", "org", "net", "gov", "edu", "mil", "int", "info", "io",
+    "br", "uk", "jp", "au", "ar",
+    "com.br", "gov.br", "leg.br", "jus.br", "org.br", "net.br",
+    "edu.br", "mp.br",
+    "co.uk", "org.uk", "gov.uk", "ac.uk",
+    "co.jp", "or.jp", "go.jp", "ne.jp",
+    "com.au", "gov.au", "org.au",
+    "com.ar", "gob.ar",
+    "blogspot.com", "github.io",
+)
+
+
+def registrable_domain(
+    host: Column, suffixes: tuple[str, ...] = PUBLIC_SUFFIXES
+) -> Column:
+    """eTLD+1 (registrable domain) via the Public Suffix List algorithm
+    (publicsuffix.org/list): longest listed suffix wins, registrable =
+    suffix + one label; a host not under any listed suffix falls to the
+    PSL's implicit ``*`` rule (its TLD is treated as public → last two
+    labels); a host that IS a suffix, or a single label, passes through.
+
+    Politeness/budgeting by HOSTNAME under-throttles subdomain farms —
+    10^5 ``*.blogspot.com`` hostnames each get their own budget while
+    one registrant's server takes the aggregate.  Grouping by
+    registrable domain is the standard crawler fix (Heritrix's
+    assignment-policy surt-prefix mode).
+
+    Pure in-row split/slice/isin column algebra over a plan-literal
+    suffix set — zero shuffle, whole-stage codegen, and engine-neutral
+    (the DuckDB oracle replays the same fold).
+    """
+    parts = F.split(F.lower(host), r"\.")
+    n = F.size(parts)
+
+    def tail(k: int) -> Column:
+        # guarded: slice() throws on start ≤ 0 and Spark's And does not
+        # short-circuit, so a 1-label host probing a 2-label suffix
+        # must never reach the slice; CaseWhen branch values ARE lazy
+        return F.when(
+            n >= k, F.array_join(F.slice(parts, n - k + 1, F.lit(k)), ".")
+        )
+
+    by_len: dict[int, list[str]] = {}
+    for s in suffixes:
+        by_len.setdefault(s.count(".") + 1, []).append(s)
+
+    expr = None
+    for k in sorted(by_len, reverse=True):  # longest suffix wins
+        cond = (n > k) & tail(k).isin(by_len[k])
+        val = tail(k + 1)
+        expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+    return expr.otherwise(
+        F.when(n > 1, tail(2)).otherwise(F.lower(host))
+    )

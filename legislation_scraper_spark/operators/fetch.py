@@ -436,3 +436,27 @@ def cache_freshness(
             F.col("freshness_lifetime_s") - F.col("current_age_s"),
         )
     )
+
+
+def parse_retry_after(value: "F.Column", now: "F.Column") -> "F.Column":
+    """RFC 9110 §10.2.3 ``Retry-After`` → epoch-second the host may be
+    contacted again.  The header carries either delta-seconds
+    (``"120"``) or an IMF-fixdate (``"Wed, 21 Oct 2015 07:28:00 GMT"``);
+    servers send it on 429/503, and a polite crawler folds it into the
+    per-host cooldown (operators/identity.error_cooldown takes a fixed
+    backoff; this is the server-directed override).
+
+    Pure in-row codegen.  IMF-fixdate parsing drops the fixed-width
+    ``"Ddd, "`` day-name prefix first — Spark's formatter accepts
+    ``E``-symbols only for FORMATTING, not parsing (documented pattern
+    restriction), and the day name is redundant with the date anyway.
+    Unparseable values yield NULL (callers fall back to their fixed
+    backoff) rather than failing the round.
+    """
+    delta_form = value.rlike("^[0-9]+$")
+    fixdate = F.try_to_timestamp(
+        F.substring(value, 6, 24), F.lit("dd MMM yyyy HH:mm:ss 'GMT'")
+    )
+    return F.when(
+        delta_form, now.cast("long") + value.cast("long")
+    ).otherwise(fixdate.cast("long"))

@@ -643,3 +643,88 @@ def degree_mixing(edges: DataFrame, ndigits: int = 6) -> DataFrame:
         F.count("*").alias("n_endpoints"),
         F.round(F.avg("nbr"), ndigits).alias("avg_nbr_degree"),
     )
+
+
+def opic(
+    edges: DataFrame,
+    iters: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """OPIC — On-line Page Importance Computation (Abiteboul, Preda,
+    Cobena, WWW'03), the crawl-ordering score Nutch ships as its
+    default and Frontera's backends approximate: every page holds
+    *cash*; each step it banks its cash into *history* and distributes
+    it equally along its out-links; dangling pages return their cash
+    uniformly to the whole graph (the paper's virtual node).  Pages
+    that accumulate history fastest are the pages the frontier should
+    fetch first — unlike PageRank, the estimate is meaningful after
+    ANY number of steps, which is why crawlers use it online.
+
+    Batch twin of ``iters`` synchronous steps from the uniform 1/N
+    cash vector.  Returns ``(node, cash, hist, score)`` with ``score =
+    (hist + cash) / (iters + 1)`` — total cash is conserved at 1.0
+    every step, so the normalizer is closed-form and scores sum to 1.
+
+    Plan shape per step (same discipline as :func:`pagerank`): one
+    node-keyed contribution join+agg, one broadcast 1-row dangling-mass
+    total (anti-join + scalar agg — never a collect), one left join to
+    re-attach absent nodes; state is ``localCheckpoint``-ed per step so
+    lineage stays flat at any ``iters``.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    out_deg = e.groupBy("src").agg(F.count("*").alias("od"))
+    ew = e.join(out_deg, "src")
+    if checkpoint:
+        ew = ew.localCheckpoint(eager=False)
+        nodes = nodes.localCheckpoint(eager=False)
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "node",
+            F.lit(0.0).alias("cash"),
+            F.lit(0.0).alias("hist"),
+            F.lit(0.0).alias("score"),
+        )
+    state = nodes.select(
+        "node", F.lit(1.0 / n).alias("cash"), F.lit(0.0).alias("hist")
+    )
+    has_out = out_deg.select(F.col("src").alias("node"))
+    for _ in range(iters):
+        contrib = (
+            ew.join(
+                state.select(F.col("node").alias("src"), "cash"), "src"
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.col("cash") / F.col("od")).alias("c"))
+        )
+        dangling = (
+            state.join(has_out, "node", "left_anti")
+            .agg(F.coalesce(F.sum("cash"), F.lit(0.0)).alias("dtot"))
+        )
+        state = (
+            state.join(contrib, state["node"] == contrib["dst"], "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.coalesce(F.col("c"), F.lit(0.0))
+                    + F.col("dtot") / n
+                ).alias("cash"),
+                (F.col("hist") + F.col("cash")).alias("hist"),
+            )
+        )
+        if checkpoint:
+            state = state.localCheckpoint(eager=False)
+    return state.select(
+        "node",
+        "cash",
+        "hist",
+        ((F.col("hist") + F.col("cash")) / (iters + 1)).alias("score"),
+    )
