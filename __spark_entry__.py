@@ -7603,17 +7603,118 @@ _Q_B14 = {
 _Q.update(_Q_B14)
 
 
+def q_dust_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUST rule mining (operators/dust.dust_rules — Bar-Yossef et al.
+    WWW'07): same-content URL pairs (grouped by content digest, capped
+    collect_set, in-array pair expansion — never a digest self-join)
+    yield token-level rewrite rules.  The synth web plants one deletion
+    alias (trailing ``index.html``, on 2/3 of docs) and one
+    substitution alias (``mobile=true`` vs ``false``, on all docs), plus
+    length-mismatched pairs that must yield NOTHING — so the two rules'
+    supports differ and a rule-shape bug shows as a support or row
+    mismatch."""
+    from legislation_scraper_spark.operators.dust import dust_rules
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    base = F.concat(
+        F.lit("http://h"), (did % 7).cast("string"),
+        F.lit("/story/"), did.cast("string"),
+    )
+    urls = F.array(
+        base,
+        F.when(did % 3 != 0, F.concat(base, F.lit("/index.html"))),
+        F.concat(base, F.lit("?mobile=true")),
+        F.concat(base, F.lit("?mobile=false")),
+    )
+    pages = d.select(
+        F.concat(F.lit("d"), did.cast("string")).alias("digest"),
+        F.explode(urls).alias("url"),
+    ).filter(F.col("url").isNotNull())
+    return dust_rules(pages, min_support=2)
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-index phrase retrieval (operators/index.
+    positional_index + phrase_search): a 2-gram and a 3-gram phrase
+    over the documents corpus, counted per doc via in-row position
+    intersection after per-term pruned index scans.  The 2-gram uses a
+    REPEATED term pair path too — the index is built once and each
+    phrase's plan filters it by term literal (partition pruning on a
+    term-partitioned index at scale)."""
+    from legislation_scraper_spark.operators.index import (
+        phrase_search,
+        positional_index,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    idx = positional_index(d).localCheckpoint(eager=False)
+    out = []
+    for phrase in (["table", "hash"], ["slow", "hash", "batch"],
+                   ["table", "table"]):
+        out.append(
+            phrase_search(idx, phrase).select(
+                F.lit(" ".join(phrase)).alias("phrase"),
+                F.col("id").alias("doc_id"),
+                "n_occurrences",
+            )
+        )
+    r = out[0]
+    for o in out[1:]:
+        r = r.unionByName(o)
+    return r
+
+
+def q_alias_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alias-collapsed link graph (operators/graph.collapse_aliases):
+    the 29-node host graph rewritten through an alias→canonical map
+    (hosts h7..h28 fold onto h0..h6 — the redirect-terminal +
+    rel=canonical collapse search engines run before link analysis),
+    self-loops dropped, duplicate edges folded into weights.  Two
+    endpoint joins + one edge agg."""
+    from legislation_scraper_spark.operators.graph import collapse_aliases
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    e = d.select(
+        F.concat(F.lit("h"), (did % 23).cast("string")).alias("src"),
+        F.concat(
+            F.lit("h"), ((did * did + 1) % 29).cast("string")
+        ).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    k = (
+        d.select((did % 29).cast("int").alias("k"))
+        .distinct()
+        .filter(F.col("k") >= 7)
+    )
+    aliases = k.select(
+        F.concat(F.lit("h"), F.col("k").cast("string")).alias("url"),
+        F.concat(F.lit("h"), (F.col("k") % 7).cast("string")).alias(
+            "canonical"
+        ),
+    )
+    return collapse_aliases(e, aliases)
+
+
+_Q_B15 = {
+    "dust_rules": q_dust_rules,
+    "phrase_search": q_phrase_search,
+    "alias_collapse": q_alias_collapse,
+}
+_Q.update(_Q_B15)
+
+
 _ATTEST_PRIORITY: list[str] = [
     # Every query with NO driver-green CORRECTNESS row across r1-r3
-    # (87 of 178, plus the two late-r4 merge/time-travel queries and
-    # the three batch-14 queries appended at the tail => 92 of 183),
-    # ordered so the driver's 50-query sample closes the
+    # (87 of 178, plus the late-r4 merge/time-travel and batch-14/15
+    # queries appended at the tail => 95 of 186), ordered so the
+    # driver's 50-query sample closes the
     # attestation gap fastest: the four stale r1 reds (fixed in r2,
     # repo-green since) and the committed-fixture-backed queries first
     # (most at risk, want an r4 row so any failure is fixable in r5),
     # then the 26 r3-era never-sampled queries, then round-4 additions
-    # in registry order.  Entries 51-92 are the deliberate r5 slate --
-    # 92 <= 2x50, so every registry query lands in a driver sample by
+    # in registry order.  Entries 51-95 are the deliberate r5 slate --
+    # 95 <= 2x50, so every registry query lands in a driver sample by
     # end of r5.  Regenerate with the never-green computation in
     # PLANS.md section "attestation ordering".
     "multimodal_features",
@@ -7708,6 +7809,9 @@ _ATTEST_PRIORITY: list[str] = [
     "domain_politeness",
     "retry_after",
     "opic_scores",
+    "dust_rules",
+    "phrase_search",
+    "alias_collapse",
 ]
 
 
@@ -8625,6 +8729,107 @@ _ORACLE_B14 = {
     """,
 }
 _ORACLE.update(_ORACLE_B14)
+
+_ORACLE_B15 = {
+    # token-level DUST rules replayed with list algebra; the oracle may
+    # self-join on digest (no scale discipline needed at sf0.01)
+    "dust_rules": r"""
+        WITH p AS (
+          SELECT 'd' || CAST(doc_id AS VARCHAR) AS digest, u AS url
+          FROM documents, UNNEST([
+            'http://h' || CAST(doc_id % 7 AS VARCHAR) || '/story/'
+              || CAST(doc_id AS VARCHAR),
+            CASE WHEN doc_id % 3 <> 0 THEN
+              'http://h' || CAST(doc_id % 7 AS VARCHAR) || '/story/'
+                || CAST(doc_id AS VARCHAR) || '/index.html' END,
+            'http://h' || CAST(doc_id % 7 AS VARCHAR) || '/story/'
+              || CAST(doc_id AS VARCHAR) || '?mobile=true',
+            'http://h' || CAST(doc_id % 7 AS VARCHAR) || '/story/'
+              || CAST(doc_id AS VARCHAR) || '?mobile=false'
+          ]) AS t(u)
+          WHERE u IS NOT NULL),
+        pr AS (
+          SELECT p1.url AS a, p2.url AS b
+          FROM p p1 JOIN p p2
+            ON p1.digest = p2.digest AND p1.url < p2.url),
+        tk AS (
+          SELECT string_split_regex(a, '[/?&=]') AS ta,
+                 string_split_regex(b, '[/?&=]') AS tb
+          FROM pr),
+        m AS (
+          SELECT ta, tb, len(ta) AS na, len(tb) AS nb,
+                 list_filter(range(1, least(len(ta), len(tb)) + 1),
+                             i -> ta[i] <> tb[i]) AS mm
+          FROM tk),
+        r AS (
+          SELECT CASE
+            WHEN na = nb AND len(mm) = 1
+              THEN [ta[mm[1]], tb[mm[1]]]
+            WHEN na = nb + 1
+                 AND ta[COALESCE(mm[1], nb + 1) + 1:na]
+                   = tb[COALESCE(mm[1], nb + 1):nb]
+              THEN [ta[COALESCE(mm[1], nb + 1)], '']
+            WHEN nb = na + 1
+                 AND tb[COALESCE(mm[1], na + 1) + 1:nb]
+                   = ta[COALESCE(mm[1], na + 1):na]
+              THEN [tb[COALESCE(mm[1], na + 1)], '']
+            END AS rule
+          FROM m)
+        SELECT greatest(rule[1], rule[2]) AS rule_from,
+               least(rule[1], rule[2]) AS rule_to,
+               CAST(COUNT(*) AS BIGINT) AS support
+        FROM r WHERE rule IS NOT NULL
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    """,
+    # phrase occurrences counted straight off the token stream —
+    # independent of the index/join machinery under test
+    "phrase_search": r"""
+        WITH w AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\s+'),
+                             x -> x <> '') AS ws
+          FROM documents),
+        c AS (
+          SELECT 'table hash' AS phrase, doc_id,
+                 CAST(len(list_filter(range(1, len(ws)),
+                   i -> ws[i] = 'table' AND ws[i+1] = 'hash'))
+                   AS BIGINT) AS n_occurrences
+          FROM w
+          UNION ALL
+          SELECT 'slow hash batch', doc_id,
+                 CAST(len(list_filter(range(1, len(ws) - 1),
+                   i -> ws[i] = 'slow' AND ws[i+1] = 'hash'
+                        AND ws[i+2] = 'batch')) AS BIGINT)
+          FROM w WHERE len(ws) >= 2
+          UNION ALL
+          SELECT 'table table', doc_id,
+                 CAST(len(list_filter(range(1, len(ws)),
+                   i -> ws[i] = 'table' AND ws[i+1] = 'table'))
+                   AS BIGINT)
+          FROM w)
+        SELECT phrase, doc_id, n_occurrences
+        FROM c WHERE n_occurrences > 0
+    """,
+    "alias_collapse": """
+        WITH e AS (
+          SELECT 'h' || CAST(doc_id % 23 AS VARCHAR) AS src,
+                 'h' || CAST((doc_id * doc_id + 1) % 29 AS VARCHAR) AS dst
+          FROM documents
+          WHERE doc_id % 23 <> (doc_id * doc_id + 1) % 29),
+        al AS (
+          SELECT DISTINCT 'h' || CAST(doc_id % 29 AS VARCHAR) AS url,
+                 'h' || CAST((doc_id % 29) % 7 AS VARCHAR) AS canonical
+          FROM documents WHERE doc_id % 29 >= 7),
+        c AS (
+          SELECT COALESCE(a1.canonical, e.src) AS src,
+                 COALESCE(a2.canonical, e.dst) AS dst
+          FROM e LEFT JOIN al a1 ON e.src = a1.url
+                 LEFT JOIN al a2 ON e.dst = a2.url)
+        SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS weight
+        FROM c WHERE src <> dst GROUP BY src, dst
+    """,
+}
+_ORACLE.update(_ORACLE_B15)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -213,6 +213,12 @@ HEADLINE_EXT = [
     "time_travel_read",
     "ip_politeness",
     "cache_freshness",
+    "domain_politeness",
+    "retry_after",
+    "opic_scores",
+    "dust_rules",
+    "phrase_search",
+    "alias_collapse",
 ]
 
 

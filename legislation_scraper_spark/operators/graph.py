@@ -728,3 +728,52 @@ def opic(
         "hist",
         ((F.col("hist") + F.col("cash")) / (iters + 1)).alias("score"),
     )
+
+
+def collapse_aliases(
+    edges: DataFrame,
+    aliases: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    alias_col: str = "url",
+    canonical_col: str = "canonical",
+) -> DataFrame:
+    """Rewrite a link graph through an alias→canonical map (redirect
+    terminals from `redirects.resolve_redirects` + ``rel=canonical``
+    targets from `meta.extract_meta`) and fold duplicate edges into a
+    multiplicity weight.
+
+    Search engines collapse duplicate pages BEFORE link analysis —
+    otherwise a page reachable via 5 aliases splits its in-link mass 5
+    ways and every alias dilutes PageRank/OPIC/TrustRank (and a
+    link-farm can manufacture rank by fanning aliases).  Output
+    ``(src, dst, weight)`` with self-loops dropped, ready for the
+    iterative scorers in this module.
+
+    Plan: two left equi-joins on the endpoint key + one (src, dst)
+    agg.  The alias map of a real crawl is much smaller than the edge
+    list but NOT broadcast-small (10^8 aliases vs 10^10 edges), so the
+    joins stay shuffle joins — co-located when both sides are bucketed
+    by url (`tables.BucketedLog`), and AQE converts to broadcast
+    automatically when a tenant's map IS small.  Aliases are resolved
+    ONE level (callers feed fully-resolved maps; `resolve_redirects`
+    already chases chains with pointer doubling).
+    """
+    amap = aliases.select(
+        F.col(alias_col).alias("_a"), F.col(canonical_col).alias("_c")
+    )
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .join(amap, F.col("src") == F.col("_a"), "left")
+        .select(
+            F.coalesce("_c", "src").alias("src"), "dst"
+        )
+        .join(amap, F.col("dst") == F.col("_a"), "left")
+        .select(
+            "src", F.coalesce("_c", "dst").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    return e.groupBy("src", "dst").agg(
+        F.count("*").cast("bigint").alias("weight")
+    )

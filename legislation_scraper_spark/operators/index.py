@@ -287,3 +287,82 @@ def tfidf_topk(
         .filter(F.col("rnk") <= k)
         .select(F.col("id"), "w", "tfidf", F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+def positional_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_positions: int | None = None,
+) -> DataFrame:
+    """Positional inverted index: ``(term, id, positions)`` with
+    0-based token positions sorted ascending — the postings shape
+    phrase and proximity queries need (`inverted_index` keeps only
+    doc-level membership).
+
+    One ``posexplode`` + one (term, id)-keyed agg; posting rows are
+    per-(term, doc) so the shuffle key is high-cardinality and skew
+    concentrates only on genuine stopword terms, the same profile the
+    salted builder (`inverted_index_salted`) already handles — compose
+    the two if a corpus needs it.  ``max_positions`` (opt-in) caps the
+    per-doc position list for stopword rows; phrase search over a
+    capped index is approximate for docs longer than the cap, so the
+    default keeps every position.
+    """
+    pairs = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(words(F.col(text_col))).alias("pos", "term"),
+    )
+    agg = pairs.groupBy("term", "id").agg(
+        F.sort_array(F.collect_list("pos")).alias("positions")
+    )
+    if max_positions is not None:
+        agg = agg.withColumn(
+            "positions", F.slice("positions", 1, max_positions)
+        )
+    return agg
+
+
+def phrase_search(
+    pos_index: DataFrame,
+    phrase: list[str],
+    ndigits: int = 6,
+) -> DataFrame:
+    """Exact phrase retrieval over a positional index: docs where the
+    tokens of ``phrase`` occur CONSECUTIVELY, with occurrence counts.
+
+    Plan: one filtered scan per distinct phrase term (term literals
+    push down to the index scan — on a term-partitioned index at scale
+    this is partition pruning, reading |phrase| partitions of a 10^10
+    index), k-1 doc-keyed equi-joins to line the postings up, then an
+    in-row position intersection: occurrences = |{p in pos(t1) :
+    p+i in pos(t_{i+1}) for all i}|.  No window, no explode of
+    positions — the intersection is array algebra inside codegen.
+    """
+    if len(phrase) < 1:
+        raise ValueError("phrase must have at least one term")
+    base = (
+        pos_index.filter(F.col("term") == phrase[0])
+        .select(F.col("id"), F.col("positions").alias("p0"))
+    )
+    acc = base
+    for i, term in enumerate(phrase[1:], start=1):
+        nxt = pos_index.filter(F.col("term") == term).select(
+            F.col("id"), F.col("positions").alias(f"p{i}")
+        )
+        acc = acc.join(nxt, "id")
+    hits = F.col("p0")
+
+    def _adjacent(i: int):
+        # real closure: a default-arg lambda would read as Spark's
+        # TWO-argument (value, index) higher-order-function form
+        return lambda p: F.array_contains(F.col(f"p{i}"), p + i)
+
+    for i in range(1, len(phrase)):
+        hits = F.filter(hits, _adjacent(i))
+    return (
+        acc.select(
+            "id", F.size(hits).cast("bigint").alias("n_occurrences")
+        )
+        .filter(F.col("n_occurrences") > 0)
+    )
