@@ -7696,10 +7696,34 @@ def q_alias_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return collapse_aliases(e, aliases)
 
 
+def q_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall neighborhood function + harmonic centrality
+    (operators/graph.hyperball — Boldi & Vigna 2013, the algorithm
+    behind the published web-graph distance measurements): 16-register
+    HLL counters per node, two register-max propagation rounds along
+    out-edges over the quadratic host graph (in-degree 17–35, four
+    dangling sinks).  The oracle replays the registers bit-for-bit in
+    rows form (node, bucket, max-rank) — the estimates must agree to
+    the last bit before the 4dp round because both engines sum exact
+    power-of-two BIGINT terms."""
+    from legislation_scraper_spark.operators.graph import hyperball
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    e = d.select(
+        F.concat(F.lit("h"), (did % 23).cast("string")).alias("src"),
+        F.concat(
+            F.lit("h"), ((did * did + 1) % 29).cast("string")
+        ).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    return hyperball(e, iters=2)
+
+
 _Q_B15 = {
     "dust_rules": q_dust_rules,
     "phrase_search": q_phrase_search,
     "alias_collapse": q_alias_collapse,
+    "hyperball_centrality": q_hyperball,
 }
 _Q.update(_Q_B15)
 
@@ -7707,14 +7731,14 @@ _Q.update(_Q_B15)
 _ATTEST_PRIORITY: list[str] = [
     # Every query with NO driver-green CORRECTNESS row across r1-r3
     # (87 of 178, plus the late-r4 merge/time-travel and batch-14/15
-    # queries appended at the tail => 95 of 186), ordered so the
+    # queries appended at the tail => 96 of 187), ordered so the
     # driver's 50-query sample closes the
     # attestation gap fastest: the four stale r1 reds (fixed in r2,
     # repo-green since) and the committed-fixture-backed queries first
     # (most at risk, want an r4 row so any failure is fixable in r5),
     # then the 26 r3-era never-sampled queries, then round-4 additions
-    # in registry order.  Entries 51-95 are the deliberate r5 slate --
-    # 95 <= 2x50, so every registry query lands in a driver sample by
+    # in registry order.  Entries 51-96 are the deliberate r5 slate --
+    # 96 <= 2x50, so every registry query lands in a driver sample by
     # end of r5.  Regenerate with the never-green computation in
     # PLANS.md section "attestation ordering".
     "multimodal_features",
@@ -7812,6 +7836,7 @@ _ATTEST_PRIORITY: list[str] = [
     "dust_rules",
     "phrase_search",
     "alias_collapse",
+    "hyperball_centrality",
 ]
 
 
@@ -8827,6 +8852,95 @@ _ORACLE_B15 = {
                  LEFT JOIN al a2 ON e.dst = a2.url)
         SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS weight
         FROM c WHERE src <> dst GROUP BY src, dst
+    """,
+    # HyperBall replayed in rows form: per-node md5 registers (same
+    # strpos hex fold as the hll_tokens oracle, 1-char bucket => m=16),
+    # two UNION ALL + MAX(mr) propagation rounds, BIGINT power-of-two
+    # register sums, alpha*256 single-multiply — bit-parity before the
+    # 4dp round
+    "hyperball_centrality": r"""
+        WITH e AS (
+          SELECT 'h' || CAST(doc_id % 23 AS VARCHAR) AS src,
+                 'h' || CAST((doc_id * doc_id + 1) % 29 AS VARCHAR) AS dst
+          FROM documents
+          WHERE doc_id % 23 <> (doc_id * doc_id + 1) % 29),
+        ed AS (SELECT DISTINCT src, dst FROM e),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        r0 AS (
+          SELECT node,
+                 (strpos('0123456789abcdef', substr(md5(node), 1, 1)) - 1)
+                   AS bucket,
+                 (length(substr(md5(node), 2, 13))
+                  - length(ltrim(substr(md5(node), 2, 13), '0'))) * 4
+                 + CASE substr(ltrim(substr(md5(node), 2, 13), '0'), 1, 1)
+                     WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                     WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+                     WHEN '7' THEN 1 ELSE 0 END
+                 + 1 AS mr
+          FROM nodes),
+        s1 AS (
+          SELECT v AS node, bucket, MAX(mr) AS mr FROM (
+            SELECT node AS v, bucket, mr FROM r0
+            UNION ALL
+            SELECT ed.src AS v, r0.bucket, r0.mr
+            FROM ed JOIN r0 ON ed.dst = r0.node
+          ) GROUP BY v, bucket),
+        s2 AS (
+          SELECT v AS node, bucket, MAX(mr) AS mr FROM (
+            SELECT node AS v, bucket, mr FROM s1
+            UNION ALL
+            SELECT ed.src AS v, s1.bucket, s1.mr
+            FROM ed JOIN s1 ON ed.dst = s1.node
+          ) GROUP BY v, bucket),
+        est0 AS (
+          SELECT node,
+            CASE WHEN 0.673 * 256 * pow(2, 50) / CAST(
+                   SUM(CAST(pow(2, 50 - least(mr, 50)) AS BIGINT))
+                   + CAST(16 - COUNT(*) AS BIGINT)
+                     * CAST(pow(2, 50) AS BIGINT) AS DOUBLE) < 40.0
+                  AND COUNT(*) < 16
+                 THEN 16.0 * ln(16.0 / CAST(16 - COUNT(*) AS DOUBLE))
+                 ELSE 0.673 * 256 * pow(2, 50) / CAST(
+                   SUM(CAST(pow(2, 50 - least(mr, 50)) AS BIGINT))
+                   + CAST(16 - COUNT(*) AS BIGINT)
+                     * CAST(pow(2, 50) AS BIGINT) AS DOUBLE)
+            END AS est
+          FROM r0 GROUP BY node),
+        est1 AS (
+          SELECT node,
+            CASE WHEN 0.673 * 256 * pow(2, 50) / CAST(
+                   SUM(CAST(pow(2, 50 - least(mr, 50)) AS BIGINT))
+                   + CAST(16 - COUNT(*) AS BIGINT)
+                     * CAST(pow(2, 50) AS BIGINT) AS DOUBLE) < 40.0
+                  AND COUNT(*) < 16
+                 THEN 16.0 * ln(16.0 / CAST(16 - COUNT(*) AS DOUBLE))
+                 ELSE 0.673 * 256 * pow(2, 50) / CAST(
+                   SUM(CAST(pow(2, 50 - least(mr, 50)) AS BIGINT))
+                   + CAST(16 - COUNT(*) AS BIGINT)
+                     * CAST(pow(2, 50) AS BIGINT) AS DOUBLE)
+            END AS est
+          FROM s1 GROUP BY node),
+        est2 AS (
+          SELECT node,
+            CASE WHEN 0.673 * 256 * pow(2, 50) / CAST(
+                   SUM(CAST(pow(2, 50 - least(mr, 50)) AS BIGINT))
+                   + CAST(16 - COUNT(*) AS BIGINT)
+                     * CAST(pow(2, 50) AS BIGINT) AS DOUBLE) < 40.0
+                  AND COUNT(*) < 16
+                 THEN 16.0 * ln(16.0 / CAST(16 - COUNT(*) AS DOUBLE))
+                 ELSE 0.673 * 256 * pow(2, 50) / CAST(
+                   SUM(CAST(pow(2, 50 - least(mr, 50)) AS BIGINT))
+                   + CAST(16 - COUNT(*) AS BIGINT)
+                     * CAST(pow(2, 50) AS BIGINT) AS DOUBLE)
+            END AS est
+          FROM s2 GROUP BY node)
+        SELECT est0.node,
+               ROUND(est1.est, 4) AS ball_1,
+               ROUND(est2.est, 4) AS ball_2,
+               ROUND((est1.est - est0.est) / 1
+                     + (est2.est - est1.est) / 2, 4) AS harmonic
+        FROM est0 JOIN est1 ON est0.node = est1.node
+                  JOIN est2 ON est0.node = est2.node
     """,
 }
 _ORACLE.update(_ORACLE_B15)

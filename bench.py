@@ -219,6 +219,7 @@ HEADLINE_EXT = [
     "dust_rules",
     "phrase_search",
     "alias_collapse",
+    "hyperball_centrality",
 ]
 
 

@@ -777,3 +777,165 @@ def collapse_aliases(
     return e.groupBy("src", "dst").agg(
         F.count("*").cast("bigint").alias("weight")
     )
+
+
+# --- HyperBall (Boldi & Vigna, "In-core computation of geometric
+# centralities with HyperBall", 2013) ---------------------------------
+
+HB_M = 16          # registers per node (p=4; production uses p>=6 —
+                   # same algorithm, more hex chars in the bucket)
+HB_RANK_CAP = 50   # fixed-point exponent cap (16 * 2^50 << 2^63)
+HB_WINDOW = 13     # hex chars of the rank window (52 bits)
+HB_ALPHA = 0.673   # HLL alpha for m=16
+
+
+def _hb_register(col: Column) -> tuple[Column, Column]:
+    """(bucket, rank) HLL register for one node id — the same
+    engine-neutral md5 discipline as ``sketches.hll_register`` at
+    m=16 (1 hex char of bucket so a per-node counter stays 16 ints)."""
+    h = F.md5(col.cast("string"))
+    bucket = F.conv(F.substring(h, 1, 1), 16, 10).cast("int")
+    w = F.substring(h, 2, HB_WINDOW)
+    trimmed = F.regexp_replace(w, "^0+", "")
+    lz = F.length(w) - F.length(trimmed)
+    first = F.substring(trimmed, 1, 1)
+    extra = (
+        F.when(first == "1", 3)
+        .when(first.isin("2", "3"), 2)
+        .when(first.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    return bucket, (lz * 4 + extra + 1).cast("int")
+
+
+def _hb_estimate(reg_cols: list[Column]) -> Column:
+    """HLL cardinality estimate from 16 in-row register columns —
+    pure codegen arithmetic, no agg (each node's ball is estimated
+    inside its own row)."""
+    cap = F.lit(HB_RANK_CAP)
+    # each term is an exact power of two <= 2^50; summed as BIGINT
+    # because 16 * 2^50 = 2^54 > 2^53 — a double sum would round and
+    # the rounding would depend on summation order (the DuckDB oracle
+    # sums over rows in arbitrary order; same discipline as
+    # sketches.hll_cardinality's s_fixed)
+    terms = [
+        F.pow(
+            F.lit(2.0), (cap - F.least(r, cap)).cast("double")
+        ).cast("bigint")
+        for r in reg_cols
+    ]
+    s_fixed = terms[0]
+    for t in terms[1:]:
+        s_fixed = s_fixed + t
+    v_empty = None
+    for r in reg_cols:
+        e = F.when(r == 0, 1).otherwise(0)
+        v_empty = e if v_empty is None else v_empty + e
+    m = float(HB_M)
+    # single multiply (alpha * 256), matching the oracle's literal
+    # association so the double product is bit-identical
+    raw = (
+        F.lit(HB_ALPHA * (HB_M * HB_M))
+        * F.pow(F.lit(2.0), F.lit(float(HB_RANK_CAP)))
+        / s_fixed.cast("double")
+    )
+    v = v_empty.cast("double")
+    return F.when(
+        (raw < 2.5 * m) & (v_empty > 0), F.lit(m) * F.log(F.lit(m) / v)
+    ).otherwise(raw)
+
+
+def hyperball(
+    edges: DataFrame,
+    iters: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint: bool = True,
+    ndigits: int = 4,
+) -> DataFrame:
+    """HyperBall: approximate neighborhood function and harmonic
+    centrality on a web-scale graph (Boldi & Vigna 2013 — the
+    algorithm behind the published Facebook/web-graph "degrees of
+    separation" measurements).  Every node carries a 16-register
+    HyperLogLog counter of its out-ball; one iteration unions each
+    node's counter with its out-neighbors' counters (element-wise
+    register max — union of HLL sketches is exact), so after t rounds
+    the counter estimates ``|ball(v, t)|``.  Exact ball counting is
+    infeasible at scale (balls grow to the graph size); HLL counters
+    make the per-node state O(m) and the union associative — the
+    whole iteration is ONE dst-keyed join + ONE node-keyed max agg,
+    and register max is partial-aggregatable (map-side combine).
+
+    State is 16 INT COLUMNS per node, not an array: the per-register
+    ``max`` aggregates and the in-row estimate stay in whole-stage
+    codegen with zero array allocation per row.
+
+    Returns ``(node, ball_1 .. ball_iters, harmonic)`` — ball
+    estimates per radius (2dp-free doubles rounded to ``ndigits``)
+    and harmonic centrality ``Σ_t (ball_t − ball_{t−1})/t`` with
+    ``ball_0`` the (estimated) singleton.  Estimates reuse the
+    engine-neutral md5 register discipline of `sketches.hll_register`,
+    so the DuckDB oracle replays them bit-for-bit.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if checkpoint:
+        e = e.localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    bucket, rank = _hb_register(F.col("node"))
+    state = nodes.select(
+        "node",
+        *[
+            F.when(bucket == j, rank).otherwise(0).cast("int").alias(f"r{j}")
+            for j in range(HB_M)
+        ],
+    )
+    if checkpoint:
+        state = state.localCheckpoint(eager=False)
+    regs = [F.col(f"r{j}") for j in range(HB_M)]
+    balls = [_hb_estimate(regs).alias("ball_0")]
+    ests: list[str] = ["ball_0"]
+    state = state.select("node", *[f"r{j}" for j in range(HB_M)],
+                         *balls)
+    for t in range(1, iters + 1):
+        nbr = e.join(
+            state.select(
+                F.col("node").alias("dst"),
+                *[F.col(f"r{j}").alias(f"n{j}") for j in range(HB_M)],
+            ),
+            "dst",
+        )
+        contrib = nbr.groupBy(F.col("src").alias("node")).agg(
+            *[F.max(f"n{j}").alias(f"c{j}") for j in range(HB_M)]
+        )
+        merged = state.join(contrib, "node", "left").select(
+            "node",
+            *[
+                F.greatest(
+                    F.col(f"r{j}"), F.coalesce(F.col(f"c{j}"), F.lit(0))
+                ).alias(f"r{j}")
+                for j in range(HB_M)
+            ],
+            *[F.col(b) for b in ests],
+        )
+        state = merged.select(
+            "*", _hb_estimate(regs).alias(f"ball_{t}")
+        )
+        ests.append(f"ball_{t}")
+        if checkpoint:
+            state = state.localCheckpoint(eager=False)
+    harmonic = None
+    for t in range(1, iters + 1):
+        d = (F.col(f"ball_{t}") - F.col(f"ball_{t-1}")) / t
+        harmonic = d if harmonic is None else harmonic + d
+    return state.select(
+        "node",
+        *[
+            F.round(F.col(f"ball_{t}"), ndigits).alias(f"ball_{t}")
+            for t in range(1, iters + 1)
+        ],
+        F.round(harmonic, ndigits).alias("harmonic"),
+    )

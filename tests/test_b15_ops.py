@@ -202,3 +202,77 @@ def test_collapse_aliases_identity_when_no_match(spark):
     assert [(r["src"], r["dst"], r["weight"]) for r in got] == [
         ("x", "y", 1)
     ]
+
+
+# --- hyperball --------------------------------------------------------
+
+
+def _hb_py(nodes, balls, t):
+    """Straight-line HLL estimate of each node's exact ball set —
+    independent of the Spark register plumbing."""
+    import hashlib
+    import math
+
+    def reg(n):
+        h = hashlib.md5(n.encode()).hexdigest()
+        b = int(h[0], 16)
+        w = h[1:14]
+        t_ = w.lstrip("0")
+        lz = len(w) - len(t_)
+        first = t_[:1]
+        extra = {"1": 3, "2": 2, "3": 2, "4": 1, "5": 1, "6": 1,
+                 "7": 1}.get(first, 0)
+        return b, lz * 4 + extra + 1
+
+    out = {}
+    for n in nodes:
+        regs = [0] * 16
+        for m in balls[n]:
+            b, r = reg(m)
+            regs[b] = max(regs[b], r)
+        s = sum(1 << (50 - min(r, 50)) for r in regs)
+        v = sum(1 for r in regs if r == 0)
+        raw = 0.673 * 256 * (2.0 ** 50) / float(s)
+        if raw < 40.0 and v > 0:
+            est = 16.0 * math.log(16.0 / v)
+        else:
+            est = raw
+        out[n] = round(est, 4)
+    return out
+
+
+def test_hyperball_matches_exact_ball_estimates(spark):
+    from legislation_scraper_spark.operators.graph import hyperball
+
+    # a -> b -> c -> d, a -> c ; e isolated source e -> a
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("e", "a")]
+    e = spark.createDataFrame(pairs, "src string, dst string")
+    got = {r["node"]: r for r in hyperball(e, iters=2).collect()}
+
+    nodes = list("abcde")
+    out = {n: {n} for n in nodes}
+    adj = {}
+    for s, d in pairs:
+        adj.setdefault(s, set()).add(d)
+    ball1 = {n: out[n] | set().union(*[out[m] for m in adj.get(n, set())] or [set()])
+             for n in nodes}
+    ball2 = {n: ball1[n] | set().union(*[ball1[m] for m in adj.get(n, set())] or [set()])
+             for n in nodes}
+    e1 = _hb_py(nodes, ball1, 1)
+    e2 = _hb_py(nodes, ball2, 2)
+    for n in nodes:
+        assert abs(got[n]["ball_1"] - e1[n]) < 1e-9, (n, got[n], e1[n])
+        assert abs(got[n]["ball_2"] - e2[n]) < 1e-9, (n, got[n], e2[n])
+
+
+def test_hyperball_monotone_and_sink(spark):
+    from legislation_scraper_spark.operators.graph import hyperball
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("x", "a")],
+        "src string, dst string",
+    )
+    rows = hyperball(e, iters=3).collect()
+    for r in rows:
+        assert r["ball_1"] <= r["ball_2"] + 1e-9
+        assert r["ball_2"] <= r["ball_3"] + 1e-9
