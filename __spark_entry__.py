@@ -7719,11 +7719,58 @@ def q_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hyperball(e, iters=2)
 
 
+def q_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALSA hub/authority walk (operators/graph.salsa — Lempel &
+    Moran WWW'00, Twitter's Who-To-Follow scorer): two stochastic
+    hub/authority steps over the quadratic host graph.  Unlike HITS
+    there is NO normalization pass (each step is a stochastic matrix,
+    scores stay distributions) — a missing or extra normalizer shows
+    as a value mismatch.  Oracle unrolls both steps as chained CTEs,
+    6dp."""
+    from legislation_scraper_spark.operators.graph import salsa
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    e = d.select(
+        F.concat(F.lit("h"), (did % 23).cast("string")).alias("src"),
+        F.concat(
+            F.lit("h"), ((did * did + 1) % 29).cast("string")
+        ).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    return salsa(e, iters=2)
+
+
+def q_adaptive_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latency-proportional politeness delay (operators/politeness.
+    adaptive_fetch_delay): per-host mean of the last 8 fetch latencies
+    (WindowGroupLimit recency rank), timeouts (every 11th fetch)
+    counted at the 8 s ceiling, delay = clamp(2 × mean, 500 ms, 8 s) —
+    both clamp edges exercised (fast hosts pin to the floor, flapping
+    hosts to the ceiling)."""
+    from legislation_scraper_spark.operators.politeness import (
+        adaptive_fetch_delay,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    log = d.select(
+        F.concat(F.lit("h"), (did % 20).cast("string")).alias("host"),
+        did.alias("fetched_at"),
+        F.when(did % 11 != 0, ((did * 37) % 4000 + 50).cast("double"))
+        .alias("latency_ms"),
+    )
+    return adaptive_fetch_delay(
+        log, window=8, k=2.0, min_delay_ms=500, max_delay_ms=8000
+    )
+
+
 _Q_B15 = {
     "dust_rules": q_dust_rules,
     "phrase_search": q_phrase_search,
     "alias_collapse": q_alias_collapse,
     "hyperball_centrality": q_hyperball,
+    "salsa_scores": q_salsa,
+    "adaptive_delay": q_adaptive_delay,
 }
 _Q.update(_Q_B15)
 
@@ -7731,14 +7778,14 @@ _Q.update(_Q_B15)
 _ATTEST_PRIORITY: list[str] = [
     # Every query with NO driver-green CORRECTNESS row across r1-r3
     # (87 of 178, plus the late-r4 merge/time-travel and batch-14/15
-    # queries appended at the tail => 96 of 187), ordered so the
+    # queries appended at the tail => 98 of 189), ordered so the
     # driver's 50-query sample closes the
     # attestation gap fastest: the four stale r1 reds (fixed in r2,
     # repo-green since) and the committed-fixture-backed queries first
     # (most at risk, want an r4 row so any failure is fixable in r5),
     # then the 26 r3-era never-sampled queries, then round-4 additions
-    # in registry order.  Entries 51-96 are the deliberate r5 slate --
-    # 96 <= 2x50, so every registry query lands in a driver sample by
+    # in registry order.  Entries 51-98 are the deliberate r5 slate --
+    # 98 <= 2x50, so every registry query lands in a driver sample by
     # end of r5.  Regenerate with the never-green computation in
     # PLANS.md section "attestation ordering".
     "multimodal_features",
@@ -7837,6 +7884,8 @@ _ATTEST_PRIORITY: list[str] = [
     "phrase_search",
     "alias_collapse",
     "hyperball_centrality",
+    "salsa_scores",
+    "adaptive_delay",
 ]
 
 
@@ -8941,6 +8990,66 @@ _ORACLE_B15 = {
                      + (est2.est - est1.est) / 2, 4) AS harmonic
         FROM est0 JOIN est1 ON est0.node = est1.node
                   JOIN est2 ON est0.node = est2.node
+    """,
+    # two SALSA hub/authority walk steps unrolled; no normalizer by
+    # construction (stochastic steps preserve the distributions)
+    "salsa_scores": """
+        WITH e AS (
+          SELECT 'h' || CAST(doc_id % 23 AS VARCHAR) AS src,
+                 'h' || CAST((doc_id * doc_id + 1) % 29 AS VARCHAR) AS dst
+          FROM documents
+          WHERE doc_id % 23 <> (doc_id * doc_id + 1) % 29),
+        od AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS od FROM e
+               GROUP BY src),
+        idg AS (SELECT dst, CAST(COUNT(*) AS DOUBLE) AS idg FROM e
+                GROUP BY dst),
+        hubs AS (SELECT DISTINCT src AS node FROM e),
+        auths AS (SELECT DISTINCT dst AS node FROM e),
+        nh AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM hubs),
+        na AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM auths),
+        a0 AS (SELECT node, 1.0 / (SELECT n FROM na) AS a FROM auths),
+        h1 AS (SELECT e.src AS node, SUM(a0.a / idg.idg) AS h
+               FROM e JOIN a0 ON e.dst = a0.node
+                      JOIN idg ON e.dst = idg.dst
+               GROUP BY e.src),
+        a1 AS (SELECT e.dst AS node, SUM(h1.h / od.od) AS a
+               FROM e JOIN h1 ON e.src = h1.node
+                      JOIN od ON e.src = od.src
+               GROUP BY e.dst),
+        h2 AS (SELECT e.src AS node, SUM(a1.a / idg.idg) AS h
+               FROM e JOIN a1 ON e.dst = a1.node
+                      JOIN idg ON e.dst = idg.dst
+               GROUP BY e.src),
+        a2 AS (SELECT e.dst AS node, SUM(h2.h / od.od) AS a
+               FROM e JOIN h2 ON e.src = h2.node
+                      JOIN od ON e.src = od.src
+               GROUP BY e.dst),
+        hn AS (SELECT hubs.node, COALESCE(h2.h, 0.0) AS hub
+               FROM hubs LEFT JOIN h2 ON hubs.node = h2.node),
+        an AS (SELECT auths.node, COALESCE(a2.a, 0.0) AS authority
+               FROM auths LEFT JOIN a2 ON auths.node = a2.node)
+        SELECT COALESCE(hn.node, an.node) AS node,
+               ROUND(COALESCE(hub, 0.0), 6) AS hub,
+               ROUND(COALESCE(authority, 0.0), 6) AS authority
+        FROM hn FULL OUTER JOIN an ON hn.node = an.node
+    """,
+    "adaptive_delay": """
+        WITH lg AS (
+          SELECT 'h' || CAST(doc_id % 20 AS VARCHAR) AS host,
+                 doc_id AS ts,
+                 CASE WHEN doc_id % 11 <> 0
+                      THEN CAST((doc_id * 37) % 4000 + 50 AS DOUBLE)
+                      ELSE 8000.0 END AS lat
+          FROM documents),
+        r AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY host
+                      ORDER BY ts DESC, lat DESC) AS rnk
+          FROM lg)
+        SELECT host, CAST(COUNT(*) AS BIGINT) AS n_recent,
+               ROUND(SUM(lat) / COUNT(*), 2) AS mean_latency_ms,
+               ROUND(LEAST(GREATEST(2.0 * SUM(lat) / COUNT(*), 500.0),
+                           8000.0), 2) AS delay_ms
+        FROM r WHERE rnk <= 8 GROUP BY host
     """,
 }
 _ORACLE.update(_ORACLE_B15)

@@ -220,6 +220,8 @@ HEADLINE_EXT = [
     "phrase_search",
     "alias_collapse",
     "hyperball_centrality",
+    "salsa_scores",
+    "adaptive_delay",
 ]
 
 

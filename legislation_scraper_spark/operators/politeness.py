@@ -523,3 +523,67 @@ def schedule_by_domain(
         .withColumn("domain_rank", F.row_number().over(w))
         .filter(F.col("domain_rank") <= per_domain_budget)
     )
+
+
+def adaptive_fetch_delay(
+    fetch_log: DataFrame,
+    window: int = 16,
+    k: float = 2.0,
+    min_delay_ms: int = 500,
+    max_delay_ms: int = 30_000,
+    host_col: str = "host",
+    ts_col: str = "fetched_at",
+    latency_col: str = "latency_ms",
+    ndigits: int = 2,
+) -> DataFrame:
+    """Latency-proportional per-host crawl delay — the classic polite
+    heuristic (Heritrix's ``delayFactor``, Nutch's
+    ``fetcher.server.delay`` guidance, and what Crawl-Delay-less
+    robots.txt leaves to the crawler): the next inter-request delay for
+    a host is ``clamp(k × recent mean latency, min, max)``.  A server
+    answering in 80 ms absorbs a 160 ms cadence; one struggling at 5 s
+    must not be hit again in 500 ms — latency IS the server's load
+    signal, and a fixed global delay either wastes budget on fast
+    hosts or hammers slow ones.
+
+    "Recent" = the last ``window`` fetches per host (row_number desc
+    over the fetch timestamp) — bounded state per host, deterministic,
+    and the rank ≤ window predicate executes map-side as
+    WindowGroupLimit (the politeness-rank discipline: the shuffle
+    carries at most hosts × window rows of the log, however long the
+    crawl history grows).  Failures (NULL latency — timeouts) count at
+    ``max_delay_ms`` so a flapping host backs off.
+
+    Returns one row per host: ``(host, n_recent, mean_latency_ms,
+    delay_ms)``.
+    """
+    w = Window.partitionBy("host").orderBy(
+        F.col("_ts").desc(), F.col("_lat").desc()
+    )
+    recent = (
+        fetch_log.select(
+            F.col(host_col).alias("host"),
+            F.col(ts_col).alias("_ts"),
+            F.coalesce(
+                F.col(latency_col).cast("double"),
+                F.lit(float(max_delay_ms)),
+            ).alias("_lat"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= window)
+    )
+    mean_lat = F.sum("_lat") / F.count("*")
+    return recent.groupBy("host").agg(
+        F.count("*").cast("bigint").alias("n_recent"),
+        F.round(mean_lat, ndigits).alias("mean_latency_ms"),
+        F.round(
+            F.least(
+                F.greatest(
+                    F.lit(float(k)) * mean_lat,
+                    F.lit(float(min_delay_ms)),
+                ),
+                F.lit(float(max_delay_ms)),
+            ),
+            ndigits,
+        ).alias("delay_ms"),
+    )

@@ -276,3 +276,80 @@ def test_hyperball_monotone_and_sink(spark):
     for r in rows:
         assert r["ball_1"] <= r["ball_2"] + 1e-9
         assert r["ball_2"] <= r["ball_3"] + 1e-9
+
+
+# --- salsa ------------------------------------------------------------
+
+
+def test_salsa_hand_graph(spark):
+    from legislation_scraper_spark.operators.graph import salsa
+
+    # hubs {a, b}, authorities {x, y}; a->x, a->y, b->y
+    e = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", "y")], "src string, dst string"
+    )
+    got = {r["node"]: r for r in salsa(e, iters=1).collect()}
+    # a0 = 1/2 each; h1(a) = a0(x)/in(x) + a0(y)/in(y) = 1/2 + 1/4
+    # h1(b) = a0(y)/in(y) = 1/4
+    assert abs(got["a"]["hub"] - 0.75) < 1e-9
+    assert abs(got["b"]["hub"] - 0.25) < 1e-9
+    # a1(x) = h1(a)/out(a) = 0.375 ; a1(y) = 0.375 + 0.25
+    assert abs(got["x"]["authority"] - 0.375) < 1e-9
+    assert abs(got["y"]["authority"] - 0.625) < 1e-9
+    # pure hubs score 0 authority and vice versa
+    assert got["a"]["authority"] == 0.0
+    assert got["x"]["hub"] == 0.0
+
+
+def test_salsa_scores_stay_distributions(spark):
+    from legislation_scraper_spark.operators.graph import salsa
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a")],
+        "src string, dst string",
+    )
+    out = salsa(e, iters=3).agg(
+        F.sum("hub").alias("h"), F.sum("authority").alias("a")
+    ).collect()[0]
+    # scores are rounded to 6dp per node, so the sums carry up to
+    # n_nodes x 5e-7 of rounding
+    assert abs(out["h"] - 1.0) < 5e-6
+    assert abs(out["a"] - 1.0) < 5e-6
+
+
+# --- adaptive_fetch_delay ---------------------------------------------
+
+
+def test_adaptive_delay_window_and_clamps(spark):
+    from legislation_scraper_spark.operators.politeness import (
+        adaptive_fetch_delay,
+    )
+
+    rows = []
+    # fast host: latencies 100ms -> delay pinned at the 500ms floor
+    rows += [("fast", t, 100.0) for t in range(20)]
+    # slow host: 5000ms -> 2x mean = 10000 -> pinned at 8000 ceiling
+    rows += [("slow", t, 5000.0) for t in range(4)]
+    # drifting host: old fetches 10000ms, recent 4 are 1000ms; with
+    # window=4 only the recent ones count -> delay 2000
+    rows += [("drift", t, 10000.0) for t in range(10)]
+    rows += [("drift", 100 + t, 1000.0) for t in range(4)]
+    # flapper: alternating timeouts (NULL -> max) and 0ms
+    rows += [("flap", t, None if t % 2 == 0 else 0.0) for t in range(8)]
+    log = spark.createDataFrame(
+        rows, "host string, fetched_at long, latency_ms double"
+    )
+    got = {
+        r["host"]: r
+        for r in adaptive_fetch_delay(
+            log, window=4, k=2.0, min_delay_ms=500, max_delay_ms=8000
+        ).collect()
+    }
+    assert got["fast"]["delay_ms"] == 500.0
+    assert got["slow"]["delay_ms"] == 8000.0
+    assert got["drift"]["mean_latency_ms"] == 1000.0
+    assert got["drift"]["delay_ms"] == 2000.0
+    # flap window=4 over ts 7,6,5,4 -> lats 0, 8000, 0, 8000 -> mean 4000
+    assert got["flap"]["mean_latency_ms"] == 4000.0
+    assert got["flap"]["delay_ms"] == 8000.0
+    assert all(r["n_recent"] == 4 for r in got.values())
