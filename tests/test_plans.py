@@ -269,3 +269,75 @@ def test_pagerank_one_agg_shuffle_per_iteration(spark):
         [l for l in p.splitlines() if "hashpartitioning(dst" in l]
     )
     assert agg_ex(p2) - agg_ex(p1) == 1
+
+
+def test_adaptive_delay_rank_is_map_side_pruned(spark):
+    """The recency restriction must execute as WindowGroupLimit (both
+    partial and final), so the single window shuffle carries at most
+    hosts x W rows of an unbounded fetch log."""
+    from legislation_scraper_spark.operators.politeness import (
+        adaptive_fetch_delay,
+    )
+
+    log = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("source").alias("host"),
+        F.col("doc_id").alias("fetched_at"),
+        (F.col("doc_id") % 997).cast("double").alias("latency_ms"),
+    )
+    plan = _explain(adaptive_fetch_delay(log, window=8))
+    assert plan.count("WindowGroupLimit") >= 2
+
+
+def test_schedule_by_domain_single_window_shuffle(spark):
+    """The PSL fold is in-row codegen: exactly ONE Exchange (the domain
+    window) in the whole plan, and the rank prunes map-side."""
+    from legislation_scraper_spark.operators.politeness import (
+        schedule_by_domain,
+    )
+
+    fr = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("doc_id"),
+        F.lit(0).alias("priority"),
+        F.concat(F.col("source"), F.lit(".com.br")).alias("host"),
+        F.concat(F.lit("http://x/"), F.col("doc_id")).alias("url"),
+    )
+    import re
+
+    plan = _explain(schedule_by_domain(fr, per_domain_budget=5))
+    # formatted explain lists each node twice (tree + details): count
+    # the numbered detail entries
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+    assert "WindowGroupLimit" in plan
+
+
+def test_dust_rules_two_shuffles_no_join(spark):
+    """The dedup-family discipline holds: digest group + rule group are
+    the only exchanges, and there is NO join operator of any kind (the
+    pair expansion is in-array)."""
+    from legislation_scraper_spark.operators.dust import dust_rules
+
+    pages = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("source").alias("digest"),
+        F.concat(F.lit("http://h/"), F.col("doc_id")).alias("url"),
+    )
+    import re
+
+    plan = _explain(dust_rules(pages))
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 2
+
+
+def test_hyperball_round_is_join_plus_partial_agg(spark):
+    """One propagation round = one dst-keyed join + one node-keyed max
+    agg with map-side partial aggregation; the estimate is in-row (no
+    extra exchange for it)."""
+    from legislation_scraper_spark.operators.graph import hyperball
+
+    e = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("source").alias("src"),
+        F.concat(F.lit("h"), F.col("doc_id") % 7).alias("dst"),
+    )
+    plan = _explain(hyperball(e, iters=1, checkpoint=False))
+    # 16 max aggregates appear as partial_max in the partial agg stage
+    assert "partial_max" in plan.lower() or "partial_max(n0" in plan \
+        or plan.lower().count("hashaggregate") >= 2
