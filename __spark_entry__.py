@@ -7764,6 +7764,44 @@ def q_adaptive_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shark-Search focused-crawl frontier scoring (operators/focused.
+    shark_scores — Hersovici et al. WWW'98): child potential blends
+    decayed parent relevance (falling back to the parent's OWN
+    inherited score when the parent proved irrelevant — the decay
+    branch is planted on 1/3 of parents) with anchor/context evidence
+    (the anchor>0 ⇒ context:=1 rule planted on half the links).
+    Dyadic weights ⇒ bit parity.  Max-evidence fold per child + parent
+    count."""
+    from legislation_scraper_spark.operators.focused import shark_scores
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    parents = d.select(
+        F.concat(F.lit("h"), (did % 23).cast("string")).alias("url"),
+        # every 3rd parent measured irrelevant -> decay branch
+        F.when(did % 3 != 0, ((did * 7) % 10).cast("double") / 10.0)
+        .otherwise(F.lit(0.0))
+        .alias("relevance"),
+        (((did * 3) % 10).cast("double") / 10.0).alias("inherited"),
+    ).groupBy("url").agg(
+        F.max("relevance").alias("relevance"),
+        F.max("inherited").alias("inherited"),
+    )
+    links = d.select(
+        F.concat(F.lit("h"), (did % 23).cast("string")).alias("src"),
+        F.concat(
+            F.lit("u"), ((did * did + 3) % 31).cast("string")
+        ).alias("dst"),
+        # half the links have a matching anchor
+        F.when(did % 2 == 0, ((did % 5) + 1).cast("double") / 10.0)
+        .otherwise(F.lit(0.0))
+        .alias("anchor_rel"),
+        (((did * 11) % 10).cast("double") / 10.0).alias("context_rel"),
+    )
+    return shark_scores(parents, links)
+
+
 _Q_B15 = {
     "dust_rules": q_dust_rules,
     "phrase_search": q_phrase_search,
@@ -7771,6 +7809,7 @@ _Q_B15 = {
     "hyperball_centrality": q_hyperball,
     "salsa_scores": q_salsa,
     "adaptive_delay": q_adaptive_delay,
+    "shark_priority": q_shark,
 }
 _Q.update(_Q_B15)
 
@@ -7778,14 +7817,14 @@ _Q.update(_Q_B15)
 _ATTEST_PRIORITY: list[str] = [
     # Every query with NO driver-green CORRECTNESS row across r1-r3
     # (87 of 178, plus the late-r4 merge/time-travel and batch-14/15
-    # queries appended at the tail => 98 of 189), ordered so the
+    # queries appended at the tail => 99 of 190), ordered so the
     # driver's 50-query sample closes the
     # attestation gap fastest: the four stale r1 reds (fixed in r2,
     # repo-green since) and the committed-fixture-backed queries first
     # (most at risk, want an r4 row so any failure is fixable in r5),
     # then the 26 r3-era never-sampled queries, then round-4 additions
-    # in registry order.  Entries 51-98 are the deliberate r5 slate --
-    # 98 <= 2x50, so every registry query lands in a driver sample by
+    # in registry order.  Entries 51-99 are the deliberate r5 slate --
+    # 99 <= 2x50, so every registry query lands in a driver sample by
     # end of r5.  Regenerate with the never-green computation in
     # PLANS.md section "attestation ordering".
     "multimodal_features",
@@ -7886,6 +7925,7 @@ _ATTEST_PRIORITY: list[str] = [
     "hyperball_centrality",
     "salsa_scores",
     "adaptive_delay",
+    "shark_priority",
 ]
 
 
@@ -9050,6 +9090,38 @@ _ORACLE_B15 = {
                ROUND(LEAST(GREATEST(2.0 * SUM(lat) / COUNT(*), 500.0),
                            8000.0), 2) AS delay_ms
         FROM r WHERE rnk <= 8 GROUP BY host
+    """,
+    # Shark-Search step with the same operation association as the
+    # Spark side (dyadic weights -> bit parity before the 6dp round)
+    "shark_priority": """
+        WITH p0 AS (
+          SELECT 'h' || CAST(doc_id % 23 AS VARCHAR) AS url,
+                 CASE WHEN doc_id % 3 <> 0
+                      THEN CAST((doc_id * 7) % 10 AS DOUBLE) / 10.0
+                      ELSE 0.0 END AS relevance,
+                 CAST((doc_id * 3) % 10 AS DOUBLE) / 10.0 AS inherited
+          FROM documents),
+        p AS (SELECT url, MAX(relevance) AS rel, MAX(inherited) AS inh
+              FROM p0 GROUP BY url),
+        l AS (
+          SELECT 'h' || CAST(doc_id % 23 AS VARCHAR) AS src,
+                 'u' || CAST((doc_id * doc_id + 3) % 31 AS VARCHAR) AS dst,
+                 CASE WHEN doc_id % 2 = 0
+                      THEN CAST((doc_id % 5) + 1 AS DOUBLE) / 10.0
+                      ELSE 0.0 END AS arel,
+                 CAST((doc_id * 11) % 10 AS DOUBLE) / 10.0 AS crel
+          FROM documents),
+        s AS (
+          SELECT l.dst,
+                 0.5 * (0.5 * CASE WHEN p.rel > 0 THEN p.rel
+                                   ELSE p.inh END)
+                 + 0.5 * (0.75 * l.arel
+                          + 0.25 * CASE WHEN l.arel > 0 THEN 1.0
+                                        ELSE l.crel END) AS pot
+          FROM l JOIN p ON l.src = p.url)
+        SELECT dst AS url, ROUND(MAX(pot), 6) AS potential,
+               CAST(COUNT(*) AS BIGINT) AS n_parents
+        FROM s GROUP BY dst
     """,
 }
 _ORACLE.update(_ORACLE_B15)

@@ -222,6 +222,7 @@ HEADLINE_EXT = [
     "hyperball_centrality",
     "salsa_scores",
     "adaptive_delay",
+    "shark_priority",
 ]
 
 

@@ -353,3 +353,43 @@ def test_adaptive_delay_window_and_clamps(spark):
     assert got["flap"]["mean_latency_ms"] == 4000.0
     assert got["flap"]["delay_ms"] == 8000.0
     assert all(r["n_recent"] == 4 for r in got.values())
+
+
+# --- shark_scores -----------------------------------------------------
+
+
+def test_shark_scores_branches(spark):
+    from legislation_scraper_spark.operators.focused import shark_scores
+
+    parents = spark.createDataFrame(
+        [
+            ("rel", 0.8, 0.2),     # relevant parent: inherit from rel
+            ("irr", 0.0, 0.6),     # irrelevant: decay its inherited
+        ],
+        "url string, relevance double, inherited double",
+    )
+    links = spark.createDataFrame(
+        [
+            # anchor matched -> context forced to 1
+            ("rel", "c1", 0.4, 0.1),
+            # no anchor match -> context used as-is
+            ("rel", "c2", 0.0, 0.6),
+            # child via irrelevant parent
+            ("irr", "c3", 0.0, 0.0),
+            # c2 discovered twice: keeps the better evidence
+            ("irr", "c2", 0.0, 1.0),
+        ],
+        "src string, dst string, anchor_rel double, context_rel double",
+    )
+    got = {
+        r["url"]: r
+        for r in shark_scores(parents, links).collect()
+    }
+    # c1: inh=.5*.8=.4 ; neigh=.75*.4+.25*1=.55 ; pot=.5*.4+.5*.55
+    assert abs(got["c1"]["potential"] - 0.475) < 1e-9
+    # c2 via rel: inh=.4, neigh=.25*.6=.15 -> .275
+    # c2 via irr: inh=.5*.6=.3, neigh=.25*1.0=.25 -> .275 -> tie .275
+    assert abs(got["c2"]["potential"] - 0.275) < 1e-9
+    assert got["c2"]["n_parents"] == 2
+    # c3: inh=.3, neigh=0 -> .15
+    assert abs(got["c3"]["potential"] - 0.15) < 1e-9
