@@ -7802,7 +7802,47 @@ def q_shark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shark_scores(parents, links)
 
 
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only schema evolution through the real table layer
+    (tables.Table.evolve_schema — the Iceberg ALTER TABLE analogue):
+    append old-schema rows, rename ``lang``→``language`` + add
+    ``quality`` (zero data rewritten — asserted by the unit suite),
+    append new-schema rows, then a row-level DELETE whose predicate
+    uses the ADDED column — exercising the per-vintage op replay in
+    both the read path and the COW delete's probe/survivor scans.
+    Oracle = the closed relational form of the final state."""
+    import tempfile
+
+    from legislation_scraper_spark.tables import Catalog
+
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="lss_evolve_demo_", dir=shm)
+    t = Catalog(spark, root).table("docs")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    t.append(d.filter(F.col("doc_id") % 2 == 0))
+    t.evolve_schema(
+        [
+            {"op": "rename", "from": "lang", "to": "language"},
+            {"op": "add", "name": "quality", "type": "double",
+             "default": 0.25},
+        ]
+    )
+    t.append(
+        d.filter(F.col("doc_id") % 2 != 0).select(
+            "doc_id",
+            F.col("lang").alias("language"),
+            "n_chars",
+            (((F.col("doc_id") % 7).cast("double")) / 10.0).alias(
+                "quality"
+            ),
+        )
+    )
+    t.delete_where(F.col("quality") >= 0.5)
+    return t.read().select("doc_id", "language", "n_chars", "quality")
+
+
 _Q_B15 = {
+    "schema_evolution": q_schema_evolution,
     "dust_rules": q_dust_rules,
     "phrase_search": q_phrase_search,
     "alias_collapse": q_alias_collapse,
@@ -7817,14 +7857,14 @@ _Q.update(_Q_B15)
 _ATTEST_PRIORITY: list[str] = [
     # Every query with NO driver-green CORRECTNESS row across r1-r3
     # (87 of 178, plus the late-r4 merge/time-travel and batch-14/15
-    # queries appended at the tail => 99 of 190), ordered so the
+    # queries appended at the tail => 100 of 191), ordered so the
     # driver's 50-query sample closes the
     # attestation gap fastest: the four stale r1 reds (fixed in r2,
     # repo-green since) and the committed-fixture-backed queries first
     # (most at risk, want an r4 row so any failure is fixable in r5),
     # then the 26 r3-era never-sampled queries, then round-4 additions
-    # in registry order.  Entries 51-99 are the deliberate r5 slate --
-    # 99 <= 2x50, so every registry query lands in a driver sample by
+    # in registry order.  Entries 51-100 are the deliberate r5 slate --
+    # 100 <= 2x50, so every registry query lands in a driver sample by
     # end of r5.  Regenerate with the never-green computation in
     # PLANS.md section "attestation ordering".
     "multimodal_features",
@@ -7926,6 +7966,7 @@ _ATTEST_PRIORITY: list[str] = [
     "salsa_scores",
     "adaptive_delay",
     "shark_priority",
+    "schema_evolution",
 ]
 
 
@@ -9090,6 +9131,19 @@ _ORACLE_B15 = {
                ROUND(LEAST(GREATEST(2.0 * SUM(lat) / COUNT(*), 500.0),
                            8000.0), 2) AS delay_ms
         FROM r WHERE rnk <= 8 GROUP BY host
+    """,
+    # closed relational form of the evolved table's final state: evens
+    # are pre-evolution vintage (default quality), odds post-evolution,
+    # the delete removes quality >= 0.5 (odd ids with doc_id%7 in 5,6)
+    "schema_evolution": """
+        SELECT doc_id, lang AS language, n_chars, 0.25 AS quality
+        FROM documents WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT doc_id, lang AS language, n_chars,
+               CAST(doc_id % 7 AS DOUBLE) / 10.0 AS quality
+        FROM documents
+        WHERE doc_id % 2 = 1
+          AND CAST(doc_id % 7 AS DOUBLE) / 10.0 < 0.5
     """,
     # Shark-Search step with the same operation association as the
     # Spark side (dyadic weights -> bit parity before the 6dp round)

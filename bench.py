@@ -223,6 +223,7 @@ HEADLINE_EXT = [
     "salsa_scores",
     "adaptive_delay",
     "shark_priority",
+    "schema_evolution",
 ]
 
 

@@ -84,6 +84,35 @@ def _atomic_write_json(path: str, payload: dict) -> None:
     os.rename(tmp, path)
 
 
+def apply_schema_ops(df: DataFrame, ops: list | None) -> DataFrame:
+    """Replay a snapshot's schema-evolution ops over one file set's raw
+    scan (Iceberg resolves the same thing through field IDs).  Ops are
+    IDEMPOTENT per file vintage: a file written after a rename already
+    carries the new name, so the rename is a no-op on it; a file
+    written after an add already has the column.  That is what lets
+    one ordered op list serve every vintage in the snapshot.
+
+    Catalyst pushes the downstream projection through the renames, so
+    column pruning still reaches the parquet scan; an added column is
+    a literal — no data is read for it."""
+    for op in ops or []:
+        kind = op["op"]
+        if kind == "rename":
+            if op["from"] in df.columns and op["to"] not in df.columns:
+                df = df.withColumnRenamed(op["from"], op["to"])
+        elif kind == "add":
+            if op["name"] not in df.columns:
+                df = df.withColumn(
+                    op["name"], F.lit(op.get("default")).cast(op["type"])
+                )
+        elif kind == "drop":
+            if op["name"] in df.columns:
+                df = df.drop(op["name"])
+        else:  # pragma: no cover - manifests are engine-written
+            raise ValueError(f"unknown schema op {kind!r}")
+    return df
+
+
 class ConcurrentCommitError(RuntimeError):
     """Two writers raced a commit on one table and the loser could not
     be serialized (see Table._claim_version)."""
@@ -99,6 +128,10 @@ class Snapshot:
     # overwrites reset).  None only for manifests written before this
     # field existed — readers fall back to the lineage-chain walk.
     total_rows: int | None = None
+    # ordered schema-evolution ops applied at read time (Iceberg
+    # schema-evolution analogue; see Table.evolve_schema).  None/empty
+    # = the table has never evolved.
+    schema_ops: list | None = None
 
 
 class Table:
@@ -137,7 +170,7 @@ class Table:
             d = json.load(f)
         return Snapshot(
             d["version"], d["file_sets"], d["lineage"], d["metrics"],
-            d.get("total_rows"),
+            d.get("total_rows"), d.get("schema_ops"),
         )
 
     # -- commit serialization --------------------------------------------------
@@ -183,7 +216,12 @@ class Table:
         snap = self.snapshot(version)
         if snap is None or not snap.file_sets:
             return None
-        dfs = [self.spark.read.parquet(p) for p in snap.file_sets]
+        # schema ops replay PER SET (sets are vintages: files written
+        # before an evolution need the rename/add, later ones don't)
+        dfs = [
+            apply_schema_ops(self.spark.read.parquet(p), snap.schema_ops)
+            for p in snap.file_sets
+        ]
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d, allowMissingColumns=True)
@@ -221,13 +259,19 @@ class Table:
             else:
                 file_sets = [new_set]
                 prev_total = 0
-            return {
+            payload = {
                 "version": v,
                 "file_sets": file_sets,
                 "lineage": lineage,
                 "metrics": metrics or {},
                 "total_rows": prev_total + commit_rows,
             }
+            # table-level property: evolution ops survive appends AND
+            # overwrites (new data arrives already in current schema;
+            # ops are idempotent on it)
+            if prev is not None and prev.schema_ops:
+                payload["schema_ops"] = prev.schema_ops
+            return payload
 
         return self._claim_version(build)
 
@@ -257,7 +301,10 @@ class Table:
         predicate columns, never full rows)."""
         parts = []
         for p in snap.file_sets:
-            d = self.spark.read.parquet(p)
+            # current-schema view per vintage, so merge/delete keys and
+            # predicates written against the evolved schema resolve on
+            # pre-evolution files too
+            d = apply_schema_ops(self.spark.read.parquet(p), snap.schema_ops)
             if cols is not None:
                 d = d.select(*cols)
             parts.append(d.withColumn("_set", F.lit(p)))
@@ -305,7 +352,7 @@ class Table:
                 if prev.total_rows is not None
                 else self.approx_rows(prev.version)
             )
-            return {
+            payload = {
                 "version": v,
                 "file_sets": [
                     s for s in prev.file_sets if s not in set(touched)
@@ -314,6 +361,9 @@ class Table:
                 "metrics": metrics or {},
                 "total_rows": prev_total - touched_rows + new_rows,
             }
+            if prev.schema_ops:
+                payload["schema_ops"] = prev.schema_ops
+            return payload
 
         try:
             v = self._claim_version(build, retries=1)
@@ -367,7 +417,9 @@ class Table:
             return self.append(src, metrics=metrics)
         survivors = (
             self._tagged_sets(
-                Snapshot(base.version, touched, {}, {}), None
+                Snapshot(base.version, touched, {}, {},
+                         None, base.schema_ops),
+                None,
             )
             .drop("_set")
             .join(src_keys, key_cols, "left_anti")
@@ -399,7 +451,10 @@ class Table:
         # survivors = rows where cond is NOT TRUE (a NULL predicate row
         # is kept — SQL DELETE semantics; a bare ~cond would drop it)
         survivors = (
-            self._tagged_sets(Snapshot(base.version, touched, {}, {}))
+            self._tagged_sets(
+                Snapshot(base.version, touched, {}, {},
+                         None, base.schema_ops)
+            )
             .drop("_set")
             .filter(~F.coalesce(cond, F.lit(False)))
         )
@@ -438,6 +493,57 @@ class Table:
             if new_sets & live:
                 total += sum(s.lineage.values())
         return total
+
+    # -- schema evolution ------------------------------------------------------
+
+    def evolve_schema(
+        self,
+        ops: list[dict],
+        metrics: dict[str, Any] | None = None,
+    ) -> int:
+        """Metadata-only schema evolution (the Iceberg ALTER TABLE
+        analogue): publish a new snapshot with the SAME file sets and
+        an extended op list — zero data rewritten, the whole point of
+        table-format schema evolution at 100 TB (a column rename that
+        rewrote the data would be a full-table job).
+
+        Ops (applied in order at read time, per file vintage):
+        ``{"op": "rename", "from": a, "to": b}``,
+        ``{"op": "add", "name": c, "type": "int", "default": 0}``,
+        ``{"op": "drop", "name": d}``.
+
+        Readers of OLD versions still see the old schema (the op list
+        is part of the snapshot, not the table dir) — time travel
+        crosses evolutions faithfully.  New writes arrive in current
+        schema; ops are idempotent on them.  ``compact()`` physically
+        materializes the current schema (it rewrites through
+        ``read()``), after which the ops are no-ops on every file.
+        """
+        for op in ops:
+            if op.get("op") not in ("rename", "add", "drop"):
+                raise ValueError(f"unknown schema op: {op!r}")
+            if op["op"] == "add" and "type" not in op:
+                raise ValueError(f"add op needs a type: {op!r}")
+
+        def build(v: int) -> dict:
+            prev = self.snapshot(v - 1) if v > 1 else None
+            prev_total = 0
+            if prev is not None and prev.total_rows is not None:
+                prev_total = prev.total_rows
+            elif prev is not None:
+                prev_total = self.approx_rows(prev.version)
+            return {
+                "version": v,
+                "file_sets": prev.file_sets if prev else [],
+                "lineage": {},
+                "metrics": metrics or {"schema_evolution": True},
+                "total_rows": prev_total,
+                "schema_ops": (
+                    (prev.schema_ops or []) if prev else []
+                ) + list(ops),
+            }
+
+        return self._claim_version(build)
 
     def compact(self) -> int | None:
         """Fold a many-commit snapshot into one file set (the Iceberg
@@ -542,6 +648,17 @@ class BucketedLog(Table):
     """
 
     SPEC_FILE = "_bucket_spec.json"
+
+    def evolve_schema(self, ops, metrics=None) -> int:
+        """Not supported: the bucketed log's schema is pinned by its
+        catalog DDL (CREATE TABLE ... CLUSTERED BY) and every
+        ``insertInto`` is position-based against it.  Evolve by
+        rewriting into a new log (the Iceberg equivalent of changing a
+        partition transform — also a new table)."""
+        raise NotImplementedError(
+            "BucketedLog schema is pinned by its bucket DDL; "
+            "rewrite into a new log to change it"
+        )
 
     def __init__(
         self,
