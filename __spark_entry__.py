@@ -7841,8 +7841,50 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read().select("doc_id", "language", "n_chars", "quality")
 
 
+def q_request_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Request/response interval correlation (streaming/join_stream.
+    match_responses — the batch twin of the watermarked stream-stream
+    left-outer join): every 5th request gets NO response, and response
+    delays spread over [0, 180) s against a 60 s horizon, so the join
+    must both match in-window responses (latency_ms) and emit NULL
+    rows for timeouts AND for late responses (arrived but outside the
+    horizon — the subtle case an equi-join would wrongly match)."""
+    from legislation_scraper_spark.streaming.join_stream import (
+        match_responses,
+    )
+
+    base = 1704067200
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    req = d.select(
+        did.alias("req_id"),
+        F.concat(
+            F.lit("http://h"), (did % 7).cast("string"),
+            F.lit("/"), did.cast("string"),
+        ).alias("url"),
+        F.timestamp_seconds(F.lit(base) + did * 3).alias("req_ts"),
+    )
+    resp = d.filter(did % 5 != 0).select(
+        did.alias("req_id"),
+        F.timestamp_seconds(
+            F.lit(base) + did * 3 + (did * 13) % 180
+        ).alias("resp_ts"),
+        F.when(did % 2 == 0, 200).otherwise(503).alias("status"),
+    )
+    out = match_responses(req, resp, horizon="60 seconds")
+    return out.select(
+        "req_id",
+        "url",
+        F.col("req_ts").cast("long").alias("req_ts_s"),
+        "status",
+        "latency_ms",
+        "timed_out",
+    )
+
+
 _Q_B15 = {
     "schema_evolution": q_schema_evolution,
+    "request_response_join": q_request_response,
     "dust_rules": q_dust_rules,
     "phrase_search": q_phrase_search,
     "alias_collapse": q_alias_collapse,
@@ -7857,14 +7899,15 @@ _Q.update(_Q_B15)
 _ATTEST_PRIORITY: list[str] = [
     # Every query with NO driver-green CORRECTNESS row across r1-r3
     # (87 of 178, plus the late-r4 merge/time-travel and batch-14/15
-    # queries appended at the tail => 100 of 191), ordered so the
+    # queries appended at the tail => 101 of 192), ordered so the
     # driver's 50-query sample closes the
     # attestation gap fastest: the four stale r1 reds (fixed in r2,
     # repo-green since) and the committed-fixture-backed queries first
     # (most at risk, want an r4 row so any failure is fixable in r5),
     # then the 26 r3-era never-sampled queries, then round-4 additions
-    # in registry order.  Entries 51-100 are the deliberate r5 slate --
-    # 100 <= 2x50, so every registry query lands in a driver sample by
+    # in registry order.  Entries 51-101 are the deliberate r5 slate --
+    # 101 <= 2x50; the driver samples 50/round so two more
+    # rounds cover the slate, so every registry query lands in a driver sample by
     # end of r5.  Regenerate with the never-green computation in
     # PLANS.md section "attestation ordering".
     "multimodal_features",
@@ -7967,6 +8010,7 @@ _ATTEST_PRIORITY: list[str] = [
     "adaptive_delay",
     "shark_priority",
     "schema_evolution",
+    "request_response_join",
 ]
 
 
@@ -9131,6 +9175,28 @@ _ORACLE_B15 = {
                ROUND(LEAST(GREATEST(2.0 * SUM(lat) / COUNT(*), 500.0),
                            8000.0), 2) AS delay_ms
         FROM r WHERE rnk <= 8 GROUP BY host
+    """,
+    # left-outer interval join in closed form (epoch-second arithmetic
+    # mirrors the Spark side's timestamp_seconds construction exactly)
+    "request_response_join": """
+        WITH req AS (
+          SELECT doc_id AS req_id,
+                 'http://h' || CAST(doc_id % 7 AS VARCHAR) || '/'
+                   || CAST(doc_id AS VARCHAR) AS url,
+                 1704067200 + doc_id * 3 AS rts
+          FROM documents),
+        resp AS (
+          SELECT doc_id AS req_id,
+                 1704067200 + doc_id * 3 + (doc_id * 13) % 180 AS pts,
+                 CASE WHEN doc_id % 2 = 0 THEN 200 ELSE 503 END AS status
+          FROM documents WHERE doc_id % 5 <> 0)
+        SELECT r.req_id, r.url, CAST(r.rts AS BIGINT) AS req_ts_s,
+               p.status,
+               CAST((p.pts - r.rts) * 1000 AS BIGINT) AS latency_ms,
+               p.pts IS NULL AS timed_out
+        FROM req r LEFT JOIN resp p
+          ON r.req_id = p.req_id
+         AND p.pts >= r.rts AND p.pts <= r.rts + 60
     """,
     # closed relational form of the evolved table's final state: evens
     # are pre-evolution vintage (default quality), odds post-evolution,

@@ -224,6 +224,7 @@ HEADLINE_EXT = [
     "adaptive_delay",
     "shark_priority",
     "schema_evolution",
+    "request_response_join",
 ]
 
 
