@@ -7882,9 +7882,49 @@ def q_request_response(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the ALIAS-COLLAPSED graph
+    (operators/graph.collapse_aliases → pagerank_weighted): folding
+    h7..h28 onto h0..h6 turns the multigraph into weighted edges, and
+    the rank splits contributions by weight — uniform rank on the
+    collapsed graph would discard the multiplicity evidence (the two
+    operators are designed to compose; this query runs the real
+    composition end-to-end).  Oracle: collapse CTE + two unrolled
+    weighted iterations, 6dp."""
+    from legislation_scraper_spark.operators.graph import (
+        collapse_aliases,
+        pagerank_weighted,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    e = d.select(
+        F.concat(F.lit("h"), (did % 23).cast("string")).alias("src"),
+        F.concat(
+            F.lit("h"), ((did * did + 1) % 29).cast("string")
+        ).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    k = (
+        d.select((did % 29).cast("int").alias("k"))
+        .distinct()
+        .filter(F.col("k") >= 7)
+    )
+    aliases = k.select(
+        F.concat(F.lit("h"), F.col("k").cast("string")).alias("url"),
+        F.concat(F.lit("h"), (F.col("k") % 7).cast("string")).alias(
+            "canonical"
+        ),
+    )
+    c = collapse_aliases(e, aliases)
+    return pagerank_weighted(c, iters=2).select(
+        "node", F.round("rank", 6).alias("rank")
+    )
+
+
 _Q_B15 = {
     "schema_evolution": q_schema_evolution,
     "request_response_join": q_request_response,
+    "weighted_pagerank": q_weighted_rank,
     "dust_rules": q_dust_rules,
     "phrase_search": q_phrase_search,
     "alias_collapse": q_alias_collapse,
@@ -7899,14 +7939,14 @@ _Q.update(_Q_B15)
 _ATTEST_PRIORITY: list[str] = [
     # Every query with NO driver-green CORRECTNESS row across r1-r3
     # (87 of 178, plus the late-r4 merge/time-travel and batch-14/15
-    # queries appended at the tail => 101 of 194), ordered so the
+    # queries appended at the tail => 102 of 195), ordered so the
     # driver's 50-query sample closes the
     # attestation gap fastest: the four stale r1 reds (fixed in r2,
     # repo-green since) and the committed-fixture-backed queries first
     # (most at risk, want an r4 row so any failure is fixable in r5),
     # then the 26 r3-era never-sampled queries, then round-4 additions
-    # in registry order.  Entries 51-101 are the deliberate r5 slate --
-    # 101 <= 2x50; the driver samples 50/round so two more
+    # in registry order.  Entries 51-102 are the deliberate r5 slate --
+    # 102 <= 2x50; the driver samples 50/round so two more
     # rounds cover the slate, so every registry query lands in a driver sample by
     # end of r5.  Regenerate with the never-green computation in
     # PLANS.md section "attestation ordering".
@@ -8011,6 +8051,7 @@ _ATTEST_PRIORITY: list[str] = [
     "shark_priority",
     "schema_evolution",
     "request_response_join",
+    "weighted_pagerank",
 ]
 
 
@@ -9175,6 +9216,47 @@ _ORACLE_B15 = {
                ROUND(LEAST(GREATEST(2.0 * SUM(lat) / COUNT(*), 500.0),
                            8000.0), 2) AS delay_ms
         FROM r WHERE rnk <= 8 GROUP BY host
+    """,
+    # alias collapse + two unrolled weight-split rank iterations (the
+    # pagerank_hosts idiom with w/ow replacing 1/od)
+    "weighted_pagerank": """
+        WITH e AS (
+          SELECT 'h' || CAST(doc_id % 23 AS VARCHAR) AS src,
+                 'h' || CAST((doc_id * doc_id + 1) % 29 AS VARCHAR) AS dst
+          FROM documents
+          WHERE doc_id % 23 <> (doc_id * doc_id + 1) % 29),
+        al AS (
+          SELECT DISTINCT 'h' || CAST(doc_id % 29 AS VARCHAR) AS url,
+                 'h' || CAST((doc_id % 29) % 7 AS VARCHAR) AS canonical
+          FROM documents WHERE doc_id % 29 >= 7),
+        c0 AS (
+          SELECT COALESCE(a1.canonical, e.src) AS src,
+                 COALESCE(a2.canonical, e.dst) AS dst
+          FROM e LEFT JOIN al a1 ON e.src = a1.url
+                 LEFT JOIN al a2 ON e.dst = a2.url),
+        c AS (SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS w
+              FROM c0 WHERE src <> dst GROUP BY src, dst),
+        nodes AS (SELECT src AS node FROM c UNION SELECT dst FROM c),
+        nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        ow AS (SELECT src, SUM(w) AS ow FROM c GROUP BY src),
+        r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+        c1 AS (SELECT c.dst, SUM(r0.rank * c.w / ow.ow) AS cc
+               FROM c JOIN r0 ON c.src = r0.node
+                      JOIN ow ON c.src = ow.src
+               GROUP BY c.dst),
+        r1 AS (SELECT node,
+                      (1.0 - 0.85) / (SELECT n FROM nn)
+                        + 0.85 * COALESCE(cc, 0.0) AS rank
+               FROM nodes LEFT JOIN c1 ON node = c1.dst),
+        c2 AS (SELECT c.dst, SUM(r1.rank * c.w / ow.ow) AS cc
+               FROM c JOIN r1 ON c.src = r1.node
+                      JOIN ow ON c.src = ow.src
+               GROUP BY c.dst),
+        r2 AS (SELECT node,
+                      (1.0 - 0.85) / (SELECT n FROM nn)
+                        + 0.85 * COALESCE(cc, 0.0) AS rank
+               FROM nodes LEFT JOIN c2 ON node = c2.dst)
+        SELECT node, ROUND(rank, 6) AS rank FROM r2
     """,
     # left-outer interval join in closed form (epoch-second arithmetic
     # mirrors the Spark side's timestamp_seconds construction exactly)

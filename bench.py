@@ -225,6 +225,7 @@ HEADLINE_EXT = [
     "shark_priority",
     "schema_evolution",
     "request_response_join",
+    "weighted_pagerank",
 ]
 
 

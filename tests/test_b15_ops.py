@@ -393,3 +393,45 @@ def test_shark_scores_branches(spark):
     assert got["c2"]["n_parents"] == 2
     # c3: inh=.3, neigh=0 -> .15
     assert abs(got["c3"]["potential"] - 0.15) < 1e-9
+
+
+# --- pagerank_weighted ------------------------------------------------
+
+
+def test_weighted_rank_vs_uniform_on_unit_weights(spark):
+    from legislation_scraper_spark.operators.graph import (
+        pagerank,
+        pagerank_weighted,
+    )
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")],
+        "src string, dst string",
+    )
+    ew = e.withColumn("weight", F.lit(1))
+    u = {r["node"]: r["rank"] for r in pagerank(e, iters=2).collect()}
+    w = {
+        r["node"]: r["rank"]
+        for r in pagerank_weighted(ew, iters=2).collect()
+    }
+    for n in u:
+        assert abs(u[n] - w[n]) < 1e-12
+
+
+def test_weighted_rank_follows_weight_mass(spark):
+    from legislation_scraper_spark.operators.graph import pagerank_weighted
+
+    # a sends 9/10 of its mass to b, 1/10 to c
+    e = spark.createDataFrame(
+        [("a", "b", 9.0), ("a", "c", 1.0)],
+        "src string, dst string, weight double",
+    )
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank_weighted(e, iters=1).collect()
+    }
+    third = 1.0 / 3.0
+    base = 0.15 / 3
+    assert abs(got["b"] - (base + 0.85 * third * 0.9)) < 1e-12
+    assert abs(got["c"] - (base + 0.85 * third * 0.1)) < 1e-12
+    assert abs(got["a"] - base) < 1e-12
