@@ -115,7 +115,13 @@ class CrawlConfig:
     # Robots budgets stay binding: the allocation only CAPS them.
     # None disables (default: ordering parity with the simulator).
     global_round_budget: int | None = None
-    budget_weights: str = "backlog"  # 'backlog' | 'trust_backlog'
+    # 'backlog' | 'trust_backlog' | 'opic_backlog' — the last two scale
+    # the capacity-capped backlog weight by a link-graph score over the
+    # crawl's own recorded host graph: seed-personalized TrustRank
+    # (anti-spam bias) or OPIC history (Abiteboul WWW'03 — Nutch's
+    # default crawl-ordering signal: hosts whose pages accumulate cash
+    # fastest are where frontier budget earns the most importance).
+    budget_weights: str = "backlog"
     # Accumulate a host-level link graph (src_host → dst_host edge
     # counts per round) in a `host_edges` table — the input to
     # trust_scores().  Off by default (one extra tiny agg + append).
@@ -310,6 +316,29 @@ class CrawlEngine:
             src="src_host", dst="dst_host",
         ).select(F.col("node").alias("host"), F.col("rank").alias("trust"))
 
+    def opic_host_scores(self) -> DataFrame | None:
+        """OPIC over the crawl's accumulated host graph (``host_edges``)
+        — the Nutch-default online importance estimate
+        (operators/graph.opic): cash banks into history and flows along
+        observed host links, so hosts that keep receiving importance
+        from already-important hosts score highest after ANY number of
+        steps.  Returns (host, opic) or None before any edges exist.
+        Same scale posture as :meth:`trust_scores` — the host graph is
+        politeness metadata, orders of magnitude below URL volume."""
+        if self.host_edges is None:
+            return None
+        edges = self.host_edges.read()
+        if edges is None:
+            return None
+        e = edges.groupBy("src_host", "dst_host").agg(
+            F.sum("n").alias("n")
+        )
+        from ..operators.graph import opic
+
+        return opic(
+            e, iters=self.cfg.trust_iters, src="src_host", dst="dst_host"
+        ).select(F.col("node").alias("host"), F.col("score").alias("opic"))
+
     def _host_budgets(self, pending: DataFrame) -> DataFrame:
         """Split cfg.global_round_budget across hosts proportional to
         ABSORBABLE backlog — min(pending URLs, robots round capacity)
@@ -365,6 +394,20 @@ class CrawlEngine:
                     (
                         F.col("weight")
                         * (F.coalesce("trust", F.lit(0.0)) + F.lit(1e-6))
+                    ).alias("weight"),
+                )
+        elif self.cfg.budget_weights == "opic_backlog":
+            opic = self.opic_host_scores()
+            if opic is not None:
+                # same epsilon contract as the trust branch: a host the
+                # graph has not yet scored still gets leftover quota
+                backlog = backlog.join(
+                    F.broadcast(opic), "host", "left"
+                ).select(
+                    "host",
+                    (
+                        F.col("weight")
+                        * (F.coalesce("opic", F.lit(0.0)) + F.lit(1e-6))
                     ).alias("weight"),
                 )
         return politeness.allocate_budgets(

@@ -228,3 +228,30 @@ def test_revisit_round_consumes_priorities(spark, world, tmp_path_factory):
         .collect()
     }
     assert refetched == picked
+
+
+def test_opic_weighted_budgets(spark, world, tmp_path_factory):
+    """budget_weights='opic_backlog': OPIC over the recorded host graph
+    (the Nutch-default crawl-ordering signal) scales the quota split;
+    cash conservation makes the host scores a distribution."""
+    eng = _engine(
+        spark, world, tmp_path_factory,
+        CrawlConfig(
+            n_shards=8, fetch_partitions=4,
+            record_host_edges=True,
+            global_round_budget=9,
+            budget_weights="opic_backlog",
+        ),
+    )
+    eng.bootstrap()
+    eng.round(0)  # first round: no edges yet → plain backlog weights
+
+    scores = eng.opic_host_scores()
+    assert scores is not None
+    rows = {r["host"]: r["opic"] for r in scores.collect()}
+    assert rows and all(v >= 0 for v in rows.values())
+    total = sum(rows.values())
+    assert abs(total - 1.0) < 1e-6  # OPIC scores sum to 1 (conservation)
+
+    m = eng.round(1)
+    assert 0 < m["selected"] <= 9
