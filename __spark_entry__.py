@@ -7921,10 +7921,33 @@ def q_weighted_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/similarity.hard_negatives — the
+    DPR/Contriever training-data recipe): top-3 cross-label neighbors
+    per anchor over the embeddings table, labels = vec_id % 5 so every
+    anchor has same-label near neighbors that MUST NOT consume rank
+    slots (exclusion-before-ranking is the property under test).
+    Cosine dropped from the output (row_number only, deterministic cid
+    tie-break) per the similarity-family parity convention."""
+    from legislation_scraper_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", (F.col("vec_id") % 5).alias("label")
+    )
+    anchors = emb.filter(F.col("vec_id") < 10)
+    return hard_negatives(anchors, emb, k=3).select(
+        "qid", "q_label", "cid", "c_label",
+        F.col("rnk").cast("int").alias("rnk"),
+    )
+
+
 _Q_B15 = {
     "schema_evolution": q_schema_evolution,
     "request_response_join": q_request_response,
     "weighted_pagerank": q_weighted_rank,
+    "hard_negatives": q_hard_negatives,
     "dust_rules": q_dust_rules,
     "phrase_search": q_phrase_search,
     "alias_collapse": q_alias_collapse,
@@ -7939,14 +7962,14 @@ _Q.update(_Q_B15)
 _ATTEST_PRIORITY: list[str] = [
     # Every query with NO driver-green CORRECTNESS row across r1-r3
     # (87 of 178, plus the late-r4 merge/time-travel and batch-14/15
-    # queries appended at the tail => 102 of 195), ordered so the
+    # queries appended at the tail => 103 of 196), ordered so the
     # driver's 50-query sample closes the
     # attestation gap fastest: the four stale r1 reds (fixed in r2,
     # repo-green since) and the committed-fixture-backed queries first
     # (most at risk, want an r4 row so any failure is fixable in r5),
     # then the 26 r3-era never-sampled queries, then round-4 additions
-    # in registry order.  Entries 51-102 are the deliberate r5 slate --
-    # 102 <= 2x50; the driver samples 50/round so two more
+    # in registry order.  Entries 51-103 are the deliberate r5 slate --
+    # 103 <= 2x50 + 3; the driver samples 50/round so two more
     # rounds cover the slate, so every registry query lands in a driver sample by
     # end of r5.  Regenerate with the never-green computation in
     # PLANS.md section "attestation ordering".
@@ -8052,6 +8075,7 @@ _ATTEST_PRIORITY: list[str] = [
     "schema_evolution",
     "request_response_join",
     "weighted_pagerank",
+    "hard_negatives",
 ]
 
 
@@ -9216,6 +9240,32 @@ _ORACLE_B15 = {
                ROUND(LEAST(GREATEST(2.0 * SUM(lat) / COUNT(*), 500.0),
                            8000.0), 2) AS delay_ms
         FROM r WHERE rnk <= 8 GROUP BY host
+    """,
+    # cross-label top-k with exclusion BEFORE ranking (the
+    # similarity_topk idiom + a label filter; cosine value dropped)
+    "hard_negatives": r"""
+        WITH e AS (SELECT vec_id, embedding,
+                          vec_id % 5 AS label FROM embeddings),
+             q AS (SELECT vec_id AS qid, embedding AS qe, label AS ql
+                   FROM e WHERE vec_id < 10),
+             c AS (SELECT vec_id AS cid, embedding AS ce, label AS cl
+                   FROM e),
+             s AS (SELECT qid, ql, cid, cl,
+                     list_aggregate(list_transform(range(1, 65),
+                       i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)),
+                       'sum')
+                     / (sqrt(list_aggregate(list_transform(range(1, 65),
+                          i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)),
+                          'sum'))
+                        * sqrt(list_aggregate(list_transform(range(1, 65),
+                          i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)),
+                          'sum'))) AS sim
+                   FROM q, c WHERE ql <> cl)
+        SELECT qid, ql AS q_label, cid, cl AS c_label,
+               CAST(rnk AS INT) AS rnk FROM (
+          SELECT qid, ql, cid, cl, ROW_NUMBER() OVER (
+            PARTITION BY qid ORDER BY sim DESC, cid) AS rnk FROM s)
+        WHERE rnk <= 3
     """,
     # alias collapse + two unrolled weight-split rank iterations (the
     # pagerank_hosts idiom with w/ow replacing 1/od)

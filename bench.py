@@ -226,6 +226,7 @@ HEADLINE_EXT = [
     "schema_evolution",
     "request_response_join",
     "weighted_pagerank",
+    "hard_negatives",
 ]
 
 

@@ -328,3 +328,52 @@ def quantized_topk(
         .filter(F.col("rnk") <= k)
         .select("qid", "cid", F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+def hard_negatives(
+    anchors: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for embedding/retriever training (the DPR /
+    Contriever / SimCSE recipe): for each anchor, the ``k`` most
+    similar corpus items carrying a DIFFERENT label — same-label items
+    are positives (or near-duplicates of them), and random negatives
+    are trivially separable, so the items that actually teach the
+    decision boundary are exactly these near-miss cross-label
+    neighbors.  The label column is whatever partitions positives from
+    negatives in the pipeline: source, dedup-cluster id
+    (`dedup.connected_components`), or a supervision key.
+
+    Exclusion runs BEFORE ranking (a same-label neighbor must not
+    consume a rank slot).  This is the exact tier — anchors are a
+    bounded training-batch sample, so the crossJoin is
+    |anchors|×|corpus| with |anchors| small; at corpus scale compose
+    the IVF/LSH tier instead (`ivf_topk`/`lsh_topk` carry any extra
+    column through, filter label there, refill from the next probe).
+
+    Returns ``(qid, q_label, cid, c_label, rnk)``, rank 1..k by cosine
+    desc with the repo's deterministic cid tie-break.
+    """
+    q = anchors.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        F.col(label_col).alias("q_label"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cv"),
+        F.col(label_col).alias("c_label"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return (
+        q.crossJoin(c)
+        .filter(F.col("q_label") != F.col("c_label"))
+        .withColumn("cosine", _cosine(F.col("qv"), F.col("cv")))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "q_label", "cid", "c_label", "rnk")
+    )

@@ -435,3 +435,55 @@ def test_weighted_rank_follows_weight_mass(spark):
     assert abs(got["b"] - (base + 0.85 * third * 0.9)) < 1e-12
     assert abs(got["c"] - (base + 0.85 * third * 0.1)) < 1e-12
     assert abs(got["a"] - base) < 1e-12
+
+
+# --- hard_negatives ---------------------------------------------------
+
+
+def test_hard_negatives_excludes_same_label_before_ranking(spark):
+    from legislation_scraper_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    # anchor a0 (label 0); nearest is SAME label (must not take a
+    # slot); then two cross-label at decreasing similarity
+    rows = [
+        ("a0", [1.0, 0.0], 0),
+        ("same", [0.99, 0.1], 0),      # closest but same label
+        ("n1", [0.9, 0.2], 1),
+        ("n2", [0.5, 0.5], 2),
+        ("n3", [-1.0, 0.0], 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id string, embedding array<double>, label int"
+    )
+    anchors = df.filter(F.col("vec_id") == "a0")
+    got = [
+        (r["cid"], r["rnk"])
+        for r in hard_negatives(anchors, df, k=2)
+        .orderBy("rnk")
+        .collect()
+    ]
+    assert got == [("n1", 1), ("n2", 2)]
+
+
+def test_hard_negatives_k_and_tiebreak(spark):
+    from legislation_scraper_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    rows = [
+        ("q", [1.0, 0.0], 0),
+        ("b", [1.0, 0.0], 1),   # exact tie with c -> cid asc
+        ("c", [1.0, 0.0], 1),
+        ("d", [0.0, 1.0], 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id string, embedding array<double>, label int"
+    )
+    anchors = df.filter(F.col("vec_id") == "q")
+    got = [
+        r["cid"]
+        for r in hard_negatives(anchors, df, k=3).orderBy("rnk").collect()
+    ]
+    assert got == ["b", "c", "d"]
