@@ -7943,11 +7943,37 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware train/eval split (operators/curation.
+    dedup_aware_split): near-dup clusters (chains of 8 consecutive ids,
+    the oracled CC synth) land on ONE side by construction — the
+    closed-form oracle recomputes component = id − id%8 and the same
+    md5 fold, so a split that hashed docs independently (the leaky
+    naive way) mismatches on every chained doc whose hash differs from
+    its component head's."""
+    from legislation_scraper_spark.operators.curation import (
+        dedup_aware_split,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    l, r = d.alias("l"), d.alias("r")
+    edges = (
+        l.join(r, F.col("r.doc_id") == F.col("l.doc_id") + 1)
+        .filter(F.col("l.doc_id") % 8 != 7)
+        .select(
+            F.col("l.doc_id").alias("a_id"),
+            F.col("r.doc_id").alias("b_id"),
+        )
+    )
+    return dedup_aware_split(d, edges, n_splits=10)
+
+
 _Q_B15 = {
     "schema_evolution": q_schema_evolution,
     "request_response_join": q_request_response,
     "weighted_pagerank": q_weighted_rank,
     "hard_negatives": q_hard_negatives,
+    "dedup_aware_split": q_dedup_split,
     "dust_rules": q_dust_rules,
     "phrase_search": q_phrase_search,
     "alias_collapse": q_alias_collapse,
@@ -7962,14 +7988,14 @@ _Q.update(_Q_B15)
 _ATTEST_PRIORITY: list[str] = [
     # Every query with NO driver-green CORRECTNESS row across r1-r3
     # (87 of 178, plus the late-r4 merge/time-travel and batch-14/15
-    # queries appended at the tail => 103 of 196), ordered so the
+    # queries appended at the tail => 104 of 197), ordered so the
     # driver's 50-query sample closes the
     # attestation gap fastest: the four stale r1 reds (fixed in r2,
     # repo-green since) and the committed-fixture-backed queries first
     # (most at risk, want an r4 row so any failure is fixable in r5),
     # then the 26 r3-era never-sampled queries, then round-4 additions
-    # in registry order.  Entries 51-103 are the deliberate r5 slate --
-    # 103 <= 2x50 + 3; the driver samples 50/round so two more
+    # in registry order.  Entries 51-104 are the deliberate r5 slate --
+    # 104 <= 2x50 + 4; the driver samples 50/round so two more
     # rounds cover the slate, so every registry query lands in a driver sample by
     # end of r5.  Regenerate with the never-green computation in
     # PLANS.md section "attestation ordering".
@@ -8076,6 +8102,7 @@ _ATTEST_PRIORITY: list[str] = [
     "request_response_join",
     "weighted_pagerank",
     "hard_negatives",
+    "dedup_aware_split",
 ]
 
 
@@ -9240,6 +9267,25 @@ _ORACLE_B15 = {
                ROUND(LEAST(GREATEST(2.0 * SUM(lat) / COUNT(*), 500.0),
                            8000.0), 2) AS delay_ms
         FROM r WHERE rnk <= 8 GROUP BY host
+    """,
+    # closed-form component (id - id%8 over the chained synth) + the
+    # engine-neutral md5 split fold
+    "dedup_aware_split": """
+        SELECT doc_id AS id,
+               doc_id - doc_id % 8 AS component,
+               CAST((strpos('0123456789abcdef',
+                       substr(md5(CAST(doc_id - doc_id % 8 AS VARCHAR)),
+                              1, 1)) - 1) * 4096
+                    + (strpos('0123456789abcdef',
+                       substr(md5(CAST(doc_id - doc_id % 8 AS VARCHAR)),
+                              2, 1)) - 1) * 256
+                    + (strpos('0123456789abcdef',
+                       substr(md5(CAST(doc_id - doc_id % 8 AS VARCHAR)),
+                              3, 1)) - 1) * 16
+                    + (strpos('0123456789abcdef',
+                       substr(md5(CAST(doc_id - doc_id % 8 AS VARCHAR)),
+                              4, 1)) - 1) AS INT) % 10 AS split
+        FROM documents
     """,
     # cross-label top-k with exclusion BEFORE ranking (the
     # similarity_topk idiom + a label filter; cosine value dropped)

@@ -227,6 +227,7 @@ HEADLINE_EXT = [
     "request_response_join",
     "weighted_pagerank",
     "hard_negatives",
+    "dedup_aware_split",
 ]
 
 

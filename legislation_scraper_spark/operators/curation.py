@@ -1517,3 +1517,51 @@ def mad_outlier_report(
             "n_outliers",
         )
     )
+
+
+def dedup_aware_split(
+    docs: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    n_splits: int = 10,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+) -> DataFrame:
+    """Train/eval split that keeps near-duplicate CLUSTERS together.
+
+    Hashing each doc independently into splits leaks: a held-out doc's
+    near-duplicate twin lands in train, and the eval set silently
+    measures memorization (the benchmark-contamination failure mode
+    `contamination_screen` guards against — except self-inflicted by
+    the split).  The fix every careful corpus pipeline ships: split by
+    the CONNECTED COMPONENT of the near-dup graph (minhash/simhash
+    pairs → `dedup.connected_components_star`), so every member of a
+    cluster lands on the same side by construction.  Docs with no
+    near-dup edge are their own singleton component.
+
+    Split assignment is the engine-neutral md5 fold used across the
+    repo (first 4 hex chars mod ``n_splits``) — deterministic across
+    engines, sessions, and cluster sizes.  Plan: the O(log n) CC, one
+    left join to attach components, in-row hash — the join is the only
+    added exchange.
+
+    Returns ``(id, component, split)``.
+    """
+    from .dedup import connected_components_star
+
+    cc = connected_components_star(
+        edges.select(F.col(a_col).alias("a_id"), F.col(b_col).alias("b_id"))
+    ).select(F.col("id").alias("_n"), F.col("comp").alias("_c"))
+    d = docs.select(F.col(id_col).alias("id"))
+    out = (
+        d.join(cc, d["id"] == cc["_n"], "left")
+        .select(
+            "id",
+            F.coalesce("_c", F.col("id")).alias("component"),
+        )
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("component").cast("string")), 1, 4),
+               16, 10).cast("int") % n_splits
+    )
+    return out.withColumn("split", bucket)

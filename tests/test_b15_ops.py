@@ -487,3 +487,66 @@ def test_hard_negatives_k_and_tiebreak(spark):
         for r in hard_negatives(anchors, df, k=3).orderBy("rnk").collect()
     ]
     assert got == ["b", "c", "d"]
+
+
+# --- dedup_aware_split ------------------------------------------------
+
+
+def test_dedup_split_zero_leakage_vs_naive(spark):
+    from legislation_scraper_spark.operators.curation import (
+        dedup_aware_split,
+    )
+
+    docs = spark.range(0, 200).select(F.col("id").alias("doc_id"))
+    l, r = docs.alias("l"), docs.alias("r")
+    edges = (
+        l.join(r, F.col("r.doc_id") == F.col("l.doc_id") + 1)
+        .filter(F.col("l.doc_id") % 8 != 7)
+        .select(
+            F.col("l.doc_id").alias("a_id"),
+            F.col("r.doc_id").alias("b_id"),
+        )
+    )
+    out = dedup_aware_split(docs, edges, n_splits=4)
+    # zero leakage: every edge's endpoints share a split
+    s = out.select(F.col("id"), F.col("split"))
+    e2 = (
+        edges.join(s.withColumnRenamed("id", "a_id"), "a_id")
+        .withColumnRenamed("split", "sa")
+        .join(s.withColumnRenamed("id", "b_id"), "b_id")
+        .withColumnRenamed("split", "sb")
+    )
+    assert e2.filter(F.col("sa") != F.col("sb")).count() == 0
+    # the naive per-doc hash split DOES leak on this graph
+    naive = docs.select(
+        F.col("doc_id").alias("id"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+                16, 10,
+            ).cast("int") % 4
+        ).alias("split"),
+    )
+    e3 = (
+        edges.join(naive.withColumnRenamed("id", "a_id"), "a_id")
+        .withColumnRenamed("split", "sa")
+        .join(naive.withColumnRenamed("id", "b_id"), "b_id")
+        .withColumnRenamed("split", "sb")
+    )
+    assert e3.filter(F.col("sa") != F.col("sb")).count() > 0
+
+
+def test_dedup_split_singletons_self_component(spark):
+    from legislation_scraper_spark.operators.curation import (
+        dedup_aware_split,
+    )
+
+    docs = spark.range(0, 10).select(F.col("id").alias("doc_id"))
+    edges = spark.createDataFrame([(0, 1)], "a_id long, b_id long")
+    got = {
+        r["id"]: r["component"]
+        for r in dedup_aware_split(docs, edges, n_splits=3).collect()
+    }
+    assert got[0] == got[1] == 0
+    for i in range(2, 10):
+        assert got[i] == i
