@@ -7968,12 +7968,33 @@ def q_dedup_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_aware_split(d, edges, n_splits=10)
 
 
+def q_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-30% quality gate (operators/curation.
+    quantile_gate — the FineWeb/DCLM 'top X% by classifier score per
+    language' step): exact tie-stable percent_rank cut, NOT an
+    approximate sketch, so the surviving doc set is engine-exact; a
+    global-threshold implementation mismatches wherever language score
+    distributions differ (they do here by construction: the synthetic
+    score folds doc_id, and doc_id ranges differ per lang)."""
+    from legislation_scraper_spark.operators.curation import quantile_gate
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        (((F.col("doc_id") * 37) % 1000).cast("double") / 1000.0).alias(
+            "score"
+        ),
+    )
+    return quantile_gate(d, keep_frac=0.3, group_col="lang")
+
+
 _Q_B15 = {
     "schema_evolution": q_schema_evolution,
     "request_response_join": q_request_response,
     "weighted_pagerank": q_weighted_rank,
     "hard_negatives": q_hard_negatives,
     "dedup_aware_split": q_dedup_split,
+    "quantile_gate": q_quantile_gate,
     "dust_rules": q_dust_rules,
     "phrase_search": q_phrase_search,
     "alias_collapse": q_alias_collapse,
@@ -7988,14 +8009,14 @@ _Q.update(_Q_B15)
 _ATTEST_PRIORITY: list[str] = [
     # Every query with NO driver-green CORRECTNESS row across r1-r3
     # (87 of 178, plus the late-r4 merge/time-travel and batch-14/15
-    # queries appended at the tail => 104 of 197), ordered so the
+    # queries appended at the tail => 105 of 198), ordered so the
     # driver's 50-query sample closes the
     # attestation gap fastest: the four stale r1 reds (fixed in r2,
     # repo-green since) and the committed-fixture-backed queries first
     # (most at risk, want an r4 row so any failure is fixable in r5),
     # then the 26 r3-era never-sampled queries, then round-4 additions
-    # in registry order.  Entries 51-104 are the deliberate r5 slate --
-    # 104 <= 2x50 + 4; the driver samples 50/round so two more
+    # in registry order.  Entries 51-105 are the deliberate r5 slate --
+    # 105 <= 2x50 + 5; the driver samples 50/round so two more
     # rounds cover the slate, so every registry query lands in a driver sample by
     # end of r5.  Regenerate with the never-green computation in
     # PLANS.md section "attestation ordering".
@@ -8103,6 +8124,7 @@ _ATTEST_PRIORITY: list[str] = [
     "weighted_pagerank",
     "hard_negatives",
     "dedup_aware_split",
+    "quantile_gate",
 ]
 
 
@@ -9267,6 +9289,20 @@ _ORACLE_B15 = {
                ROUND(LEAST(GREATEST(2.0 * SUM(lat) / COUNT(*), 500.0),
                            8000.0), 2) AS delay_ms
         FROM r WHERE rnk <= 8 GROUP BY host
+    """,
+    # exact per-group percent_rank cut — both engines define
+    # percent_rank as (rank-1)/(n-1), so the boundary compare is
+    # bit-identical
+    "quantile_gate": """
+        WITH s AS (
+          SELECT doc_id, lang,
+                 CAST((doc_id * 37) % 1000 AS DOUBLE) / 1000.0 AS score
+          FROM documents),
+        r AS (
+          SELECT *, PERCENT_RANK() OVER (
+            PARTITION BY lang ORDER BY score DESC, doc_id ASC) AS pr
+          FROM s)
+        SELECT doc_id, lang, score FROM r WHERE pr <= 0.3
     """,
     # closed-form component (id - id%8 over the chained synth) + the
     # engine-neutral md5 split fold

@@ -228,6 +228,7 @@ HEADLINE_EXT = [
     "weighted_pagerank",
     "hard_negatives",
     "dedup_aware_split",
+    "quantile_gate",
 ]
 
 

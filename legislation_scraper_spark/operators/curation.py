@@ -1565,3 +1565,42 @@ def dedup_aware_split(
                16, 10).cast("int") % n_splits
     )
     return out.withColumn("split", bucket)
+
+
+def quantile_gate(
+    scored: DataFrame,
+    keep_frac: float,
+    group_col: str = "lang",
+    score_col: str = "score",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the top ``keep_frac`` of docs PER GROUP by score — the
+    FineWeb/DCLM curation shape ("top 10% by classifier score, per
+    language").  A single global threshold over-prunes low-resource
+    groups (their score distribution sits lower than English's, an
+    artifact of classifier calibration, not quality) — the per-group
+    quantile is the standard fix.
+
+    Determinism: the cut uses ``percent_rank`` over (score DESC, id
+    ASC) — exact, tie-stable, engine-neutral — NOT an approximate
+    quantile sketch, so the same doc set survives on any engine or
+    partitioning.  percent_rank ≤ f keeps ⌈f·(n−1)⌉+1 docs per group
+    (both engines define it as (rank−1)/(n−1)).
+
+    Plan: ONE window exchange on the group key.  Skew note: groups are
+    languages/sources (10²-10³ of them) with heavy mass on a few; at
+    100 TB the window sort spills per group — if a single group
+    outgrows a partition's spill budget, pre-aggregate a per-group
+    exact threshold via a two-pass rank instead (same result, same
+    discipline as politeness.rank_per_host_range).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") <= keep_frac)
+        .drop("pr")
+    )

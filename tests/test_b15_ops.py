@@ -550,3 +550,40 @@ def test_dedup_split_singletons_self_component(spark):
     assert got[0] == got[1] == 0
     for i in range(2, 10):
         assert got[i] == i
+
+
+# --- quantile_gate ----------------------------------------------------
+
+
+def test_quantile_gate_per_group_cut(spark):
+    from legislation_scraper_spark.operators.curation import quantile_gate
+
+    rows = [("en", i, float(i)) for i in range(10)]       # scores 0..9
+    rows += [("pt", 100 + i, float(i) / 100) for i in range(5)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, score double")
+    out = quantile_gate(df, keep_frac=0.3, group_col="lang")
+    got = {
+        lang: sorted(r["doc_id"] for r in rs)
+        for lang, rs in __import__("itertools").groupby(
+            sorted(out.collect(), key=lambda r: r["lang"]),
+            key=lambda r: r["lang"],
+        )
+    }
+    # en: percent_rank over 10 rows -> pr = (rank-1)/9 <= 0.3 keeps
+    # ranks 1..3 (top scores 9,8,7 = ids 9,8,7)
+    assert got["en"] == [7, 8, 9]
+    # pt has its OWN cut despite globally tiny scores: 5 rows, ranks
+    # 1..2 survive (pr 0, 0.25)
+    assert got["pt"] == [103, 104]
+    # a global 30% cut would have kept NOTHING from pt — the point
+    assert all(s < 0.05 for s in [r["score"] for r in out.collect()
+                                  if r["lang"] == "pt"])
+
+
+def test_quantile_gate_single_row_group_survives(spark):
+    from legislation_scraper_spark.operators.curation import quantile_gate
+
+    df = spark.createDataFrame(
+        [("solo", 1, 0.0001)], "lang string, doc_id long, score double"
+    )
+    assert quantile_gate(df, keep_frac=0.1).count() == 1
