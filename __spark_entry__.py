@@ -7968,6 +7968,23 @@ def q_dedup_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_aware_split(d, edges, n_splits=10)
 
 
+def q_margin_bitext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (operators/similarity.
+    margin_knn_pairs — Artetxe & Schwenk ACL'19, the LASER/CCMatrix
+    parallel-corpus method): best target per source by RATIO margin
+    (cosine divided by the mean of both sides' k-NN neighborhoods) —
+    the hubness-robust score; a raw-cosine implementation picks
+    different pairs on this data and mismatches."""
+    from legislation_scraper_spark.operators.similarity import (
+        margin_knn_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    src = emb.filter(F.col("vec_id") < 10)
+    tgt = emb.filter(F.col("vec_id") >= 10)
+    return margin_knn_pairs(src, tgt, k=4)
+
+
 def q_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language top-30% quality gate (operators/curation.
     quantile_gate — the FineWeb/DCLM 'top X% by classifier score per
@@ -7995,6 +8012,7 @@ _Q_B15 = {
     "hard_negatives": q_hard_negatives,
     "dedup_aware_split": q_dedup_split,
     "quantile_gate": q_quantile_gate,
+    "margin_bitext": q_margin_bitext,
     "dust_rules": q_dust_rules,
     "phrase_search": q_phrase_search,
     "alias_collapse": q_alias_collapse,
@@ -8009,14 +8027,14 @@ _Q.update(_Q_B15)
 _ATTEST_PRIORITY: list[str] = [
     # Every query with NO driver-green CORRECTNESS row across r1-r3
     # (87 of 178, plus the late-r4 merge/time-travel and batch-14/15
-    # queries appended at the tail => 105 of 198), ordered so the
+    # queries appended at the tail => 106 of 199), ordered so the
     # driver's 50-query sample closes the
     # attestation gap fastest: the four stale r1 reds (fixed in r2,
     # repo-green since) and the committed-fixture-backed queries first
     # (most at risk, want an r4 row so any failure is fixable in r5),
     # then the 26 r3-era never-sampled queries, then round-4 additions
-    # in registry order.  Entries 51-105 are the deliberate r5 slate --
-    # 105 <= 2x50 + 5; the driver samples 50/round so two more
+    # in registry order.  Entries 51-106 are the deliberate r5 slate --
+    # 106 <= 2x50 + 6; the driver samples 50/round so two more
     # rounds cover the slate, so every registry query lands in a driver sample by
     # end of r5.  Regenerate with the never-green computation in
     # PLANS.md section "attestation ordering".
@@ -8125,6 +8143,7 @@ _ATTEST_PRIORITY: list[str] = [
     "hard_negatives",
     "dedup_aware_split",
     "quantile_gate",
+    "margin_bitext",
 ]
 
 
@@ -9289,6 +9308,43 @@ _ORACLE_B15 = {
                ROUND(LEAST(GREATEST(2.0 * SUM(lat) / COUNT(*), 500.0),
                            8000.0), 2) AS delay_ms
         FROM r WHERE rnk <= 8 GROUP BY host
+    """,
+    # ratio margin over both sides' k-NN neighborhoods (the
+    # similarity-family cosine idiom + two window ranks + two avgs)
+    "margin_bitext": r"""
+        WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                   WHERE vec_id < 10),
+             c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+                   WHERE vec_id >= 10),
+             cos AS (SELECT qid, cid,
+                     list_aggregate(list_transform(range(1, 65),
+                       i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)),
+                       'sum')
+                     / (sqrt(list_aggregate(list_transform(range(1, 65),
+                          i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)),
+                          'sum'))
+                        * sqrt(list_aggregate(list_transform(range(1, 65),
+                          i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)),
+                          'sum'))) AS cosine
+                   FROM q, c),
+             rk AS (SELECT *,
+                      ROW_NUMBER() OVER (PARTITION BY qid
+                        ORDER BY cosine DESC, cid) AS rf,
+                      ROW_NUMBER() OVER (PARTITION BY cid
+                        ORDER BY cosine DESC, qid) AS rb
+                    FROM cos),
+             af AS (SELECT qid, AVG(cosine) AS af FROM rk
+                    WHERE rf <= 4 GROUP BY qid),
+             ab AS (SELECT cid, AVG(cosine) AS ab FROM rk
+                    WHERE rb <= 4 GROUP BY cid),
+             m AS (SELECT cos.qid, cos.cid,
+                          cos.cosine / ((af.af + ab.ab) / 2.0) AS margin
+                   FROM cos JOIN af ON cos.qid = af.qid
+                            JOIN ab ON cos.cid = ab.cid)
+        SELECT qid, cid, ROUND(margin, 6) AS margin FROM (
+          SELECT qid, cid, margin, ROW_NUMBER() OVER (
+            PARTITION BY qid ORDER BY margin DESC, cid) AS r FROM m)
+        WHERE r = 1
     """,
     # exact per-group percent_rank cut — both engines define
     # percent_rank as (rank-1)/(n-1), so the boundary compare is

@@ -229,6 +229,7 @@ HEADLINE_EXT = [
     "hard_negatives",
     "dedup_aware_split",
     "quantile_gate",
+    "margin_bitext",
 ]
 
 

@@ -377,3 +377,73 @@ def hard_negatives(
         .filter(F.col("rnk") <= k)
         .select("qid", "q_label", "cid", "c_label", "rnk")
     )
+
+
+def margin_knn_pairs(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk, ACL'19 — the
+    LASER/CCMatrix method behind the largest public parallel corpora):
+    score a candidate pair not by raw cosine but by its RATIO margin
+    against both sides' neighborhoods,
+
+        margin(x, y) = cos(x, y) / ((avgF(x) + avgB(y)) / 2),
+
+    where avgF(x) is the mean cosine of x's k nearest targets and
+    avgB(y) of y's k nearest sources.  Raw-cosine thresholds fail on
+    hubness (some embeddings are near EVERYTHING; their pairs look
+    good and are garbage) — the margin divides that hub mass out,
+    which is precisely why it wins at web scale.
+
+    Exact tier over bounded sides (training-batch/shard-sized — the
+    crossJoin is |src|×|tgt|); the IVF/LSH tiers compose for corpus
+    scale by replacing the dense cos matrix with per-probe candidate
+    sets (margins only need each side's top-k, which ANN supplies).
+
+    Output: the best target per source, ``(qid, cid, margin)`` with
+    margin rounded to ``ndigits`` (window sums of doubles are
+    order-dependent at 1 ulp — repo float-parity convention).
+    """
+    q = src.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    c = tgt.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+    cos = (
+        q.crossJoin(c)
+        .withColumn("cosine", _cosine(F.col("qv"), F.col("cv")))
+        .select("qid", "cid", "cosine")
+    )
+    wf = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    wb = Window.partitionBy("cid").orderBy(F.desc("cosine"), F.asc("qid"))
+    ranked = cos.withColumn("rf", F.row_number().over(wf)).withColumn(
+        "rb", F.row_number().over(wb)
+    )
+    avg_f = (
+        ranked.filter(F.col("rf") <= k)
+        .groupBy("qid")
+        .agg(F.avg("cosine").alias("af"))
+    )
+    avg_b = (
+        ranked.filter(F.col("rb") <= k)
+        .groupBy("cid")
+        .agg(F.avg("cosine").alias("ab"))
+    )
+    m = (
+        cos.join(avg_f, "qid")
+        .join(avg_b, "cid")
+        .withColumn(
+            "margin",
+            F.col("cosine") / ((F.col("af") + F.col("ab")) / 2.0),
+        )
+    )
+    wbest = Window.partitionBy("qid").orderBy(
+        F.desc("margin"), F.asc("cid")
+    )
+    return (
+        m.withColumn("rnk", F.row_number().over(wbest))
+        .filter(F.col("rnk") == 1)
+        .select("qid", "cid", F.round("margin", ndigits).alias("margin"))
+    )

@@ -587,3 +587,56 @@ def test_quantile_gate_single_row_group_survives(spark):
         [("solo", 1, 0.0001)], "lang string, doc_id long, score double"
     )
     assert quantile_gate(df, keep_frac=0.1).count() == 1
+
+
+# --- margin_knn_pairs -------------------------------------------------
+
+
+def test_margin_beats_raw_cosine_on_hub(spark):
+    from legislation_scraper_spark.operators.similarity import (
+        margin_knn_pairs,
+    )
+
+    # hub target "hub" is moderately close to EVERYTHING; the true
+    # match "t0" is the real nearest for q0 only.  Raw cosine would
+    # still pick t0 here, so make the hub slightly closer to q0 than
+    # t0 is — margin must divide the hub's neighborhood mass out and
+    # still pick t0.
+    src = spark.createDataFrame(
+        [("q0", [1.0, 0.0, 0.0]), ("q1", [0.0, 1.0, 0.0]),
+         ("q2", [0.0, 0.0, 1.0])],
+        "vec_id string, embedding array<double>",
+    )
+    tgt = spark.createDataFrame(
+        [
+            ("hub", [0.58, 0.58, 0.58]),   # cos ~0.577 to every query
+            ("t0", [0.9, 0.1, 0.0]),       # cos ~0.994 to q0
+            ("t1", [0.1, 0.9, 0.0]),
+            ("t2", [0.0, 0.1, 0.9]),
+        ],
+        "vec_id string, embedding array<double>",
+    )
+    got = {
+        r["qid"]: r["cid"]
+        for r in margin_knn_pairs(src, tgt, k=2).collect()
+    }
+    assert got == {"q0": "t0", "q1": "t1", "q2": "t2"}
+
+
+def test_margin_one_row_per_source(spark):
+    from legislation_scraper_spark.operators.similarity import (
+        margin_knn_pairs,
+    )
+
+    src = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    tgt = spark.createDataFrame(
+        [(100 + i, [1.0, float(i)]) for i in range(7)],
+        "vec_id long, embedding array<double>",
+    )
+    out = margin_knn_pairs(src, tgt, k=3)
+    assert out.count() == 5
+    assert out.select("qid").distinct().count() == 5
+    assert all(r["margin"] > 0 for r in out.collect())
