@@ -7985,6 +7985,33 @@ def q_margin_bitext(spark: SparkSession, sf_dir: str) -> DataFrame:
     return margin_knn_pairs(src, tgt, k=4)
 
 
+def q_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality eval (operators/index.ranking_metrics): MRR +
+    graded NDCG@5 per query over a synthetic ranking whose relevance
+    grades (0–3) come from a different fold than the rank order, so
+    DCG ≠ IDCG for most queries, some queries have NO relevant docs
+    (must score 0, not NULL), and ideal orderings differ from ranked
+    ones.  The Burges 2^rel−1 gain keeps the arithmetic exact until
+    the log2 division."""
+    from legislation_scraper_spark.operators.index import ranking_metrics
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    q10 = d.filter(did < 10).select(did.alias("qid"))
+    ranked = q10.select(
+        "qid", F.explode(F.sequence(F.lit(1), F.lit(5))).alias("rnk")
+    ).withColumn("cid", (F.col("qid") * 7 + F.col("rnk") * 3) % 40)
+    c40 = d.filter(did < 40).select(did.alias("cid"))
+    truth = (
+        q10.crossJoin(c40)
+        .filter((F.col("qid") + F.col("cid")) % 3 == 0)
+        .withColumn(
+            "rel", ((F.col("qid") * F.col("cid")) % 4).cast("double")
+        )
+    )
+    return ranking_metrics(ranked, truth, k=5)
+
+
 def q_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language top-30% quality gate (operators/curation.
     quantile_gate — the FineWeb/DCLM 'top X% by classifier score per
@@ -8013,6 +8040,7 @@ _Q_B15 = {
     "dedup_aware_split": q_dedup_split,
     "quantile_gate": q_quantile_gate,
     "margin_bitext": q_margin_bitext,
+    "ranking_metrics": q_ranking_metrics,
     "dust_rules": q_dust_rules,
     "phrase_search": q_phrase_search,
     "alias_collapse": q_alias_collapse,
@@ -8027,14 +8055,14 @@ _Q.update(_Q_B15)
 _ATTEST_PRIORITY: list[str] = [
     # Every query with NO driver-green CORRECTNESS row across r1-r3
     # (87 of 178, plus the late-r4 merge/time-travel and batch-14/15
-    # queries appended at the tail => 106 of 199), ordered so the
+    # queries appended at the tail => 107 of 200), ordered so the
     # driver's 50-query sample closes the
     # attestation gap fastest: the four stale r1 reds (fixed in r2,
     # repo-green since) and the committed-fixture-backed queries first
     # (most at risk, want an r4 row so any failure is fixable in r5),
     # then the 26 r3-era never-sampled queries, then round-4 additions
-    # in registry order.  Entries 51-106 are the deliberate r5 slate --
-    # 106 <= 2x50 + 6; the driver samples 50/round so two more
+    # in registry order.  Entries 51-107 are the deliberate r5 slate --
+    # 107 <= 2x50 + 7; the driver samples 50/round so two more
     # rounds cover the slate, so every registry query lands in a driver sample by
     # end of r5.  Regenerate with the never-green computation in
     # PLANS.md section "attestation ordering".
@@ -8144,6 +8172,7 @@ _ATTEST_PRIORITY: list[str] = [
     "dedup_aware_split",
     "quantile_gate",
     "margin_bitext",
+    "ranking_metrics",
 ]
 
 
@@ -9308,6 +9337,38 @@ _ORACLE_B15 = {
                ROUND(LEAST(GREATEST(2.0 * SUM(lat) / COUNT(*), 500.0),
                            8000.0), 2) AS delay_ms
         FROM r WHERE rnk <= 8 GROUP BY host
+    """,
+    # MRR + graded NDCG@5 with full-outer stitch and zero (not NULL)
+    # for no-relevant queries
+    "ranking_metrics": """
+        WITH q AS (SELECT doc_id AS qid FROM documents WHERE doc_id < 10),
+        r AS (SELECT qid, t.rnk, (qid * 7 + t.rnk * 3) % 40 AS cid
+              FROM q, UNNEST(range(1, 6)) AS t(rnk)),
+        tr AS (SELECT q.qid, c.doc_id AS cid,
+                      CAST((q.qid * c.doc_id) % 4 AS DOUBLE) AS rel
+               FROM q, (SELECT doc_id FROM documents WHERE doc_id < 40) c
+               WHERE (q.qid + c.doc_id) % 3 = 0),
+        j AS (SELECT r.qid, r.rnk, COALESCE(tr.rel, 0.0) AS rel
+              FROM r LEFT JOIN tr ON r.qid = tr.qid AND r.cid = tr.cid),
+        g AS (SELECT qid,
+                     COALESCE(MAX(CASE WHEN rel > 0 THEN 1.0 / rnk END),
+                              0.0) AS mrr,
+                     SUM((pow(2.0, rel) - 1.0) / log2(rnk + 1.0)) AS dcg
+              FROM j GROUP BY qid),
+        i0 AS (SELECT qid, rel, ROW_NUMBER() OVER (
+                 PARTITION BY qid ORDER BY rel DESC, cid) AS irnk
+               FROM tr WHERE rel > 0),
+        i AS (SELECT qid, SUM((pow(2.0, rel) - 1.0) / log2(irnk + 1.0))
+                 AS idcg
+              FROM i0 WHERE irnk <= 5 GROUP BY qid)
+        SELECT COALESCE(g.qid, i.qid) AS qid,
+               ROUND(COALESCE(mrr, 0.0), 6) AS mrr,
+               ROUND(COALESCE(dcg, 0.0), 6) AS dcg,
+               ROUND(COALESCE(idcg, 0.0), 6) AS idcg,
+               ROUND(CASE WHEN COALESCE(idcg, 0.0) > 0
+                          THEN COALESCE(dcg, 0.0) / idcg
+                          ELSE 0.0 END, 6) AS ndcg
+        FROM g FULL OUTER JOIN i ON g.qid = i.qid
     """,
     # ratio margin over both sides' k-NN neighborhoods (the
     # similarity-family cosine idiom + two window ranks + two avgs)

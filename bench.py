@@ -230,6 +230,7 @@ HEADLINE_EXT = [
     "dedup_aware_split",
     "quantile_gate",
     "margin_bitext",
+    "ranking_metrics",
 ]
 
 

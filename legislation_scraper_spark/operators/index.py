@@ -366,3 +366,78 @@ def phrase_search(
         )
         .filter(F.col("n_occurrences") > 0)
     )
+
+
+def ranking_metrics(
+    ranked: DataFrame,
+    truth: DataFrame,
+    k: int = 10,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-query ranking quality — MRR and NDCG@k (Järvelin &
+    Kekäläinen's graded-gain form with the Burges ``2^rel − 1``
+    numerator) — the eval twin the retrieval stack (``bm25_topk``,
+    ``phrase_search``, the ANN tiers) needs the way the dedup stack
+    has `minhash_recall`/`bcubed`.
+
+    ``ranked``: ``(qid, cid, rnk)`` with rnk 1-based; ``truth``:
+    ``(qid, cid, rel)`` graded relevance (absent pair = 0).  Output
+    one row per qid IN EITHER INPUT: ``(qid, mrr, dcg, idcg, ndcg)``;
+    a query with no relevant docs scores 0 across the board (not
+    NULL — eval sweeps aggregate these).
+
+    Plan: one left join of ranked→truth, one truth-side window for the
+    ideal ordering (WindowGroupLimit-pruned to k), two qid aggs and a
+    full-outer stitch — every step partial-aggregatable, nothing
+    driver-side.
+    """
+    from pyspark.sql import Window
+
+    r = ranked.select(
+        "qid", "cid", F.col("rnk").cast("int").alias("rnk")
+    ).filter(F.col("rnk") <= k)
+    t = truth.select("qid", "cid", F.col("rel").cast("double").alias("rel"))
+    joined = r.join(t, ["qid", "cid"], "left").withColumn(
+        "rel", F.coalesce("rel", F.lit(0.0))
+    )
+    gains = joined.groupBy("qid").agg(
+        F.coalesce(
+            F.max(
+                F.when(F.col("rel") > 0, 1.0 / F.col("rnk"))
+            ),
+            F.lit(0.0),
+        ).alias("mrr"),
+        F.sum(
+            (F.pow(F.lit(2.0), F.col("rel")) - 1.0)
+            / F.log2(F.col("rnk") + 1.0)
+        ).alias("dcg"),
+    )
+    wi = Window.partitionBy("qid").orderBy(F.desc("rel"), F.asc("cid"))
+    ideal = (
+        t.filter(F.col("rel") > 0)
+        .withColumn("irnk", F.row_number().over(wi))
+        .filter(F.col("irnk") <= k)
+        .groupBy("qid")
+        .agg(
+            F.sum(
+                (F.pow(F.lit(2.0), F.col("rel")) - 1.0)
+                / F.log2(F.col("irnk") + 1.0)
+            ).alias("idcg")
+        )
+    )
+    return (
+        gains.join(ideal, "qid", "full_outer")
+        .select(
+            "qid",
+            F.round(F.coalesce("mrr", F.lit(0.0)), ndigits).alias("mrr"),
+            F.round(F.coalesce("dcg", F.lit(0.0)), ndigits).alias("dcg"),
+            F.round(F.coalesce("idcg", F.lit(0.0)), ndigits).alias("idcg"),
+            F.round(
+                F.when(
+                    F.coalesce("idcg", F.lit(0.0)) > 0,
+                    F.coalesce("dcg", F.lit(0.0)) / F.col("idcg"),
+                ).otherwise(F.lit(0.0)),
+                ndigits,
+            ).alias("ndcg"),
+        )
+    )

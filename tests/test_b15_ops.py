@@ -640,3 +640,47 @@ def test_margin_one_row_per_source(spark):
     assert out.count() == 5
     assert out.select("qid").distinct().count() == 5
     assert all(r["margin"] > 0 for r in out.collect())
+
+
+# --- ranking_metrics --------------------------------------------------
+
+
+def test_ranking_metrics_hand_case(spark):
+    from legislation_scraper_spark.operators.index import ranking_metrics
+    import math
+
+    ranked = spark.createDataFrame(
+        [(1, "a", 1), (1, "b", 2), (1, "c", 3),
+         (2, "x", 1), (2, "y", 2)],
+        "qid long, cid string, rnk int",
+    )
+    truth = spark.createDataFrame(
+        [(1, "b", 3.0), (1, "c", 1.0), (1, "zzz", 2.0),
+         (2, "nope", 1.0)],
+        "qid long, cid string, rel double",
+    )
+    got = {r["qid"]: r for r in ranking_metrics(ranked, truth, k=3).collect()}
+    # q1: first relevant at rnk 2 -> mrr 0.5
+    assert abs(got[1]["mrr"] - 0.5) < 1e-9
+    dcg = (2**3 - 1) / math.log2(3) + (2**1 - 1) / math.log2(4)
+    idcg = (2**3 - 1) / math.log2(2) + (2**2 - 1) / math.log2(3) \
+        + (2**1 - 1) / math.log2(4)
+    assert abs(got[1]["dcg"] - round(dcg, 6)) < 1e-9
+    assert abs(got[1]["idcg"] - round(idcg, 6)) < 1e-9
+    assert abs(got[1]["ndcg"] - round(dcg / idcg, 6)) < 2e-6
+    # q2: retrieved nothing relevant; its only relevant doc unretrieved
+    assert got[2]["mrr"] == 0.0 and got[2]["dcg"] == 0.0
+    assert got[2]["idcg"] > 0 and got[2]["ndcg"] == 0.0
+
+
+def test_ranking_metrics_perfect_ranking(spark):
+    from legislation_scraper_spark.operators.index import ranking_metrics
+
+    ranked = spark.createDataFrame(
+        [(1, "a", 1), (1, "b", 2)], "qid long, cid string, rnk int"
+    )
+    truth = spark.createDataFrame(
+        [(1, "a", 2.0), (1, "b", 1.0)], "qid long, cid string, rel double"
+    )
+    r = ranking_metrics(ranked, truth, k=5).collect()[0]
+    assert r["mrr"] == 1.0 and abs(r["ndcg"] - 1.0) < 1e-9
