@@ -8012,6 +8012,48 @@ def q_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranking_metrics(ranked, truth, k=5)
 
 
+def q_dust_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full DUST loop (operators/dust.dust_rules →
+    apply_dust_rules): mine the rules from the planted alias web, then
+    canonicalize the SAME url set through them and fold alias groups —
+    the frontier-side payoff (each doc's 3-4 alias URLs collapse to 2
+    canonical keys: the deletion rule folds /index.html onto the base,
+    the substitution rule folds mobile=true onto =false).  The oracle
+    replays the application with the two rules the mining oracle
+    already proves are the only min_support≥2 rules."""
+    from legislation_scraper_spark.operators.dust import (
+        apply_dust_rules,
+        dust_rules,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    base = F.concat(
+        F.lit("http://h"), (did % 7).cast("string"),
+        F.lit("/story/"), did.cast("string"),
+    )
+    urls = F.array(
+        base,
+        F.when(did % 3 != 0, F.concat(base, F.lit("/index.html"))),
+        F.concat(base, F.lit("?mobile=true")),
+        F.concat(base, F.lit("?mobile=false")),
+    )
+    pages = d.select(
+        F.concat(F.lit("d"), did.cast("string")).alias("digest"),
+        F.explode(urls).alias("url"),
+    ).filter(F.col("url").isNotNull())
+    rules = dust_rules(pages, min_support=2)
+    fr = pages.select("url").distinct()
+    return (
+        apply_dust_rules(fr, rules)
+        .groupBy("canon_key")
+        .agg(
+            F.count("*").cast("bigint").alias("n_aliases"),
+            F.min("url").alias("exemplar"),
+        )
+    )
+
+
 def q_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language top-30% quality gate (operators/curation.
     quantile_gate — the FineWeb/DCLM 'top X% by classifier score per
@@ -8041,6 +8083,7 @@ _Q_B15 = {
     "quantile_gate": q_quantile_gate,
     "margin_bitext": q_margin_bitext,
     "ranking_metrics": q_ranking_metrics,
+    "dust_canonicalize": q_dust_canonicalize,
     "dust_rules": q_dust_rules,
     "phrase_search": q_phrase_search,
     "alias_collapse": q_alias_collapse,
@@ -8055,14 +8098,14 @@ _Q.update(_Q_B15)
 _ATTEST_PRIORITY: list[str] = [
     # Every query with NO driver-green CORRECTNESS row across r1-r3
     # (87 of 178, plus the late-r4 merge/time-travel and batch-14/15
-    # queries appended at the tail => 107 of 200), ordered so the
+    # queries appended at the tail => 108 of 201), ordered so the
     # driver's 50-query sample closes the
     # attestation gap fastest: the four stale r1 reds (fixed in r2,
     # repo-green since) and the committed-fixture-backed queries first
     # (most at risk, want an r4 row so any failure is fixable in r5),
     # then the 26 r3-era never-sampled queries, then round-4 additions
-    # in registry order.  Entries 51-107 are the deliberate r5 slate --
-    # 107 <= 2x50 + 7; the driver samples 50/round so two more
+    # in registry order.  Entries 51-108 are the deliberate r5 slate --
+    # 108 <= 2x50 + 8; the driver samples 50/round so two more
     # rounds cover the slate, so every registry query lands in a driver sample by
     # end of r5.  Regenerate with the never-green computation in
     # PLANS.md section "attestation ordering".
@@ -8173,6 +8216,7 @@ _ATTEST_PRIORITY: list[str] = [
     "quantile_gate",
     "margin_bitext",
     "ranking_metrics",
+    "dust_canonicalize",
 ]
 
 
@@ -9337,6 +9381,36 @@ _ORACLE_B15 = {
                ROUND(LEAST(GREATEST(2.0 * SUM(lat) / COUNT(*), 500.0),
                            8000.0), 2) AS delay_ms
         FROM r WHERE rnk <= 8 GROUP BY host
+    """,
+    # apply the two provably-mined rules (delete index.html,
+    # true -> false) to the distinct alias set and fold
+    "dust_canonicalize": r"""
+        WITH p AS (
+          SELECT DISTINCT u AS url
+          FROM documents, UNNEST([
+            'http://h' || CAST(doc_id % 7 AS VARCHAR) || '/story/'
+              || CAST(doc_id AS VARCHAR),
+            CASE WHEN doc_id % 3 <> 0 THEN
+              'http://h' || CAST(doc_id % 7 AS VARCHAR) || '/story/'
+                || CAST(doc_id AS VARCHAR) || '/index.html' END,
+            'http://h' || CAST(doc_id % 7 AS VARCHAR) || '/story/'
+              || CAST(doc_id AS VARCHAR) || '?mobile=true',
+            'http://h' || CAST(doc_id % 7 AS VARCHAR) || '/story/'
+              || CAST(doc_id AS VARCHAR) || '?mobile=false'
+          ]) AS t(u)
+          WHERE u IS NOT NULL),
+        k AS (
+          SELECT url,
+                 array_to_string(
+                   list_transform(
+                     list_filter(string_split_regex(url, '[/?&=]'),
+                                 t -> t <> 'index.html'),
+                     t -> CASE WHEN t = 'true' THEN 'false' ELSE t END),
+                   '/') AS canon_key
+          FROM p)
+        SELECT canon_key, CAST(COUNT(*) AS BIGINT) AS n_aliases,
+               MIN(url) AS exemplar
+        FROM k GROUP BY canon_key
     """,
     # MRR + graded NDCG@5 with full-outer stitch and zero (not NULL)
     # for no-relevant queries

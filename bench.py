@@ -231,6 +231,7 @@ HEADLINE_EXT = [
     "quantile_gate",
     "margin_bitext",
     "ranking_metrics",
+    "dust_canonicalize",
 ]
 
 
