@@ -8054,6 +8054,64 @@ def q_dust_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sitemap_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-vs-robots conflict report (sources/sitemap.parse_robots
+    → robots_allows): URLs a host ADVERTISES in its sitemap but its
+    robots.txt forbids — a common misconfiguration a polite crawler
+    must flag and skip (robots wins, RFC 9309).  The planted rule set
+    exercises longest-match-wins through the driver gate: /priv/ok
+    paths are re-ALLOWED under the broader /priv disallow, so a
+    first-match or shortest-match implementation misclassifies a
+    quarter of the listed URLs.  Per-host rollup with a conflict-path
+    digest."""
+    from legislation_scraper_spark.sources.sitemap import (
+        parse_robots,
+        robots_allows,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    robots = (
+        d.groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("source").alias("host"),
+            F.lit(
+                "User-agent: *\nDisallow: /priv\n"
+                "Allow: /priv/ok\nDisallow: /tmpx\n"
+            ).alias("body"),
+        )
+    )
+    rules = parse_robots(robots)
+    listed = d.select(
+        F.col("source").alias("host"),
+        F.concat(
+            F.when(did % 4 == 0, "/doc/")
+            .when(did % 4 == 1, "/priv/")
+            .when(did % 4 == 2, "/priv/ok/")
+            .otherwise("/tmpx/"),
+            did.cast("string"),
+        ).alias("path"),
+    )
+    out = robots_allows(listed, rules)
+    return out.groupBy("host").agg(
+        F.count("*").cast("bigint").alias("n_listed"),
+        F.sum(F.when(~F.col("allowed"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_conflicts"),
+        F.md5(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~F.col("allowed"), F.col("path"))
+                    )
+                ),
+                "|",
+            )
+        ).alias("conflict_digest"),
+    )
+
+
 def q_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language top-30% quality gate (operators/curation.
     quantile_gate — the FineWeb/DCLM 'top X% by classifier score per
@@ -8084,6 +8142,7 @@ _Q_B15 = {
     "margin_bitext": q_margin_bitext,
     "ranking_metrics": q_ranking_metrics,
     "dust_canonicalize": q_dust_canonicalize,
+    "sitemap_robots_conflict": q_sitemap_conflicts,
     "dust_rules": q_dust_rules,
     "phrase_search": q_phrase_search,
     "alias_collapse": q_alias_collapse,
@@ -8098,14 +8157,14 @@ _Q.update(_Q_B15)
 _ATTEST_PRIORITY: list[str] = [
     # Every query with NO driver-green CORRECTNESS row across r1-r3
     # (87 of 178, plus the late-r4 merge/time-travel and batch-14/15
-    # queries appended at the tail => 108 of 201), ordered so the
+    # queries appended at the tail => 109 of 202), ordered so the
     # driver's 50-query sample closes the
     # attestation gap fastest: the four stale r1 reds (fixed in r2,
     # repo-green since) and the committed-fixture-backed queries first
     # (most at risk, want an r4 row so any failure is fixable in r5),
     # then the 26 r3-era never-sampled queries, then round-4 additions
-    # in registry order.  Entries 51-108 are the deliberate r5 slate --
-    # 108 <= 2x50 + 8; the driver samples 50/round so two more
+    # in registry order.  Entries 51-109 are the deliberate r5 slate --
+    # 109 <= 2x50 + 9; the driver samples 50/round so two more
     # rounds cover the slate, so every registry query lands in a driver sample by
     # end of r5.  Regenerate with the never-green computation in
     # PLANS.md section "attestation ordering".
@@ -8217,6 +8276,7 @@ _ATTEST_PRIORITY: list[str] = [
     "margin_bitext",
     "ranking_metrics",
     "dust_canonicalize",
+    "sitemap_robots_conflict",
 ]
 
 
@@ -9381,6 +9441,24 @@ _ORACLE_B15 = {
                ROUND(LEAST(GREATEST(2.0 * SUM(lat) / COUNT(*), 500.0),
                            8000.0), 2) AS delay_ms
         FROM r WHERE rnk <= 8 GROUP BY host
+    """,
+    # closed form of the planted rule set: /priv (not /priv/ok) and
+    # /tmpx paths conflict; longest-match re-allows /priv/ok
+    "sitemap_robots_conflict": """
+        WITH l AS (
+          SELECT source AS host,
+                 CASE doc_id % 4 WHEN 0 THEN '/doc/'
+                   WHEN 1 THEN '/priv/' WHEN 2 THEN '/priv/ok/'
+                   ELSE '/tmpx/' END || CAST(doc_id AS VARCHAR) AS path,
+                 doc_id % 4 IN (1, 3) AS conflict
+          FROM documents)
+        SELECT host, CAST(COUNT(*) AS BIGINT) AS n_listed,
+               CAST(SUM(CASE WHEN conflict THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_conflicts,
+               md5(COALESCE(array_to_string(
+                 list_sort(list(path) FILTER (WHERE conflict)), '|'),
+                 '')) AS conflict_digest
+        FROM l GROUP BY host
     """,
     # apply the two provably-mined rules (delete index.html,
     # true -> false) to the distinct alias set and fold

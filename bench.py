@@ -232,6 +232,7 @@ HEADLINE_EXT = [
     "margin_bitext",
     "ranking_metrics",
     "dust_canonicalize",
+    "sitemap_robots_conflict",
 ]
 
 
