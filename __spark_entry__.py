@@ -8054,6 +8054,38 @@ def q_dust_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_priority_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Starvation-free frontier aging (operators/politeness.
+    age_priorities) feeding the REAL politeness rank: old discoveries
+    (waited up to 9 rounds) must overtake fresher, better-base-priority
+    URLs inside each host's budget — the top-3-per-host selection
+    differs from both a no-aging and a wrong-sign implementation.
+    Zero-shuffle aging projection + the one WindowGroupLimit rank."""
+    from legislation_scraper_spark.operators.politeness import (
+        age_priorities,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    fr = d.select(
+        F.concat(F.lit("u"), did.cast("string")).alias("url"),
+        F.concat(F.lit("h"), (did % 11).cast("string")).alias("host"),
+        (did % 5).cast("double").alias("priority"),
+        (did % 10).cast("int").alias("discovered_round"),
+        "doc_id",
+    )
+    aged = age_priorities(fr, current_round=10, rate=0.35)
+    w = Window.partitionBy("host").orderBy("priority", "doc_id")
+    return (
+        aged.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "host", "url", F.round("priority", 6).alias("eff_priority"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
 def q_sitemap_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap-vs-robots conflict report (sources/sitemap.parse_robots
     → robots_allows): URLs a host ADVERTISES in its sitemap but its
@@ -8143,6 +8175,7 @@ _Q_B15 = {
     "ranking_metrics": q_ranking_metrics,
     "dust_canonicalize": q_dust_canonicalize,
     "sitemap_robots_conflict": q_sitemap_conflicts,
+    "priority_aging": q_priority_aging,
     "dust_rules": q_dust_rules,
     "phrase_search": q_phrase_search,
     "alias_collapse": q_alias_collapse,
@@ -8157,14 +8190,14 @@ _Q.update(_Q_B15)
 _ATTEST_PRIORITY: list[str] = [
     # Every query with NO driver-green CORRECTNESS row across r1-r3
     # (87 of 178, plus the late-r4 merge/time-travel and batch-14/15
-    # queries appended at the tail => 109 of 202), ordered so the
+    # queries appended at the tail => 110 of 203), ordered so the
     # driver's 50-query sample closes the
     # attestation gap fastest: the four stale r1 reds (fixed in r2,
     # repo-green since) and the committed-fixture-backed queries first
     # (most at risk, want an r4 row so any failure is fixable in r5),
     # then the 26 r3-era never-sampled queries, then round-4 additions
-    # in registry order.  Entries 51-109 are the deliberate r5 slate --
-    # 109 <= 2x50 + 9; the driver samples 50/round so two more
+    # in registry order.  Entries 51-110 are the deliberate r5 slate --
+    # 110 <= 2x50 + 10; the driver samples 50/round so two more
     # rounds cover the slate, so every registry query lands in a driver sample by
     # end of r5.  Regenerate with the never-green computation in
     # PLANS.md section "attestation ordering".
@@ -8277,6 +8310,7 @@ _ATTEST_PRIORITY: list[str] = [
     "ranking_metrics",
     "dust_canonicalize",
     "sitemap_robots_conflict",
+    "priority_aging",
 ]
 
 
@@ -9441,6 +9475,26 @@ _ORACLE_B15 = {
                ROUND(LEAST(GREATEST(2.0 * SUM(lat) / COUNT(*), 500.0),
                            8000.0), 2) AS delay_ms
         FROM r WHERE rnk <= 8 GROUP BY host
+    """,
+    # aging in closed form; CAST(0.35 AS DOUBLE) forces the same IEEE
+    # multiply as the Spark side (decimal arithmetic would round
+    # differently before the 6dp output round)
+    "priority_aging": """
+        WITH fr AS (
+          SELECT 'u' || CAST(doc_id AS VARCHAR) AS url,
+                 'h' || CAST(doc_id % 11 AS VARCHAR) AS host,
+                 CAST(doc_id % 5 AS DOUBLE)
+                   - CAST(GREATEST(10 - (doc_id % 10), 0) AS DOUBLE)
+                     * CAST(0.35 AS DOUBLE) AS priority,
+                 doc_id
+          FROM documents),
+        r AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY host
+                      ORDER BY priority, doc_id) AS rnk
+          FROM fr)
+        SELECT host, url, ROUND(priority, 6) AS eff_priority,
+               CAST(rnk AS INT) AS rnk
+        FROM r WHERE rnk <= 3
     """,
     # closed form of the planted rule set: /priv (not /priv/ok) and
     # /tmpx paths conflict; longest-match re-allows /priv/ok

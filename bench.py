@@ -233,6 +233,7 @@ HEADLINE_EXT = [
     "ranking_metrics",
     "dust_canonicalize",
     "sitemap_robots_conflict",
+    "priority_aging",
 ]
 
 

@@ -587,3 +587,35 @@ def adaptive_fetch_delay(
             ndigits,
         ).alias("delay_ms"),
     )
+
+
+def age_priorities(
+    frontier: DataFrame,
+    current_round: int,
+    rate: float = 0.1,
+    priority_col: str = "priority",
+    round_col: str = "discovered_round",
+) -> DataFrame:
+    """Starvation-free frontier aging: effective priority = base −
+    rounds-waited × ``rate`` (lower sorts first in the politeness
+    rank, so waiting monotonically IMPROVES a URL's position).
+
+    Proportional budget splits (`allocate_budgets`, OPIC/trust
+    weighting) are asymptotically unfair to cold hosts: a host whose
+    weight stays small can wait unboundedly while hot hosts re-fill
+    every round.  Aging is the classic scheduler fix (same argument
+    as OS run-queue aging): any URL's effective priority eventually
+    undercuts every fresh arrival's, bounding its wait by
+    ``(p_max − p_min)/rate + 1/weight_share`` rounds.
+
+    Pure projection — fuses into the frontier scan, zero shuffle; the
+    politeness rank orders by the REPLACED priority column so callers
+    swap it in without touching the rank contract.
+    """
+    waited = F.greatest(
+        F.lit(current_round) - F.col(round_col), F.lit(0)
+    ).cast("double")
+    return frontier.withColumn(
+        priority_col,
+        F.col(priority_col).cast("double") - waited * F.lit(rate),
+    )

@@ -684,3 +684,32 @@ def test_ranking_metrics_perfect_ranking(spark):
     )
     r = ranking_metrics(ranked, truth, k=5).collect()[0]
     assert r["mrr"] == 1.0 and abs(r["ndcg"] - 1.0) < 1e-9
+
+
+# --- age_priorities ---------------------------------------------------
+
+
+def test_priority_aging_overtakes_and_clamps(spark):
+    from legislation_scraper_spark.operators.politeness import (
+        age_priorities,
+    )
+
+    fr = spark.createDataFrame(
+        [
+            ("old", 4.0, 0),     # base-worst but waited 10 rounds
+            ("mid", 2.0, 8),     # waited 2
+            ("new", 0.0, 10),    # fresh, base-best
+            ("future", 1.0, 12), # clock skew: waited clamps to 0
+        ],
+        "url string, priority double, discovered_round int",
+    )
+    got = {
+        r["url"]: r["priority"]
+        for r in age_priorities(fr, current_round=10, rate=0.5).collect()
+    }
+    assert abs(got["old"] - (4.0 - 5.0)) < 1e-12    # overtakes new
+    assert abs(got["mid"] - 1.0) < 1e-12
+    assert got["new"] == 0.0
+    assert got["future"] == 1.0                      # no negative wait
+    order = sorted(got, key=lambda u: got[u])
+    assert order[0] == "old"
