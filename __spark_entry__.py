@@ -8054,6 +8054,58 @@ def q_dust_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_recrawl_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-per-fetch recrawl ranking — the freshness-maximization
+    composition (Cho & Garcia-Molina freshness + OPIC importance):
+    value(url) = P(changed by now) × importance(host), so the recrawl
+    budget goes to pages that are BOTH likely-stale and worth being
+    fresh.  Composes three attested operators in one plan
+    (revisit.change_rates → graph.opic → join/rank); top-100 by
+    (value desc, urlkey) via TakeOrderedAndProject.  Both factors are
+    6dp-rounded BEFORE the product (each side's rounding is oracle-
+    attested), so the composition is engine-exact."""
+    from legislation_scraper_spark.operators.graph import opic
+    from legislation_scraper_spark.operators.revisit import change_rates
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    rates = change_rates(_capture_history(spark, sf_dir))
+    e = d.select(
+        F.concat(F.lit("h"), (did % 23).cast("string")).alias("src"),
+        F.concat(
+            F.lit("h"), ((did * did + 1) % 29).cast("string")
+        ).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    hosts = opic(e, iters=2).select(
+        "node", F.round("score", 6).alias("host_score")
+    )
+    r = rates.select(
+        "urlkey",
+        "staleness",
+        F.concat(
+            F.lit("h"),
+            (
+                F.regexp_extract(F.col("urlkey"), r"/norma/(\d+)", 1)
+                .cast("long")
+                % 23
+            ).cast("string"),
+        ).alias("node"),
+    )
+    return (
+        r.join(hosts, "node")
+        .select(
+            "urlkey",
+            "staleness",
+            "host_score",
+            F.round(F.col("staleness") * F.col("host_score"), 6).alias(
+                "value"
+            ),
+        )
+        .orderBy(F.desc("value"), F.asc("urlkey"))
+        .limit(100)
+    )
+
+
 def q_priority_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Starvation-free frontier aging (operators/politeness.
     age_priorities) feeding the REAL politeness rank: old discoveries
@@ -8176,6 +8228,7 @@ _Q_B15 = {
     "dust_canonicalize": q_dust_canonicalize,
     "sitemap_robots_conflict": q_sitemap_conflicts,
     "priority_aging": q_priority_aging,
+    "recrawl_value": q_recrawl_value,
     "dust_rules": q_dust_rules,
     "phrase_search": q_phrase_search,
     "alias_collapse": q_alias_collapse,
@@ -8190,14 +8243,14 @@ _Q.update(_Q_B15)
 _ATTEST_PRIORITY: list[str] = [
     # Every query with NO driver-green CORRECTNESS row across r1-r3
     # (87 of 178, plus the late-r4 merge/time-travel and batch-14/15
-    # queries appended at the tail => 110 of 203), ordered so the
+    # queries appended at the tail => 111 of 204), ordered so the
     # driver's 50-query sample closes the
     # attestation gap fastest: the four stale r1 reds (fixed in r2,
     # repo-green since) and the committed-fixture-backed queries first
     # (most at risk, want an r4 row so any failure is fixable in r5),
     # then the 26 r3-era never-sampled queries, then round-4 additions
-    # in registry order.  Entries 51-110 are the deliberate r5 slate --
-    # 110 <= 2x50 + 10; the driver samples 50/round so two more
+    # in registry order.  Entries 51-111 are the deliberate r5 slate --
+    # 111 <= 2x50 + 11; the driver samples 50/round so two more
     # rounds cover the slate, so every registry query lands in a driver sample by
     # end of r5.  Regenerate with the never-green computation in
     # PLANS.md section "attestation ordering".
@@ -8311,6 +8364,7 @@ _ATTEST_PRIORITY: list[str] = [
     "dust_canonicalize",
     "sitemap_robots_conflict",
     "priority_aging",
+    "recrawl_value",
 ]
 
 
@@ -9475,6 +9529,92 @@ _ORACLE_B15 = {
                ROUND(LEAST(GREATEST(2.0 * SUM(lat) / COUNT(*), 500.0),
                            8000.0), 2) AS delay_ms
         FROM r WHERE rnk <= 8 GROUP BY host
+    """,
+    # composition oracle assembled from the attested change_rates and
+    # opic CTE blocks; both factors 6dp-rounded before the product
+    "recrawl_value": r"""
+
+    WITH caps AS (SELECT UNNEST(generate_series(0, 5)) AS cap),
+    rec AS (
+      SELECT 'br,leg,' || source || ')/norma/'
+               || CAST(doc_id AS VARCHAR) AS urlkey,
+             1704067200 + (doc_id % 1000) * 97
+               + cap * ((doc_id % 5 + 1) * 86400) AS epoch,
+             md5('br,leg,' || source || ')/norma/'
+               || CAST(doc_id AS VARCHAR) || '#'
+               || CAST(CASE WHEN cap = 0 THEN 0
+                       ELSE len(list_filter(generate_series(1, cap),
+                                j -> (doc_id * 31 + j) % 3 = 0))
+                       END AS VARCHAR)) AS digest
+      FROM documents, caps),
+    h AS (
+      SELECT urlkey, epoch, digest,
+             lag(digest) OVER (
+               PARTITION BY urlkey ORDER BY epoch, digest) AS pd
+      FROM rec),
+    a AS (
+      SELECT urlkey, CAST(COUNT(*) AS BIGINT) AS n_captures,
+             CAST(SUM(CASE WHEN pd IS NOT NULL AND digest <> pd
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+             CAST(MAX(epoch) - MIN(epoch) AS BIGINT) AS span_secs
+      FROM h GROUP BY urlkey),
+    rates AS (
+      SELECT urlkey, n_captures, n_changes, span_secs,
+             ROUND(-ln((n_captures - 1 - n_changes + 0.5)
+                       / (n_captures - 1 + 0.5))
+                   / (span_secs / (n_captures - 1.0) / 86400.0), 6)
+               AS lambda_per_day,
+             ROUND(1 - exp(ln((n_captures - 1 - n_changes + 0.5)
+                              / (n_captures - 1 + 0.5))
+                           / (span_secs / (n_captures - 1.0) / 86400.0)
+                           * 7.0), 6) AS staleness
+      FROM a WHERE n_captures >= 2 AND span_secs > 0),
+        e AS (
+          SELECT 'h' || CAST(doc_id % 23 AS VARCHAR) AS src,
+                 'h' || CAST((doc_id * doc_id + 1) % 29 AS VARCHAR) AS dst
+          FROM documents
+          WHERE doc_id % 23 <> (doc_id * doc_id + 1) % 29),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        od AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS od FROM e
+               GROUP BY src),
+        s0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS cash, 0.0 AS hist
+               FROM nodes),
+        c1 AS (SELECT e.dst, SUM(s0.cash / od.od) AS c
+               FROM e JOIN s0 ON e.src = s0.node
+                      JOIN od ON e.src = od.src
+               GROUP BY e.dst),
+        d1 AS (SELECT COALESCE(SUM(cash), 0.0) AS dtot FROM s0
+               WHERE node NOT IN (SELECT src FROM od)),
+        s1 AS (SELECT node,
+                      COALESCE(c, 0.0)
+                        + (SELECT dtot FROM d1) / (SELECT n FROM nn)
+                        AS cash,
+                      hist + cash AS hist
+               FROM s0 LEFT JOIN c1 ON s0.node = c1.dst),
+        c2 AS (SELECT e.dst, SUM(s1.cash / od.od) AS c
+               FROM e JOIN s1 ON e.src = s1.node
+                      JOIN od ON e.src = od.src
+               GROUP BY e.dst),
+        d2 AS (SELECT COALESCE(SUM(cash), 0.0) AS dtot FROM s1
+               WHERE node NOT IN (SELECT src FROM od)),
+        s2 AS (SELECT node,
+                      COALESCE(c, 0.0)
+                        + (SELECT dtot FROM d2) / (SELECT n FROM nn)
+                        AS cash,
+                      hist + cash AS hist
+               FROM s1 LEFT JOIN c2 ON s1.node = c2.dst),
+        hs AS (SELECT node, ROUND((hist + cash) / 3.0, 6) AS host_score
+               FROM s2),
+        rr AS (SELECT urlkey, staleness,
+                 'h' || CAST(CAST(regexp_extract(urlkey,
+                     '/norma/(\d+)', 1) AS BIGINT) % 23 AS VARCHAR)
+                   AS node
+               FROM rates)
+        SELECT rr.urlkey, rr.staleness, hs.host_score,
+               ROUND(rr.staleness * hs.host_score, 6) AS value
+        FROM rr JOIN hs ON rr.node = hs.node
+        ORDER BY value DESC, rr.urlkey LIMIT 100
     """,
     # aging in closed form; CAST(0.35 AS DOUBLE) forces the same IEEE
     # multiply as the Spark side (decimal arithmetic would round

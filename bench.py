@@ -234,6 +234,7 @@ HEADLINE_EXT = [
     "dust_canonicalize",
     "sitemap_robots_conflict",
     "priority_aging",
+    "recrawl_value",
 ]
 
 
