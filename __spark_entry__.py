@@ -8054,6 +8054,39 @@ def q_dust_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span excision (operators/curation.excise_spans — the CUT half
+    of ExactSubstr dedup / contamination handling): planted spans with
+    an OVERLAPPING pair on odd docs (tokens cut iff any span covers
+    them — interval union implicitly), a beyond-length span that must
+    clamp to nothing, and docs with no spans passing through
+    unchanged.  Output digests the rebuilt text so the oracle's
+    reconstruction must match byte-for-byte."""
+    from legislation_scraper_spark.operators.curation import excise_spans
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    base = d.filter(did % 7 != 0)
+    s1 = base.select(
+        "doc_id", F.lit(1).cast("long").alias("start_tok"),
+        F.lit(4).cast("long").alias("end_tok"),
+    )
+    s2 = base.filter(did % 2 == 1).select(
+        "doc_id", F.lit(3).cast("long").alias("start_tok"),
+        F.lit(7).cast("long").alias("end_tok"),
+    )
+    s3 = base.select(
+        "doc_id", F.lit(500).cast("long").alias("start_tok"),
+        F.lit(505).cast("long").alias("end_tok"),
+    )
+    spans = s1.unionByName(s2).unionByName(s3)
+    out = excise_spans(d, spans)
+    return out.select(
+        F.col("id").alias("doc_id"), "n_tokens", "n_kept",
+        F.md5("text").alias("text_md5"),
+    )
+
+
 def q_recrawl_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Value-per-fetch recrawl ranking — the freshness-maximization
     composition (Cho & Garcia-Molina freshness + OPIC importance):
@@ -8229,6 +8262,7 @@ _Q_B15 = {
     "sitemap_robots_conflict": q_sitemap_conflicts,
     "priority_aging": q_priority_aging,
     "recrawl_value": q_recrawl_value,
+    "span_excision": q_span_excision,
     "dust_rules": q_dust_rules,
     "phrase_search": q_phrase_search,
     "alias_collapse": q_alias_collapse,
@@ -8243,14 +8277,14 @@ _Q.update(_Q_B15)
 _ATTEST_PRIORITY: list[str] = [
     # Every query with NO driver-green CORRECTNESS row across r1-r3
     # (87 of 178, plus the late-r4 merge/time-travel and batch-14/15
-    # queries appended at the tail => 111 of 204), ordered so the
+    # queries appended at the tail => 112 of 205), ordered so the
     # driver's 50-query sample closes the
     # attestation gap fastest: the four stale r1 reds (fixed in r2,
     # repo-green since) and the committed-fixture-backed queries first
     # (most at risk, want an r4 row so any failure is fixable in r5),
     # then the 26 r3-era never-sampled queries, then round-4 additions
-    # in registry order.  Entries 51-111 are the deliberate r5 slate --
-    # 111 <= 2x50 + 11; the driver samples 50/round so two more
+    # in registry order.  Entries 51-112 are the deliberate r5 slate --
+    # 112 <= 2x50 + 12; the driver samples 50/round so two more
     # rounds cover the slate, so every registry query lands in a driver sample by
     # end of r5.  Regenerate with the never-green computation in
     # PLANS.md section "attestation ordering".
@@ -8365,6 +8399,7 @@ _ATTEST_PRIORITY: list[str] = [
     "sitemap_robots_conflict",
     "priority_aging",
     "recrawl_value",
+    "span_excision",
 ]
 
 
@@ -9529,6 +9564,31 @@ _ORACLE_B15 = {
                ROUND(LEAST(GREATEST(2.0 * SUM(lat) / COUNT(*), 500.0),
                            8000.0), 2) AS delay_ms
         FROM r WHERE rnk <= 8 GROUP BY host
+    """,
+    # kept tokens = positions not covered by any planted span
+    # (implicit interval union); reconstruction digested
+    "span_excision": r"""
+        WITH w AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\s+'),
+                             x -> x <> '') AS ws
+          FROM documents),
+        k AS (
+          SELECT doc_id, ws,
+                 list_filter(range(1, len(ws) + 1),
+                   i -> NOT (doc_id % 7 <> 0 AND (
+                          ((i - 1) >= 1 AND (i - 1) < 4)
+                          OR (doc_id % 2 = 1
+                              AND (i - 1) >= 3 AND (i - 1) < 7)
+                          OR ((i - 1) >= 500 AND (i - 1) < 505))))
+                   AS kept
+          FROM w)
+        SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+               CAST(len(kept) AS BIGINT) AS n_kept,
+               md5(COALESCE(array_to_string(
+                 list_transform(kept, i -> ws[i]), ' '), ''))
+                 AS text_md5
+        FROM k
     """,
     # composition oracle assembled from the attested change_rates and
     # opic CTE blocks; both factors 6dp-rounded before the product

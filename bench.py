@@ -235,6 +235,7 @@ HEADLINE_EXT = [
     "sitemap_robots_conflict",
     "priority_aging",
     "recrawl_value",
+    "span_excision",
 ]
 
 

@@ -1604,3 +1604,76 @@ def quantile_gate(
         .filter(F.col("pr") <= keep_frac)
         .drop("pr")
     )
+
+
+def excise_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cut token spans out of documents — the REMOVAL half of
+    ExactSubstr dedup (Lee et al. 2022 cut duplicated spans, not whole
+    docs) and of contamination handling (excise the benchmark overlap,
+    keep the document).  `dup_span_coverage` and
+    `contamination_screen` produce the evidence; this operator applies
+    it.
+
+    ``spans``: ``(id, start_tok, end_tok)`` rows, 0-based token
+    half-open intervals — unsorted and OVERLAPPING spans are fine (a
+    token is cut iff ANY span covers it, which is exactly interval
+    union without computing one).  Docs with no spans pass through
+    unchanged.
+
+    Plan: one spans groupBy (collect_list — spans per doc are a
+    handful of merged dup regions, bounded), one left join to docs,
+    then a pure in-row token filter (`F.exists` over the span array
+    per position — no explode, no window).  Output ``(id, n_tokens,
+    n_kept, text)`` with ``text`` rebuilt from the kept tokens.
+    """
+    sp = (
+        spans.groupBy(F.col(id_col).alias("_id"))
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("start_tok").alias("s"),
+                    F.col("end_tok").alias("e"),
+                )
+            ).alias("_spans")
+        )
+    )
+    d = docs.select(
+        F.col(id_col).alias("id"), words(F.col(text_col)).alias("ws")
+    )
+    empty = F.array().cast("array<struct<s:bigint,e:bigint>>")
+    joined = d.join(sp, d["id"] == sp["_id"], "left").select(
+        "id",
+        "ws",
+        F.coalesce(
+            F.col("_spans").cast("array<struct<s:bigint,e:bigint>>"),
+            empty,
+        ).alias("spans"),
+    )
+    # empty-doc guard: sequence(0, -1) would DESCEND ([0, -1]) and the
+    # element_at below would hit index 0 (ANSI hard error)
+    idx = F.when(
+        F.size("ws") > 0, F.sequence(F.lit(0), F.size("ws") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    kept_idx = F.filter(
+        idx,
+        lambda i: ~F.exists(
+            F.col("spans"),
+            lambda sp_: (i >= sp_["s"]) & (i < sp_["e"]),
+        ),
+    )
+    return joined.select(
+        "id",
+        F.size("ws").cast("bigint").alias("n_tokens"),
+        F.size(kept_idx).cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                kept_idx, lambda i: F.element_at(F.col("ws"), i + 1)
+            ),
+            " ",
+        ).alias("text"),
+    )

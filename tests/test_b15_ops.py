@@ -713,3 +713,41 @@ def test_priority_aging_overtakes_and_clamps(spark):
     assert got["future"] == 1.0                      # no negative wait
     order = sorted(got, key=lambda u: got[u])
     assert order[0] == "old"
+
+
+# --- excise_spans -----------------------------------------------------
+
+
+def test_excise_spans_overlap_clamp_passthrough(spark):
+    from legislation_scraper_spark.operators.curation import excise_spans
+
+    docs = spark.createDataFrame(
+        [(1, "t0 t1 t2 t3 t4 t5 t6 t7"), (2, "a b c"), (3, "")],
+        "doc_id long, text string",
+    )
+    spans = spark.createDataFrame(
+        [
+            (1, 1, 4),     # cut t1..t3
+            (1, 3, 6),     # overlaps: cut extends to t5
+            (1, 50, 55),   # beyond length: clamps to nothing
+        ],
+        "doc_id long, start_tok long, end_tok long",
+    )
+    got = {r["id"]: r for r in excise_spans(docs, spans).collect()}
+    assert got[1]["text"] == "t0 t6 t7"
+    assert got[1]["n_tokens"] == 8 and got[1]["n_kept"] == 3
+    # doc with no spans passes through byte-identical
+    assert got[2]["text"] == "a b c" and got[2]["n_kept"] == 3
+    # empty doc survives the sequence guard
+    assert got[3]["n_tokens"] == 0 and got[3]["text"] == ""
+
+
+def test_excise_spans_full_cut(spark):
+    from legislation_scraper_spark.operators.curation import excise_spans
+
+    docs = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
+    spans = spark.createDataFrame(
+        [(1, 0, 2)], "doc_id long, start_tok long, end_tok long"
+    )
+    r = excise_spans(docs, spans).collect()[0]
+    assert r["n_kept"] == 0 and r["text"] == ""
