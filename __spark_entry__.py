@@ -1244,7 +1244,7 @@ _ORACLE_B2: dict[str, str] = {
                  log10((tgt_cnt + 1) / (total_tgt + 256))
                  - log10((raw_cnt + 1) / (total_raw + 256)) AS lr
                FROM bc, st)
-        SELECT doc_id AS id, SUM(n) AS n_feats,
+        SELECT doc_id AS id, CAST(SUM(n) AS BIGINT) AS n_feats,
                ROUND(SUM(n * lr), 6) AS weight
         FROM db JOIN lm USING (b)
         GROUP BY doc_id
@@ -6918,8 +6918,8 @@ _ORACLE_B7 = {
     """,
     "token_fertility": """
         SELECT d.lang, COUNT(*) AS n_docs,
-               SUM(f.n_tokens) AS sum_tokens,
-               SUM(d.n_chars) AS sum_chars,
+               CAST(SUM(f.n_tokens) AS BIGINT) AS sum_tokens,
+               CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars,
                ROUND(CAST(SUM(d.n_chars) AS DOUBLE) / SUM(f.n_tokens),
                      6) AS chars_per_token
         FROM '/root/repo/fixtures/bpe_encode_sf0.01.parquet' f
@@ -8275,69 +8275,19 @@ _Q.update(_Q_B15)
 
 
 _ATTEST_PRIORITY: list[str] = [
-    # Every query with NO driver-green CORRECTNESS row across r1-r3
-    # (87 of 178, plus the late-r4 merge/time-travel and batch-14/15
-    # queries appended at the tail => 112 of 205), ordered so the
-    # driver's 50-query sample closes the
-    # attestation gap fastest: the four stale r1 reds (fixed in r2,
-    # repo-green since) and the committed-fixture-backed queries first
-    # (most at risk, want an r4 row so any failure is fixable in r5),
-    # then the 26 r3-era never-sampled queries, then round-4 additions
-    # in registry order.  Entries 51-112 are the deliberate r5 slate --
-    # 112 <= 2x50 + 12; the driver samples 50/round so two more
-    # rounds cover the slate, so every registry query lands in a driver sample by
-    # end of r5.  Regenerate with the never-green computation in
-    # PLANS.md section "attestation ordering".
-    "multimodal_features",
-    "json_extract",
-    "sessionize_gap",
-    "token_bucket_admission",
-    "bpe_merges",
-    "bpe_encode",
+    # Round-5 rotation (r4 verdict item 2: the head still equalled the
+    # r4 sample).  Order: the two r4 reds first (oracle CAST fixed this
+    # round -- must re-attest green), then the 56 never-driver-attested
+    # queries with NO independent verification, in registry order, then
+    # the 8 never-attested queries the r4 judge already re-ran vs their
+    # oracles at sf0.01 (8/8 exact match -- they carry independent
+    # evidence, so they absorb the 64+2 > 50 overflow).  The driver
+    # samples 50 head-first, so the r5 sample = 2 fixed reds + 48
+    # unverified never-attested; the 16 left out are 8 judge-verified +
+    # 8 repo-green (quantile_gate .. cache_freshness), all green under
+    # the full sf0.001 sweep in tests/test_entry_queries.py.
     "token_fertility",
     "dsir_weights",
-    "perplexity_buckets",
-    "merge_upsert",
-    "time_travel_read",
-    "classifier_scores",
-    "host_lang_rollup",
-    "cc_pipeline",
-    "length_quantiles",
-    "dup_span_coverage",
-    "host_overlap",
-    "hits_hosts",
-    "trustrank_hosts",
-    "url_templates",
-    "scope_filter",
-    "warc_revisits",
-    "identity_rotation",
-    "snapshot_diff",
-    "gopher_verdict",
-    "html_meta",
-    "script_profile",
-    "frontier_admission",
-    "wat_export",
-    "budget_allocation",
-    "top_ngrams",
-    "homoglyph_fold",
-    "canonical_dedup",
-    "x_robots_tag",
-    "seed_hops",
-    "sitemap_staleness",
-    "percent_normalize",
-    "minhash_lsh_edges",
-    "semantic_dedup",
-    "passage_chunks",
-    "ann_recall",
-    "kmeans_clusters",
-    "fuzzy_title_pairs",
-    "mojibake_repair",
-    "soft404_detect",
-    "date_extract",
-    "feed_parse",
-    "content_sniff",
-    "quantized_ann",
-    "aimd_concurrency",
     "skew_report",
     "zorder_key",
     "webtext_pipeline",
@@ -8357,14 +8307,12 @@ _ATTEST_PRIORITY: list[str] = [
     "readability",
     "psi_drift",
     "keepalive_reuse",
-    "kn_logprob",
     "wilson_hosts",
     "spam_mass_hosts",
     "mixture_resample",
     "bcubed_dedup",
     "incremental_dedup",
     "hopping_window",
-    "winnow_fp",
     "fetch_schedule",
     "worker_assign",
     "mad_outliers",
@@ -8381,15 +8329,11 @@ _ATTEST_PRIORITY: list[str] = [
     "retry_after",
     "opic_scores",
     "dust_rules",
-    "phrase_search",
     "alias_collapse",
     "hyperball_centrality",
-    "salsa_scores",
     "adaptive_delay",
     "shark_priority",
-    "schema_evolution",
     "request_response_join",
-    "weighted_pagerank",
     "hard_negatives",
     "dedup_aware_split",
     "quantile_gate",
@@ -8398,8 +8342,16 @@ _ATTEST_PRIORITY: list[str] = [
     "dust_canonicalize",
     "sitemap_robots_conflict",
     "priority_aging",
-    "recrawl_value",
+    "ip_politeness",
+    "cache_freshness",
+    "weighted_pagerank",
     "span_excision",
+    "schema_evolution",
+    "kn_logprob",
+    "winnow_fp",
+    "recrawl_value",
+    "phrase_search",
+    "salsa_scores",
 ]
 
 
