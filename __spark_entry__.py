@@ -7358,14 +7358,20 @@ def _merge_demo_table(spark: SparkSession, sf_dir: str):
     The table lives in a throwaway directory (under /dev/shm when
     available — the sandbox virtio disk stalls under concurrent
     writers) and is rebuilt per call, so the driver, bench, and tests
-    all see deterministic content at any sf.  The directory is left in
-    place: the returned DataFrames are lazy and the caller (driver)
-    collects after this function returns."""
+    all see deterministic content at any sf.  The directory outlives
+    this call (the returned DataFrames are lazy; the driver collects
+    after it returns) but is reclaimed at interpreter exit — without
+    that, every driver/bench/test invocation would leak a documents
+    slice into RAM-backed tmpfs across a multi-query attestation run.
+    """
+    import atexit
+    import shutil
     import tempfile
     from legislation_scraper_spark.tables import Catalog
 
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
     root = tempfile.mkdtemp(prefix="lss_merge_demo_", dir=shm)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
     t = Catalog(spark, root).table("state")
     d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     target = d.filter(F.col("doc_id") % 4 != 3)
@@ -7810,13 +7816,19 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     append new-schema rows, then a row-level DELETE whose predicate
     uses the ADDED column — exercising the per-vintage op replay in
     both the read path and the COW delete's probe/survivor scans.
-    Oracle = the closed relational form of the final state."""
+    Oracle = the closed relational form of the final state.
+
+    Like _merge_demo_table, the tmpdir is registered for exit-time
+    removal (collects happen before interpreter shutdown)."""
+    import atexit
+    import shutil
     import tempfile
 
     from legislation_scraper_spark.tables import Catalog
 
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
     root = tempfile.mkdtemp(prefix="lss_evolve_demo_", dir=shm)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
     t = Catalog(spark, root).table("docs")
     d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     t.append(d.filter(F.col("doc_id") % 2 == 0))

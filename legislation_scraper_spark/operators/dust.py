@@ -24,7 +24,9 @@ whole path/query tokens so support aggregates cleanly):
   ``index.html``, a ``sessionid`` path segment).
 
 Rules are undirected (the pair proves equivalence, not direction), so
-each is normalized to ``(least, greatest)`` before support counting.
+each is normalized to ``(greatest, least)`` as ``(rule_from,
+rule_to)`` before support counting — greatest first, so deletion
+rules keep the shape ``(token, '')``.
 
 Scale shape — the dedup-family discipline (`operators/dedup.py`):
 group by content digest, capped ``collect_set`` of member URLs,

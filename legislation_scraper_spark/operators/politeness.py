@@ -535,6 +535,7 @@ def adaptive_fetch_delay(
     ts_col: str = "fetched_at",
     latency_col: str = "latency_ms",
     ndigits: int = 2,
+    id_col: str | None = None,
 ) -> DataFrame:
     """Latency-proportional per-host crawl delay — the classic polite
     heuristic (Heritrix's ``delayFactor``, Nutch's
@@ -556,19 +557,29 @@ def adaptive_fetch_delay(
 
     Returns one row per host: ``(host, n_recent, mean_latency_ms,
     delay_ms)``.
+
+    Tie-break: the recency order is ``(_ts desc, _lat desc)`` — rows
+    tying on BOTH are identical in every column the aggregate reads,
+    so whichever the rank cuts, the selected multiset (and therefore
+    the output) is value-deterministic.  Callers whose log carries a
+    unique fetch id can still pass ``id_col`` to pin row identity too
+    (the repo's usual unique-id tie-break convention).
     """
-    w = Window.partitionBy("host").orderBy(
-        F.col("_ts").desc(), F.col("_lat").desc()
-    )
+    order_cols = [F.col("_ts").desc(), F.col("_lat").desc()]
+    sel = [
+        F.col(host_col).alias("host"),
+        F.col(ts_col).alias("_ts"),
+        F.coalesce(
+            F.col(latency_col).cast("double"),
+            F.lit(float(max_delay_ms)),
+        ).alias("_lat"),
+    ]
+    if id_col is not None:
+        sel.append(F.col(id_col).alias("_id"))
+        order_cols.append(F.col("_id").desc())
+    w = Window.partitionBy("host").orderBy(*order_cols)
     recent = (
-        fetch_log.select(
-            F.col(host_col).alias("host"),
-            F.col(ts_col).alias("_ts"),
-            F.coalesce(
-                F.col(latency_col).cast("double"),
-                F.lit(float(max_delay_ms)),
-            ).alias("_lat"),
-        )
+        fetch_log.select(*sel)
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= window)
     )

@@ -21,7 +21,10 @@ deterministically at watermark passage (Spark's documented outer-join
 semantics).
 
 The batch twin runs the IDENTICAL join expression on static frames —
-tested equal, and the oracle replays it in SQL.
+tested equal, and the oracle replays it in SQL.  (Only the duplicate-
+response guard differs by mode: batch keeps the earliest in-window
+response via a post-join min-struct agg; streaming drops duplicates
+pre-join inside the watermark — see ``stream_match_responses``.)
 """
 
 from __future__ import annotations
@@ -35,6 +38,7 @@ def match_responses(
     responses: DataFrame,
     horizon: str = "120 seconds",
     key: str = "req_id",
+    dedupe: bool = True,
 ) -> DataFrame:
     """Left-outer interval join of requests to their responses.
 
@@ -45,8 +49,21 @@ def match_responses(
     latency_ms, timed_out)`` with NULL status / NULL latency and
     ``timed_out = true`` when no response arrived in the horizon.
 
-    Works identically on static and streaming inputs; for streaming,
-    apply watermarks first (see ``stream_match_responses``).
+    ``dedupe`` (default on) keeps the EARLIEST in-window response when
+    a req_id has several (fetcher retry, duplicate delivery) — without
+    it the join emits one row per matching response, double-counting
+    latency samples downstream in ``adaptive_fetch_delay``.  Tie-break
+    on identical ``resp_ts`` is the smallest ``status`` (min over a
+    ``(resp_ts, status)`` struct — deterministic across partitionings).
+    The group-agg is one hash aggregate on the join output, partial
+    map-side — no extra shuffle beyond the join's own exchange on the
+    key.
+
+    Works identically on static and streaming inputs, EXCEPT the
+    dedupe aggregate: streaming callers use ``stream_match_responses``,
+    which pre-dedupes the response stream inside the watermark instead
+    (one stateful operator, bounded state) and calls this with
+    ``dedupe=False``.
     """
     resp = responses.select(
         F.col(key).alias("_rk"),
@@ -59,6 +76,18 @@ def match_responses(
         & (F.col("_rts") <= F.col("req_ts") + F.expr(f"INTERVAL {horizon}"))
     )
     joined = requests.join(resp, cond, "left_outer")
+    if dedupe:
+        joined = (
+            joined.groupBy(key, "url", "req_ts")
+            .agg(F.min(F.struct("_rts", "_status")).alias("_best"))
+            .select(
+                key,
+                "url",
+                "req_ts",
+                F.col("_best._rts").alias("_rts"),
+                F.col("_best._status").alias("_status"),
+            )
+        )
     return joined.select(
         key,
         "url",
@@ -83,10 +112,24 @@ def stream_match_responses(
     interval condition give Spark a provable state-eviction bound (a
     request older than ``watermark + horizon`` can never match a
     future response and is dropped from the state store; unmatched
-    requests then emit their NULL row — the timeout signal)."""
+    requests then emit their NULL row — the timeout signal).
+
+    Duplicate responses (fetcher retry / duplicate delivery) are
+    dropped BEFORE the join with ``dropDuplicatesWithinWatermark`` on
+    the key — at-most-one output row per request, bounded dedup state.
+    Streaming keeps the FIRST-ARRIVED response (arrival order), not
+    necessarily the earliest event-time one the batch path picks; the
+    two agree whenever duplicates arrive in event-time order, and
+    either way downstream latency sampling sees one sample per fetch.
+    (A post-join group-agg would match batch exactly but chains a
+    second stateful operator after the stream-stream join — the
+    pre-join dedup is the cheaper, provably-bounded shape.)
+    """
     return match_responses(
         requests.withWatermark("req_ts", watermark),
-        responses.withWatermark("resp_ts", watermark),
+        responses.withWatermark("resp_ts", watermark)
+        .dropDuplicatesWithinWatermark([key]),
         horizon=horizon,
         key=key,
+        dedupe=False,
     )

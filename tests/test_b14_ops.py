@@ -89,6 +89,9 @@ def test_retry_after_both_wire_forms(spark):
             ("Wed, 21 Oct 2015 07:28:00 GMT",),
             ("not a date",),
             (None,),
+            # hostile: 20 digits matches a naive ^[0-9]+$ but overflows
+            # a long cast, which throws under ANSI mode -- must be NULL
+            ("99999999999999999999",),
         ],
         "v string",
     )
@@ -104,6 +107,7 @@ def test_retry_after_both_wire_forms(spark):
     assert got[2] == 1445412480  # epoch of 2015-10-21T07:28:00Z
     assert got[3] is None
     assert got[4] is None
+    assert got[5] is None
 
 
 def test_retry_after_format_parse_roundtrip(spark):

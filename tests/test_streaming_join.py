@@ -41,6 +41,26 @@ def test_batch_match_and_timeouts(spark):
     assert len(got) == 4
 
 
+def test_batch_dedupes_duplicate_responses(spark):
+    req = spark.createDataFrame(
+        [(1, "u1", _ts(0)), (2, "u2", _ts(10))],
+        "req_id long, url string, req_ts timestamp",
+    )
+    resp = spark.createDataFrame(
+        [(1, _ts(5), 200),     # earliest in-window -> kept
+         (1, _ts(8), 503),     # retry duplicate -> dropped
+         (1, _ts(200), 200),   # out of horizon anyway
+         (2, _ts(12), 200),
+         (2, _ts(12), 301)],   # same ts: tie-break min status -> 200
+        "req_id long, resp_ts timestamp, status int",
+    )
+    out = match_responses(req, resp, horizon="60 seconds").collect()
+    assert len(out) == 2  # one row per request despite duplicates
+    got = {r["req_id"]: r for r in out}
+    assert got[1]["latency_ms"] == 5000 and got[1]["status"] == 200
+    assert got[2]["status"] == 200 and got[2]["latency_ms"] == 2000
+
+
 def test_stream_equals_batch(spark, tmp_path):
     rows_req = [(i, f"u{i}", _ts(i * 10)) for i in range(6)]
     rows_resp = [
