@@ -8286,6 +8286,36 @@ _Q_B15 = {
 _Q.update(_Q_B15)
 
 
+def q_exactsubstr_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr cut-not-drop pipeline (Lee et al. 2022) composed
+    end-to-end from two attested operators: operators/curation.
+    dup_spans finds every cross-document duplicated 8-gram occurrence
+    (keep-first: the min-id holder retains its copy) and excise_spans
+    cuts exactly those token intervals, rebuilding the text.  Output
+    digests the rebuilt text so the oracle's independent
+    gram-detection + excision must agree byte-for-byte per document.
+    The r4 verdict's item 6 evidence surface; the rehearsal runs the
+    same composition at 8M docs (scripts/rehearsal.py)."""
+    from legislation_scraper_spark.operators.curation import (
+        dup_spans,
+        excise_spans,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    spans = dup_spans(d, gram_words=8)
+    out = excise_spans(d, spans)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_tokens",
+        "n_kept",
+        F.md5("text").alias("text_md5"),
+    )
+
+
+_Q_B16 = {"exactsubstr_excise": q_exactsubstr_excise}
+_Q.update(_Q_B16)
+
+
 _ATTEST_PRIORITY: list[str] = [
     # Round-5 rotation (r4 verdict item 2: the head still equalled the
     # r4 sample).  Order: the two r4 reds first (oracle CAST fixed this
@@ -9946,6 +9976,52 @@ _ORACLE_B15 = {
     """,
 }
 _ORACLE.update(_ORACLE_B15)
+
+# independent DuckDB reconstruction of the ExactSubstr cut: grams by
+# TEXT equality (same classes as the engine's xxhash64-over-token-hash
+# tuples, collisions aside), keep-first via min(doc_id), excision via
+# NOT EXISTS over the span set, text rebuilt token-by-token
+_ORACLE_B16 = {
+    "exactsubstr_excise": f"""
+        WITH tok AS (SELECT doc_id, {_DUCK_WORDS} AS ws FROM documents),
+        g AS (
+          SELECT t.doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                 array_to_string(list_slice(t.ws, i, i + 7), ' ') AS gram
+          FROM tok t,
+               LATERAL (SELECT UNNEST(generate_series(1, len(t.ws) - 7))
+                        AS i) s
+          WHERE len(t.ws) >= 8
+        ),
+        dup AS (
+          SELECT gram, MIN(doc_id) AS lo FROM g GROUP BY gram
+          HAVING MIN(doc_id) <> MAX(doc_id)
+        ),
+        spans AS (
+          SELECT g.doc_id, g.pos AS s, g.pos + 8 AS e
+          FROM g JOIN dup USING (gram) WHERE g.doc_id <> dup.lo
+        ),
+        tokens AS (
+          SELECT t.doc_id, CAST(i - 1 AS BIGINT) AS idx, t.ws[i] AS w
+          FROM tok t,
+               LATERAL (SELECT UNNEST(generate_series(1, len(t.ws)))
+                        AS i) s
+        ),
+        kept AS (
+          SELECT tk.* FROM tokens tk
+          WHERE NOT EXISTS (SELECT 1 FROM spans sp
+                            WHERE sp.doc_id = tk.doc_id
+                              AND tk.idx >= sp.s AND tk.idx < sp.e)
+        )
+        SELECT t.doc_id,
+               CAST(len(ANY_VALUE(t.ws)) AS BIGINT) AS n_tokens,
+               CAST(COUNT(k.idx) AS BIGINT) AS n_kept,
+               md5(COALESCE(string_agg(k.w, ' ' ORDER BY k.idx), ''))
+                 AS text_md5
+        FROM tok t LEFT JOIN kept k USING (doc_id)
+        GROUP BY t.doc_id
+    """,
+}
+_ORACLE.update(_ORACLE_B16)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -546,6 +546,65 @@ def unigram_logprob_scores(
     )
 
 
+def _dup_gram_occurrences(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    checkpoint: bool,
+) -> DataFrame:
+    """Shared stage of `dup_span_coverage` / `dup_spans`: one row per
+    rolling k-gram occurrence — ``(id, n_tokens, pos, h)`` with ``h``
+    the xxhash64 over the gram's k token hashes.  See
+    `dup_span_coverage` for the hashing/CSE rationale."""
+
+    def _grams(th):
+        # gram hash = xxhash64 over the k token hashes (integer tuple,
+        # not a re-joined string): each token is hashed ONCE per doc
+        # and each gram hashes k fixed-width bigints — same equality
+        # classes as hashing the joined text, ~4x less work
+        n = F.size(th)
+        return F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(0), n - k),
+                lambda i: F.struct(
+                    i.cast("int").alias("pos"),
+                    F.xxhash64(
+                        *[F.element_at(th, i + j) for j in range(1, k + 1)]
+                    ).alias("h"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<pos:int,h:bigint>>"))
+
+    # let-bind tokens AND their hash array: Spark does no CSE inside
+    # lambda bodies, so unbound they would re-evaluate per gram
+    packed = let(
+        words(F.col(text_col)),
+        lambda ws: F.struct(
+            F.size(ws).alias("n"),
+            let(
+                F.transform(ws, lambda t: F.xxhash64(t)), _grams
+            ).alias("grams"),
+        ),
+    )
+    base = df.select(F.col(id_col).alias("id"), packed.alias("p"))
+    if checkpoint:
+        base = base.localCheckpoint(eager=False)
+    return (
+        base
+        .select(
+            "id",
+            F.col("p.n").alias("n_tokens"),
+            F.explode("p.grams").alias("gr"),
+        )
+        .select(
+            "id", "n_tokens",
+            F.col("gr.pos").alias("pos"), F.col("gr.h").alias("h"),
+        )
+    )
+
+
 def dup_span_coverage(
     df: DataFrame,
     text_col: str = "text",
@@ -591,52 +650,7 @@ def dup_span_coverage(
     standard cache-vs-recompute tradeoff this flag exposes.
     """
     k = gram_words
-
-    def _grams(th):
-        # gram hash = xxhash64 over the k token hashes (integer tuple,
-        # not a re-joined string): each token is hashed ONCE per doc
-        # and each gram hashes k fixed-width bigints — same equality
-        # classes as hashing the joined text, ~4x less work
-        n = F.size(th)
-        return F.when(
-            n >= k,
-            F.transform(
-                F.sequence(F.lit(0), n - k),
-                lambda i: F.struct(
-                    i.cast("int").alias("pos"),
-                    F.xxhash64(
-                        *[F.element_at(th, i + j) for j in range(1, k + 1)]
-                    ).alias("h"),
-                ),
-            ),
-        ).otherwise(F.array().cast("array<struct<pos:int,h:bigint>>"))
-
-    # let-bind tokens AND their hash array: Spark does no CSE inside
-    # lambda bodies, so unbound they would re-evaluate per gram
-    packed = let(
-        words(F.col(text_col)),
-        lambda ws: F.struct(
-            F.size(ws).alias("n"),
-            let(
-                F.transform(ws, lambda t: F.xxhash64(t)), _grams
-            ).alias("grams"),
-        ),
-    )
-    base = df.select(F.col(id_col).alias("id"), packed.alias("p"))
-    if checkpoint:
-        base = base.localCheckpoint(eager=False)
-    g = (
-        base
-        .select(
-            "id",
-            F.col("p.n").alias("n_tokens"),
-            F.explode("p.grams").alias("gr"),
-        )
-        .select(
-            "id", "n_tokens",
-            F.col("gr.pos").alias("pos"), F.col("gr.h").alias("h"),
-        )
-    )
+    g = _dup_gram_occurrences(df, text_col, id_col, k, checkpoint)
     dup = (
         g.groupBy("h")
         .agg(F.min("id").alias("lo"), F.max("id").alias("hi"))
@@ -671,6 +685,51 @@ def dup_span_coverage(
             "dup_frac",
             F.round(F.col("covered_tokens") / F.col("n_tokens"), 6),
         )
+    )
+
+
+def dup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_words: int = 8,
+    keep_first: bool = True,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Cross-document duplicated-gram SPANS — the interval-evidence
+    twin of `dup_span_coverage`, shaped for `excise_spans`: one row
+    per duplicated k-gram occurrence, ``(doc_id, start_tok,
+    end_tok)`` with ``end_tok = start_tok + gram_words`` (0-based
+    half-open).
+
+    ``keep_first`` (default, the Lee et al. 2022 ExactSubstr
+    discipline: CUT duplicates, keep one copy) suppresses spans in
+    each gram's canonical holder — the min-id document — so excision
+    removes every copy but one instead of erasing the content from
+    the corpus entirely.
+
+    Scale shape: identical to `dup_span_coverage` steps 1–2 (gram
+    agg + hash-keyed occurrence join, AQE-safe under boilerplate
+    skew) with NO per-doc collect at all — the raw occurrence rows
+    ARE the output, and `excise_spans`' own per-doc collect_list is
+    bounded by document length.  Overlapping spans need no merging:
+    excision cuts a token iff ANY span covers it.
+    """
+    k = gram_words
+    g = _dup_gram_occurrences(df, text_col, id_col, k, checkpoint)
+    dup = (
+        g.groupBy("h")
+        .agg(F.min("id").alias("lo"), F.max("id").alias("hi"))
+        .filter(F.col("lo") != F.col("hi"))
+        .select("h", "lo")
+    )
+    j = g.join(dup, "h")
+    if keep_first:
+        j = j.filter(F.col("id") != F.col("lo"))
+    return j.select(
+        F.col("id").alias(id_col),
+        F.col("pos").cast("long").alias("start_tok"),
+        (F.col("pos") + k).cast("long").alias("end_tok"),
     )
 
 

@@ -90,6 +90,8 @@ def rehearse(spark, docs: int) -> dict:
     from legislation_scraper_spark.operators import dedup
     from legislation_scraper_spark.operators.curation import (
         chunk_dedup,
+        dup_spans,
+        excise_spans,
         gopher_quality_verdict,
     )
     from legislation_scraper_spark.plans.crawl import CrawlConfig, CrawlEngine
@@ -156,6 +158,41 @@ def rehearse(spark, docs: int) -> dict:
         stage("curate_gopher", gopher_quality_verdict(pages))
         stage("dedup_chunks", chunk_dedup(pages))
 
+        # ExactSubstr cut-not-drop (r4 verdict item 6, Lee et al. 2022):
+        # cross-doc duplicated-8-gram spans -> excise (keep one
+        # canonical copy) -> re-run Gopher over the REBUILT text, all
+        # in ONE composed plan + one aggregation — before/after token
+        # counts and keep-rates fall out of the same job, so the stage
+        # costs spans+excise+gopher once and holds no second corpus
+        # copy.  Oracle twin: __spark_entry__ `exactsubstr_excise`.
+        t0 = time.perf_counter()
+        excised = excise_spans(pages, dup_spans(pages), id_col="doc_id")
+        g_after = gopher_quality_verdict(
+            excised.withColumnRenamed("id", "doc_id")
+        )
+        row = g_after.agg(
+            F.count("*").alias("docs"),
+            F.sum("n_tokens").alias("tokens_before"),
+            F.sum("n_kept").alias("tokens_after"),
+            F.sum(F.col("keep").cast("long")).alias("keep_after"),
+        ).collect()[0]
+        keep_before = (
+            gopher_quality_verdict(pages).filter("keep").count()
+        )
+        dt = time.perf_counter() - t0
+        out["exactsubstr_excise"] = {
+            "seconds": round(dt, 1),
+            "rows_per_sec": round(n_pages / dt, 1),
+            "tokens_before": int(row["tokens_before"] or 0),
+            "tokens_after": int(row["tokens_after"] or 0),
+            "cut_frac": round(
+                1 - (row["tokens_after"] or 0)
+                / max(1, row["tokens_before"] or 0), 6,
+            ),
+            "gopher_keep_before": keep_before,
+            "gopher_keep_after": int(row["keep_after"] or 0),
+        }
+
         # star edges, NOT the all-pairs expansion: the first 8M run
         # measured 331.6M pairs from 8.0M pages (54x the 1M world's
         # 6.1M — template-family pair counts grow quadratically) and
@@ -187,6 +224,55 @@ def rehearse(spark, docs: int) -> dict:
             "rows_per_sec": round(n_pages / dt, 1),
         }
         pages.unpersist()
+
+        # Revalidation at rehearsal scale (r4 verdict item 7): a second
+        # crawl with track_url_state (the merge_upsert-maintained
+        # validator table), then mutate 1% of the live world and run a
+        # conditional-recrawl round over the stalest 2% — the 304 tier
+        # must skip fetch/parse (reval seconds << crawl seconds) and
+        # the url_state upsert stays bucket-pruned at every size.
+        import dataclasses
+
+        store2 = tempfile.mkdtemp(
+            prefix=f"rehearsal_rv_{docs}_", dir="/dev/shm"
+        )
+        try:
+            cfg2 = dataclasses.replace(cfg, track_url_state=True)
+            eng2 = CrawlEngine(
+                spark, Catalog(spark, store2), pages_raw, seeds,
+                robots, cfg2,
+            )
+            eng2.bootstrap()
+            t0 = time.perf_counter()
+            m2 = eng2.round(0)
+            t_crawl = time.perf_counter() - t0
+            mutated = pages_raw.withColumn(
+                "html",
+                F.when(
+                    F.xxhash64("url") % 100 == 0,
+                    F.concat(F.col("html"), F.lit(b"<!--rev-->")),
+                ).otherwise(F.col("html")),
+            )
+            eng2.pages_raw = mutated
+            budget = max(1000, m2["selected"] // 50)
+            t0 = time.perf_counter()
+            mrv = eng2.revalidation_round(1, budget)
+            t_rv = time.perf_counter() - t0
+            out["revalidation"] = {
+                "crawl_state_seconds": round(t_crawl, 1),
+                "crawl_state_urls_per_sec": round(
+                    m2["selected"] / t_crawl, 1),
+                "budget": budget,
+                "seconds": round(t_rv, 1),
+                "urls_per_sec": round(
+                    mrv.get("revalidated", 0) / t_rv, 1),
+                "revalidated": mrv.get("revalidated", 0),
+                "not_modified": mrv.get("not_modified", 0),
+                "refetched": mrv.get("refetched", 0),
+                "saved_bytes": mrv.get("saved_bytes", 0),
+            }
+        finally:
+            shutil.rmtree(store2, ignore_errors=True)
     finally:
         shutil.rmtree(store, ignore_errors=True)
     return out

@@ -751,3 +751,37 @@ def test_excise_spans_full_cut(spark):
     )
     r = excise_spans(docs, spans).collect()[0]
     assert r["n_kept"] == 0 and r["text"] == ""
+
+
+def test_dup_spans_keep_first_and_excise_composition(spark):
+    """dup_spans finds cross-doc duplicated k-grams as excisable
+    intervals; keep_first suppresses the canonical (min-id) holder so
+    one copy survives excision — the Lee et al. cut-not-drop shape."""
+    from legislation_scraper_spark.operators.curation import (
+        dup_spans,
+        excise_spans,
+    )
+
+    shared = "s1 s2 s3 s4"  # 4-gram duplicated across docs 1 and 3
+    docs = spark.createDataFrame(
+        [
+            (1, f"a b {shared} c d"),
+            (2, "unrelated words only here"),
+            (3, f"x {shared} y z w"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = dup_spans(docs, gram_words=4, keep_first=True)
+    rows = spans.collect()
+    # only doc 3 (the non-canonical holder) gets a span, at tokens 1..5
+    assert {r["doc_id"] for r in rows} == {3}
+    assert rows[0]["start_tok"] == 1 and rows[0]["end_tok"] == 5
+    out = {
+        r["id"]: r for r in excise_spans(docs, spans).collect()
+    }
+    assert out[1]["text"] == f"a b {shared} c d"  # canonical copy kept
+    assert out[3]["text"] == "x y z w"            # duplicate cut
+    assert out[2]["n_kept"] == out[2]["n_tokens"]
+    # keep_first=False cuts EVERY holder
+    spans_all = dup_spans(docs, gram_words=4, keep_first=False)
+    assert {r["doc_id"] for r in spans_all.collect()} == {1, 3}
