@@ -258,8 +258,12 @@ def _session(master: str, shuffle: int):
             "spark.executor.cores": os.environ.get(
                 "LSS_BENCH_EXEC_CORES", "4"
             ),
+            # 16g: the 2.05M-URL world OOMed 6g executors in the
+            # crawl cache/parse stages (the local-mode levels give the
+            # shared JVM 32g); identical per-executor memory at every
+            # worker count keeps the pair cluster-faithful
             "spark.executor.memory": os.environ.get(
-                "LSS_BENCH_EXEC_MEM", "6g"
+                "LSS_BENCH_EXEC_MEM", "16g"
             ),
             "spark.submit.pyFiles": _ensure_pyfiles(),
             "spark.executor.extraJavaOptions": (
@@ -625,7 +629,7 @@ def _cluster_ctl(action: str, n_workers: int = 0) -> None:
     if action == "start":
         args += [str(n_workers),
                  os.environ.get("LSS_BENCH_EXEC_CORES", "4"),
-                 os.environ.get("LSS_BENCH_EXEC_MEM", "6g")]
+                 os.environ.get("LSS_BENCH_EXEC_MEM", "16g")]
     env = dict(os.environ, LSS_SA_CPUS_PER_SLOT=os.environ.get(
         "LSS_SA_CPUS_PER_SLOT", "2"))
     p = subprocess.run(args, capture_output=True, text=True, env=env,

@@ -134,11 +134,15 @@ def rehearse(spark, docs: int) -> dict:
             "pages": m["pages"],
             "timings": m["timings"],
         }
-        # LSS_REHEARSAL_STAGES=crawl → stop after the crawl stage (the
-        # north-rule metric); lets a 2× world run inside a bounded wall
-        # window without the ~2h curate/dedup/export tail
-        if os.environ.get("LSS_REHEARSAL_STAGES", "all") == "crawl":
+        # LSS_REHEARSAL_STAGES: "crawl" → stop after the crawl stage
+        # (the north-rule metric); "r5" → crawl + the round-5 additions
+        # only (excise, revalidation — the r4-evidenced curate/dedup/
+        # export stages are skipped, their scaling already recorded in
+        # BASELINE.md round 4); "all" (default) → everything.
+        stages = os.environ.get("LSS_REHEARSAL_STAGES", "all")
+        if stages == "crawl":
             return out
+        r4_stages = stages != "r5"
 
         pages = eng.pages.read().select(
             F.col("document_url").alias("doc_id"),
@@ -155,8 +159,9 @@ def rehearse(spark, docs: int) -> dict:
                 "rows_per_sec": round(n_pages / dt, 1),
             }
 
-        stage("curate_gopher", gopher_quality_verdict(pages))
-        stage("dedup_chunks", chunk_dedup(pages))
+        if r4_stages:
+            stage("curate_gopher", gopher_quality_verdict(pages))
+            stage("dedup_chunks", chunk_dedup(pages))
 
         # ExactSubstr cut-not-drop (r4 verdict item 6, Lee et al. 2022):
         # cross-doc duplicated-8-gram spans -> excise (keep one
@@ -193,6 +198,12 @@ def rehearse(spark, docs: int) -> dict:
             "gopher_keep_after": int(row["keep_after"] or 0),
         }
 
+        if not r4_stages:
+            pages.unpersist()
+            _revalidation_stage(
+                spark, out, cfg, pages_raw, seeds, robots, docs)
+            return out
+
         # star edges, NOT the all-pairs expansion: the first 8M run
         # measured 331.6M pairs from 8.0M pages (54x the 1M world's
         # 6.1M — template-family pair counts grow quadratically) and
@@ -224,58 +235,67 @@ def rehearse(spark, docs: int) -> dict:
             "rows_per_sec": round(n_pages / dt, 1),
         }
         pages.unpersist()
-
-        # Revalidation at rehearsal scale (r4 verdict item 7): a second
-        # crawl with track_url_state (the merge_upsert-maintained
-        # validator table), then mutate 1% of the live world and run a
-        # conditional-recrawl round over the stalest 2% — the 304 tier
-        # must skip fetch/parse (reval seconds << crawl seconds) and
-        # the url_state upsert stays bucket-pruned at every size.
-        import dataclasses
-
-        store2 = tempfile.mkdtemp(
-            prefix=f"rehearsal_rv_{docs}_", dir="/dev/shm"
-        )
-        try:
-            cfg2 = dataclasses.replace(cfg, track_url_state=True)
-            eng2 = CrawlEngine(
-                spark, Catalog(spark, store2), pages_raw, seeds,
-                robots, cfg2,
-            )
-            eng2.bootstrap()
-            t0 = time.perf_counter()
-            m2 = eng2.round(0)
-            t_crawl = time.perf_counter() - t0
-            mutated = pages_raw.withColumn(
-                "html",
-                F.when(
-                    F.xxhash64("url") % 100 == 0,
-                    F.concat(F.col("html"), F.lit(b"<!--rev-->")),
-                ).otherwise(F.col("html")),
-            )
-            eng2.pages_raw = mutated
-            budget = max(1000, m2["selected"] // 50)
-            t0 = time.perf_counter()
-            mrv = eng2.revalidation_round(1, budget)
-            t_rv = time.perf_counter() - t0
-            out["revalidation"] = {
-                "crawl_state_seconds": round(t_crawl, 1),
-                "crawl_state_urls_per_sec": round(
-                    m2["selected"] / t_crawl, 1),
-                "budget": budget,
-                "seconds": round(t_rv, 1),
-                "urls_per_sec": round(
-                    mrv.get("revalidated", 0) / t_rv, 1),
-                "revalidated": mrv.get("revalidated", 0),
-                "not_modified": mrv.get("not_modified", 0),
-                "refetched": mrv.get("refetched", 0),
-                "saved_bytes": mrv.get("saved_bytes", 0),
-            }
-        finally:
-            shutil.rmtree(store2, ignore_errors=True)
+        _revalidation_stage(spark, out, cfg, pages_raw, seeds, robots,
+                            docs)
     finally:
         shutil.rmtree(store, ignore_errors=True)
     return out
+
+
+def _revalidation_stage(spark, out, cfg, pages_raw, seeds, robots, docs):
+    """Revalidation at rehearsal scale (r4 verdict item 7): a second
+    crawl with track_url_state (the merge_upsert-maintained validator
+    table), then mutate 1% of the live world and run a
+    conditional-recrawl round over the stalest 2% — the 304 tier must
+    skip fetch/parse (reval seconds << crawl seconds) and the
+    url_state upsert stays bucket-pruned at every size."""
+    import dataclasses
+
+    from pyspark.sql import functions as F
+
+    from legislation_scraper_spark.plans.crawl import CrawlEngine
+    from legislation_scraper_spark.tables import Catalog
+
+    store2 = tempfile.mkdtemp(
+        prefix=f"rehearsal_rv_{docs}_", dir="/dev/shm"
+    )
+    try:
+        cfg2 = dataclasses.replace(cfg, track_url_state=True)
+        eng2 = CrawlEngine(
+            spark, Catalog(spark, store2), pages_raw, seeds,
+            robots, cfg2,
+        )
+        eng2.bootstrap()
+        t0 = time.perf_counter()
+        m2 = eng2.round(0)
+        t_crawl = time.perf_counter() - t0
+        mutated = pages_raw.withColumn(
+            "html",
+            F.when(
+                F.xxhash64("url") % 100 == 0,
+                F.concat(F.col("html"), F.lit(b"<!--rev-->")),
+            ).otherwise(F.col("html")),
+        )
+        eng2.pages_raw = mutated
+        budget = max(1000, m2["selected"] // 50)
+        t0 = time.perf_counter()
+        mrv = eng2.revalidation_round(1, budget)
+        t_rv = time.perf_counter() - t0
+        out["revalidation"] = {
+            "crawl_state_seconds": round(t_crawl, 1),
+            "crawl_state_urls_per_sec": round(
+                m2["selected"] / t_crawl, 1),
+            "budget": budget,
+            "seconds": round(t_rv, 1),
+            "urls_per_sec": round(
+                mrv.get("revalidated", 0) / t_rv, 1),
+            "revalidated": mrv.get("revalidated", 0),
+            "not_modified": mrv.get("not_modified", 0),
+            "refetched": mrv.get("refetched", 0),
+            "saved_bytes": mrv.get("saved_bytes", 0),
+        }
+    finally:
+        shutil.rmtree(store2, ignore_errors=True)
 
 
 def main() -> None:

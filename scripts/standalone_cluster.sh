@@ -22,6 +22,11 @@ CPUS_PER_SLOT=${LSS_SA_CPUS_PER_SLOT:-2}
 start() {
     local n_workers=$1 cores=$2 mem=$3
     mkdir -p "$LOG_DIR"
+    # defensive: a stale worker from a previous run would re-register
+    # with the new master at the same address and add phantom cores
+    pkill -f 'org.apache.spark.deploy.worker.Worker' 2>/dev/null || true
+    pkill -f 'org.apache.spark.deploy.master.Master' 2>/dev/null || true
+    sleep 1
     : > "$PID_FILE"
     java -cp "$SPARK_HOME/jars/*" -Xmx768m \
         org.apache.spark.deploy.master.Master \
