@@ -620,7 +620,9 @@ def run_crawl_scaling() -> dict:
     return out
 
 
-def _cluster_ctl(action: str, n_workers: int = 0) -> None:
+def _cluster_ctl(
+    action: str, n_workers: int = 0, cores: "int | None" = None
+) -> None:
     import subprocess
 
     repo = os.path.dirname(os.path.abspath(__file__))
@@ -628,7 +630,7 @@ def _cluster_ctl(action: str, n_workers: int = 0) -> None:
     args = [script, action]
     if action == "start":
         args += [str(n_workers),
-                 os.environ.get("LSS_BENCH_EXEC_CORES", "4"),
+                 str(cores or os.environ.get("LSS_BENCH_EXEC_CORES", "4")),
                  os.environ.get("LSS_BENCH_EXEC_MEM", "16g")]
     env = dict(os.environ, LSS_SA_CPUS_PER_SLOT=os.environ.get(
         "LSS_SA_CPUS_PER_SLOT", "2"))
@@ -640,11 +642,15 @@ def _cluster_ctl(action: str, n_workers: int = 0) -> None:
         )
 
 
-def _cluster_crawl(world_dir: str, slots: int) -> dict:
+def _cluster_crawl(
+    world_dir: str, slots: int, exec_cores: "int | None" = None
+) -> dict:
     """Run one crawl round against the running standalone cluster."""
     import subprocess
 
     env = dict(os.environ, LSS_BENCH_MASTER="spark://127.0.0.1:7077")
+    if exec_cores is not None:
+        env["LSS_BENCH_EXEC_CORES"] = str(exec_cores)
     p = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--crawl-worker",
          str(slots), world_dir],
@@ -723,6 +729,32 @@ def run_cluster_scaling(best16: "dict | None") -> dict:
         run_level(levels[0] if e > 1.0 else levels[-1])
         if eff() is not None and eff() < TARGET_EFF:
             run_level(levels[0])
+
+    # the 16-slot-as-2-JVMs layout — the r4 verdict's literal probe
+    # (2 processes x 8 threads) and the strongest cross-layout number
+    # on this VM (0.955x of shared-JVM local[16] vs 0.699x for 4 JVMs:
+    # JVM-count overhead inside one fixed CPU pool, not the engine):
+    # run it whenever the top level is the 16-slot tier
+    if levels[-1] * 4 == 16:
+        b28 = None
+        r28_times = []
+        for _ in range(2):
+            _cluster_ctl("start", 2, cores=8)
+            try:
+                _settle()
+                r = _cluster_crawl(world_dir, 16, exec_cores=8)
+                r28_times.append(r["seconds"])
+                if b28 is None or r["seconds"] < b28["seconds"]:
+                    b28 = r
+            finally:
+                _cluster_ctl("stop")
+        out["urls_per_sec_2wx8"] = b28["urls_per_sec"]
+        out["seconds_2wx8"] = b28["seconds"]
+        out["runs_2wx8"] = r28_times
+        if best16:
+            out["vs_single_jvm_16_2wx8"] = round(
+                b28["urls_per_sec"] / best16["urls_per_sec"], 3
+            )
 
     for w, r in best.items():
         out[f"urls_per_sec_{w}w"] = r["urls_per_sec"]

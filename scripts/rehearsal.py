@@ -49,7 +49,9 @@ def _session():
     # kills: 80g heap / 91 GB RSS, then 60g heap + 31 GB tmpfs + 22 GB
     # retained Python workers).  Inputs (the world) stay on tmpfs for
     # scan speed; only spill/shuffle overflow pays virtio latency.
-    local_dir = "/tmp/lss_rehearsal_local"
+    local_dir = os.environ.get(
+        "LSS_REHEARSAL_LOCAL", "/tmp/lss_rehearsal_local"
+    )
     os.makedirs(local_dir, exist_ok=True)
     return get_spark(
         "lss-rehearsal",
@@ -299,6 +301,19 @@ def _revalidation_stage(spark, out, cfg, pages_raw, seeds, robots, docs):
 
 
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--synth":
+        # world synthesis in ITS OWN JVM: at 8M the synth job retains
+        # ~80 GB of shuffle files on spark.local.dir until session end,
+        # which left the stages' first disk spill a full /tmp (observed
+        # ENOSPC, round 5) — a fresh process frees them before any
+        # stage runs
+        docs = int(sys.argv[2])
+        spark = _session()
+        try:
+            _world(spark, docs)
+        finally:
+            spark.stop()
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
         docs = int(sys.argv[2])
         spark = _session()
@@ -315,6 +330,15 @@ def main() -> None:
 
     sizes = [int(a) for a in sys.argv[1:]] or [32000, 256000]
     for docs in sizes:
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--synth",
+             str(docs)],
+            capture_output=True, text=True,
+            timeout=int(os.environ.get("LSS_REHEARSAL_TIMEOUT", "0")) or None,
+        )
+        if p.returncode != 0:
+            sys.stderr.write(p.stderr[-4000:])
+            raise SystemExit(f"rehearsal synth {docs} failed")
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--worker",
              str(docs)],
